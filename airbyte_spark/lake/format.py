@@ -1,0 +1,121 @@
+"""On-disk metadata model for the lakehouse table format.
+
+Layout under a table root:
+
+    <root>/data/<commit-uuid>-g<generation>/part-*.parquet
+    <root>/metadata/manifest-<uuid>.json     (immutable)
+    <root>/metadata/snap-<snapshot-id>.json  (immutable)
+    <root>/metadata/refs.json                (atomic os.replace swap)
+
+Commit protocol (single atomic pointer, like Iceberg's version-hint /
+catalog swap): write immutable manifest(s) + snapshot JSON, then swap
+refs.json via tempfile + os.replace with an optimistic parent check.
+Readers resolve branch -> snapshot -> manifests -> file list, so they see
+an immutable view for the duration of a scan (snapshot isolation —
+S3DataLakeStreamLoader.kt:104-133's branch-swap pattern).
+
+Generation ids on data-file directory names mirror Airbyte's
+generation-tagged file naming (IcebergUtil.kt:58-69) so a truncate-refresh
+can identify stale files by name alone (IcebergTableCleaner.kt:45-72).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class ColumnStats:
+    min: object = None
+    max: object = None
+    null_count: int = 0
+
+
+@dataclass
+class DataFileEntry:
+    """One data file: path + counts + per-column min/max stats.
+
+    Stats power scan pruning (the engine's analog of Iceberg manifest
+    filtering) and are recomputed by the manifest-rewrite maintenance job
+    (SURVEY.md §2.11 "Manifest rewrite w/ stats").
+    """
+
+    path: str
+    rows: int
+    bytes: int
+    generation_id: int = 0
+    stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFileEntry":
+        return DataFileEntry(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            generation_id=d.get("generation_id", 0),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    sequence: int
+    timestamp_ms: int
+    operation: str  # append | merge | rewrite | cluster | delete | replace
+    manifests: list[str]
+    schema_json: str
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(**d)
+
+
+@dataclass
+class TableMetadata:
+    name: str
+    primary_key: list[str]
+    stats_columns: list[str]
+    properties: dict = field(default_factory=dict)
+
+
+def new_id() -> str:
+    return uuid.uuid4().hex[:16]
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def atomic_write_json(path: str, payload: dict) -> None:
+    """Write JSON atomically: tmp file in same dir + os.replace (POSIX-atomic)."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,375 @@
+"""LakeTable — snapshot/branch/manifest table over Parquet.
+
+Semantics mirrored from the reference (SURVEY.md §2.1, §2.11):
+
+- append           -> S12 `table.newAppend().appendFile(f).toBranch(staging)`
+                      (S3DataLakeAggregate.kt:60-64)
+- overwrite_files  -> S13 rowDelta / RewriteFiles (we are copy-on-write:
+                      remove + add file sets in one atomic snapshot)
+- branches + replace_branch -> staging-branch isolation and atomic swap
+                      (S3DataLakeStreamLoader.kt:74-133)
+- expire_snapshots + remove_orphan_files -> IcebergTableCleaner.kt:33-72
+- generation ids on file dirs -> S14 generation-tagged naming
+                      (IcebergUtil.kt:58-69)
+- scan(..) with key-range pruning over manifest min/max stats -> Iceberg
+  manifest filtering / S5 planFiles path predicates
+
+All data movement is Spark DataFrames; only metadata (JSON, ~KB per commit)
+is handled on the driver. At 10^12-row scale, manifests shard per commit and
+stat collection is distributed (lake/stats.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from airbyte_spark.lake.format import (
+    DataFileEntry,
+    Snapshot,
+    atomic_write_json,
+    new_id,
+    now_ms,
+    read_json,
+)
+from airbyte_spark.lake.stats import collect_file_entries
+
+MAIN = "main"
+
+
+class CommitConflict(Exception):
+    """Optimistic-concurrency failure: branch moved since we loaded it."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------
+    # create / load
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        primary_key: list[str],
+        stats_columns: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(
+            snapshot_id=new_id(),
+            parent_id=None,
+            sequence=0,
+            timestamp_ms=now_ms(),
+            operation="create",
+            manifests=[],
+            schema_json=schema.json(),
+            summary={},
+        )
+        t._write_snapshot(snap)
+        atomic_write_json(
+            os.path.join(t.meta_dir, "refs.json"),
+            {
+                "branches": {MAIN: snap.snapshot_id},
+                "table": {
+                    "primary_key": primary_key,
+                    "stats_columns": stats_columns
+                    or [c for c in schema.fieldNames() if c != "bytes"],
+                    "properties": properties or {},
+                },
+            },
+        )
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        t = LakeTable(spark, root)
+        if not os.path.exists(os.path.join(t.meta_dir, "refs.json")):
+            raise FileNotFoundError(f"no lake table at {root}")
+        return t
+
+    # ------------------------------------------------------------------
+    # metadata accessors
+    # ------------------------------------------------------------------
+
+    def _refs(self) -> dict:
+        return read_json(os.path.join(self.meta_dir, "refs.json"))
+
+    @property
+    def primary_key(self) -> list[str]:
+        return self._refs()["table"]["primary_key"]
+
+    @property
+    def stats_columns(self) -> list[str]:
+        return self._refs()["table"]["stats_columns"]
+
+    @property
+    def properties(self) -> dict:
+        return self._refs()["table"]["properties"]
+
+    def branches(self) -> dict[str, str]:
+        return self._refs()["branches"]
+
+    def current_snapshot_id(self, branch: str = MAIN) -> str:
+        return self._refs()["branches"][branch]
+
+    def snapshot(self, snapshot_id: str | None = None, branch: str = MAIN) -> Snapshot:
+        sid = snapshot_id or self.current_snapshot_id(branch)
+        return Snapshot.from_json(read_json(os.path.join(self.meta_dir, f"snap-{sid}.json")))
+
+    def schema(self, branch: str = MAIN, snapshot_id: str | None = None) -> StructType:
+        return StructType.fromJson(
+            __import__("json").loads(self.snapshot(snapshot_id, branch).schema_json)
+        )
+
+    def data_files(
+        self, branch: str = MAIN, snapshot_id: str | None = None
+    ) -> list[DataFileEntry]:
+        snap = self.snapshot(snapshot_id, branch)
+        entries: list[DataFileEntry] = []
+        for m in snap.manifests:
+            for e in read_json(os.path.join(self.meta_dir, m))["entries"]:
+                entries.append(DataFileEntry.from_json(e))
+        return entries
+
+    def history(self, branch: str = MAIN) -> list[Snapshot]:
+        out = []
+        sid = self.current_snapshot_id(branch)
+        while sid is not None:
+            s = self.snapshot(sid)
+            out.append(s)
+            sid = s.parent_id
+        return out
+
+    # ------------------------------------------------------------------
+    # write paths
+    # ------------------------------------------------------------------
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        atomic_write_json(
+            os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), snap.to_json()
+        )
+
+    def _write_manifest(self, entries: list[DataFileEntry]) -> str:
+        name = f"manifest-{new_id()}.json"
+        atomic_write_json(
+            os.path.join(self.meta_dir, name), {"entries": [e.to_json() for e in entries]}
+        )
+        return name
+
+    def _swap_ref(self, branch: str, expected_parent: str | None, new_sid: str) -> None:
+        refs = self._refs()
+        cur = refs["branches"].get(branch)
+        if expected_parent is not None and cur != expected_parent:
+            raise CommitConflict(
+                f"branch {branch} moved: expected {expected_parent}, found {cur}"
+            )
+        refs["branches"][branch] = new_sid
+        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        generation_id: int = 0,
+        sorted_within_partitions: bool = False,
+    ) -> list[DataFileEntry]:
+        """Materialize a DataFrame as parquet data files; no commit yet.
+
+        One commit-scoped subdir per write, generation-tagged (S14). The
+        caller controls partitioning/ordering of `df` — this is where
+        target-file-size binning (compaction) or range-partition-by-zkey
+        (clustering) has already been applied upstream.
+        """
+        commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
+        df.write.mode("errorifexists").parquet(commit_dir)
+        paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        return collect_file_entries(self.spark, paths, self.stats_columns, generation_id)
+
+    def commit(
+        self,
+        operation: str,
+        add_entries: list[DataFileEntry],
+        remove_paths: set[str] | None = None,
+        branch: str = MAIN,
+        schema: StructType | None = None,
+        summary: dict | None = None,
+        expected_parent: str | None = None,
+    ) -> Snapshot:
+        """Atomic snapshot commit: (existing - removed) + added files."""
+        parent = self.snapshot(branch=branch)
+        if expected_parent is not None and parent.snapshot_id != expected_parent:
+            raise CommitConflict(
+                f"expected parent {expected_parent}, found {parent.snapshot_id}"
+            )
+        remove_paths = remove_paths or set()
+        kept = [e for e in self.data_files(branch=branch) if e.path not in remove_paths]
+        manifests = []
+        if kept:
+            manifests.append(self._write_manifest(kept))
+        if add_entries:
+            manifests.append(self._write_manifest(add_entries))
+        snap = Snapshot(
+            snapshot_id=new_id(),
+            parent_id=parent.snapshot_id,
+            sequence=parent.sequence + 1,
+            timestamp_ms=now_ms(),
+            operation=operation,
+            manifests=manifests,
+            schema_json=(schema or self.schema(branch=branch)).json(),
+            summary={
+                "added_files": len(add_entries),
+                "removed_files": len(remove_paths),
+                "added_rows": sum(e.rows for e in add_entries),
+                "added_bytes": sum(e.bytes for e in add_entries),
+                **(summary or {}),
+            },
+        )
+        self._write_snapshot(snap)
+        self._swap_ref(branch, parent.snapshot_id, snap.snapshot_id)
+        return snap
+
+    def append(
+        self, df: DataFrame, generation_id: int = 0, branch: str = MAIN
+    ) -> Snapshot:
+        entries = self.write_dataframe(df, generation_id)
+        return self.commit("append", entries, branch=branch)
+
+    # ------------------------------------------------------------------
+    # branches (staging isolation)
+    # ------------------------------------------------------------------
+
+    def create_branch(self, name: str, from_branch: str = MAIN) -> None:
+        refs = self._refs()
+        refs["branches"][name] = refs["branches"][from_branch]
+        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
+    def replace_branch(self, target: str, source: str) -> None:
+        """Atomically point `target` at `source`'s snapshot (the teardown
+        `replaceBranch(main <- staging)` of S3DataLakeStreamLoader.kt:96-133)."""
+        refs = self._refs()
+        refs["branches"][target] = refs["branches"][source]
+        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
+    def drop_branch(self, name: str) -> None:
+        refs = self._refs()
+        refs["branches"].pop(name, None)
+        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
+    # ------------------------------------------------------------------
+    # scan
+    # ------------------------------------------------------------------
+
+    def scan(
+        self,
+        branch: str = MAIN,
+        snapshot_id: str | None = None,
+        columns: list[str] | None = None,
+        key_range: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot. `key_range=(col, lo, hi)` prunes
+        files whose manifest [min,max] does not intersect [lo,hi] before
+        Spark ever opens them — manifest-level pruning on top of parquet
+        row-group pruning."""
+        entries = self.data_files(branch=branch, snapshot_id=snapshot_id)
+        if key_range is not None:
+            col, lo, hi = key_range
+            entries = [e for e in entries if _intersects(e.stats.get(col), lo, hi)]
+        schema = self.schema(branch=branch, snapshot_id=snapshot_id)
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*[e.path for e in entries])
+        if key_range is not None:
+            col, lo, hi = key_range
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    # ------------------------------------------------------------------
+    # maintenance: expiry + orphan GC (IcebergTableCleaner semantics)
+    # ------------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> list[str]:
+        """Delete snapshot+manifest metadata unreachable within the retention
+        window. Keeps, per branch: the head and its `keep_last-1` nearest
+        ancestors (and anything newer than older_than_ms)."""
+        refs = self._refs()
+        keep: set[str] = set()
+        for head in refs["branches"].values():
+            sid, n = head, 0
+            while sid is not None:
+                s = self.snapshot(sid)
+                recent = older_than_ms is not None and s.timestamp_ms >= older_than_ms
+                if n < keep_last or recent:
+                    keep.add(sid)
+                    sid, n = s.parent_id, n + 1
+                else:
+                    break
+        expired = []
+        for p in glob.glob(os.path.join(self.meta_dir, "snap-*.json")):
+            sid = os.path.basename(p)[len("snap-") : -len(".json")]
+            if sid not in keep:
+                os.unlink(p)
+                expired.append(sid)
+        # rewrite parent pointers that now dangle
+        for sid in keep:
+            s = self.snapshot(sid)
+            if s.parent_id is not None and s.parent_id not in keep:
+                s.parent_id = None
+                self._write_snapshot(s)
+        # drop manifests no longer referenced by any kept snapshot
+        live_manifests: set[str] = set()
+        for sid in keep:
+            live_manifests.update(self.snapshot(sid).manifests)
+        for p in glob.glob(os.path.join(self.meta_dir, "manifest-*.json")):
+            if os.path.basename(p) not in live_manifests:
+                os.unlink(p)
+        return expired
+
+    def reachable_files(self) -> set[str]:
+        """Every data file referenced by any live snapshot of any branch."""
+        out: set[str] = set()
+        for p in glob.glob(os.path.join(self.meta_dir, "snap-*.json")):
+            snap = Snapshot.from_json(read_json(p))
+            for m in snap.manifests:
+                mp = os.path.join(self.meta_dir, m)
+                if os.path.exists(mp):
+                    out.update(e["path"] for e in read_json(mp)["entries"])
+        return out
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete physical files under data/ not reachable from any live
+        snapshot (run AFTER expire_snapshots). Prefix-scoped like Airbyte's
+        `deletePrefix` GC (IcebergTableCleaner.kt:33-43)."""
+        reachable = self.reachable_files()
+        orphans = [
+            p
+            for p in glob.glob(os.path.join(self.data_dir, "*", "*.parquet"))
+            if p not in reachable
+        ]
+        if not dry_run:
+            for p in orphans:
+                os.unlink(p)
+            for d in glob.glob(os.path.join(self.data_dir, "*")):
+                if os.path.isdir(d) and not os.listdir(d):
+                    shutil.rmtree(d)
+        return orphans
+
+
+def _intersects(stat: dict | None, lo, hi) -> bool:
+    if not stat or stat.get("min") is None:
+        return True  # no stats -> cannot prune
+    return not (stat["max"] < lo or stat["min"] > hi)

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the maintenance engine.
+
+Defaults mirror what we would submit on a real multi-executor cluster via
+``spark-submit --py-files``; in the sandbox we run ``local[N]``. All jobs are
+pure DataFrame pipelines, so AQE + adaptive skew-join are turned on globally
+(the explicit salting in operators/merge.py is the first line of defense,
+AQE the backstop — SURVEY.md §4 "Hot-key mitigation").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    parallelism: int | None = None,
+    app_name: str = "airbyte-spark-maintenance",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: local core count; defaults to $SPARK_GRAFT_CPUS or all cores.
+    shuffle_partitions: defaults to 2x parallelism (small-data sandbox);
+        on a real cluster this is sized so shuffle partitions fit in executor
+        memory at the target scale (see BASELINE.md).
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(parallelism * 2, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        # AQE: runtime re-plan, partition coalescing, skew-join backstop.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas UDF exchange (the only Python in any job).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Binary image payloads are heavy per-row; cap scan partition bytes
+        # so a 512MB parquet file still splits across tasks.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
