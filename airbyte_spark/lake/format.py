@@ -49,6 +49,7 @@ class DataFileEntry:
     rows: int
     bytes: int
     generation_id: int = 0
+    schema_id: int = 0  # which registered schema this file was written under
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
 
     def to_json(self) -> dict:
@@ -61,6 +62,7 @@ class DataFileEntry:
             rows=d["rows"],
             bytes=d["bytes"],
             generation_id=d.get("generation_id", 0),
+            schema_id=d.get("schema_id", 0),
             stats=d.get("stats", {}),
         )
 

@@ -60,6 +60,7 @@ def collect_file_entries(
     paths: list[str],
     stats_columns: list[str],
     generation_id: int = 0,
+    schema_id: int = 0,
 ) -> list[DataFileEntry]:
     """Distributed footer-stat collection over a list of written files."""
     if not paths:
@@ -87,6 +88,7 @@ def collect_file_entries(
             rows=r["rows"],
             bytes=r["bytes"],
             generation_id=generation_id,
+            schema_id=schema_id,
             stats=r["stats"],
         )
         for r in raws

@@ -89,6 +89,12 @@ class LakeTable:
                     "stats_columns": stats_columns
                     or [c for c in schema.fieldNames() if c != "bytes"],
                     "properties": properties or {},
+                    # schema registry: id -> schema JSON. Files are stamped
+                    # with the schema id they were written under so old files
+                    # stay readable after evolution (IcebergTableSynchronizer
+                    # semantics, SURVEY.md §2.11 / build-plan step 7).
+                    "schemas": {"0": schema.json()},
+                    "current_schema_id": 0,
                 },
             },
         )
@@ -119,6 +125,19 @@ class LakeTable:
     @property
     def properties(self) -> dict:
         return self._refs()["table"]["properties"]
+
+    @property
+    def current_schema_id(self) -> int:
+        return int(self._refs()["table"].get("current_schema_id", 0))
+
+    def registered_schema(self, schema_id: int) -> StructType:
+        import json as _json
+
+        refs = self._refs()
+        schemas = refs["table"].get("schemas")
+        if schemas is None:  # pre-registry table: fall back to snapshot schema
+            return self.schema()
+        return StructType.fromJson(_json.loads(schemas[str(schema_id)]))
 
     def branches(self) -> dict[str, str]:
         return self._refs()["branches"]
@@ -196,7 +215,13 @@ class LakeTable:
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
         df.write.mode("errorifexists").parquet(commit_dir)
         paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
-        return collect_file_entries(self.spark, paths, self.stats_columns, generation_id)
+        return collect_file_entries(
+            self.spark,
+            paths,
+            self.stats_columns,
+            generation_id,
+            schema_id=self.current_schema_id,
+        )
 
     def commit(
         self,
@@ -248,6 +273,74 @@ class LakeTable:
         return self.commit("append", entries, branch=branch)
 
     # ------------------------------------------------------------------
+    # schema evolution + manifest rewrite
+    # ------------------------------------------------------------------
+
+    def evolve_schema(
+        self,
+        new_schema: StructType,
+        new_primary_key: list[str] | None = None,
+        branch: str = MAIN,
+    ) -> Snapshot:
+        """Validate and commit a schema change (see lake/evolve.py). Data
+        files are untouched; old files stay readable via the schema registry.
+        A PK change flags a sort-order rebuild in the snapshot summary
+        (the caller should run a clustering rewrite to restore O1 order)."""
+        from airbyte_spark.lake.evolve import diff_schemas
+
+        old_schema = self.schema(branch=branch)
+        d = diff_schemas(old_schema, new_schema)
+        refs = self._refs()
+        tbl = refs["table"]
+        new_id_ = max(int(k) for k in tbl["schemas"]) + 1
+        tbl["schemas"][str(new_id_)] = new_schema.json()
+        tbl["current_schema_id"] = new_id_
+        pk_changed = bool(new_primary_key and new_primary_key != tbl["primary_key"])
+        if new_primary_key:
+            tbl["primary_key"] = new_primary_key
+        tbl["stats_columns"] = [
+            c for c in tbl["stats_columns"] if c in new_schema.fieldNames()
+        ] + [c for c in d.added if c != "bytes"]
+        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+        return self.commit(
+            "evolve-schema",
+            [],
+            branch=branch,
+            schema=new_schema,
+            summary={
+                "schema_id": new_id_,
+                "added": d.added,
+                "dropped": d.dropped,
+                "widened": [list(x) for x in d.widened],
+                "sort_order_rebuild_required": pk_changed,
+            },
+        )
+
+    def rewrite_manifests(self, branch: str = MAIN) -> Snapshot:
+        """Recompute per-file min/max stats from parquet footers for every
+        live file and commit fresh manifests (SURVEY.md §2.11 "Manifest
+        rewrite w/ stats"; stat source = writer config
+        IcebergTableWriterFactory.kt:108-136). Distributed footer reads."""
+        old = self.data_files(branch=branch)
+        by_key: dict[tuple[int, int], list[str]] = {}
+        for e in old:
+            by_key.setdefault((e.generation_id, e.schema_id), []).append(e.path)
+        fresh: list[DataFileEntry] = []
+        for (gen, sid), paths in sorted(by_key.items()):
+            fresh.extend(
+                collect_file_entries(
+                    self.spark, paths, self.stats_columns, gen, schema_id=sid
+                )
+            )
+        return self.commit(
+            "rewrite-manifests",
+            fresh,
+            remove_paths={e.path for e in old},
+            branch=branch,
+            summary={"rewritten_entries": len(fresh)},
+        )
+
+    # ------------------------------------------------------------------
     # branches (staging isolation)
     # ------------------------------------------------------------------
 
@@ -290,7 +383,22 @@ class LakeTable:
         schema = self.schema(branch=branch, snapshot_id=snapshot_id)
         if not entries:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*[e.path for e in entries])
+        # Group files by the schema they were written under; read each group
+        # with its write-time physical schema, then align (cast / add-null)
+        # to the snapshot schema and union. This keeps pre-evolution files
+        # readable after add-column / int->long widening / drop-column
+        # (IcebergSuperTypeFinder.kt:89-121 legal promotions).
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e.schema_id, []).append(e.path)
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_schema.items()):
+            physical = self.registered_schema(sid)
+            part = self.spark.read.schema(physical).parquet(*paths)
+            parts.append(_align(part, schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if key_range is not None:
             col, lo, hi = key_range
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -373,3 +481,17 @@ def _intersects(stat: dict | None, lo, hi) -> bool:
     if not stat or stat.get("min") is None:
         return True  # no stats -> cannot prune
     return not (stat["max"] < lo or stat["min"] > hi)
+
+
+def _align(df: DataFrame, target: StructType) -> DataFrame:
+    """Project/cast a physically-typed DataFrame to the logical schema:
+    missing columns become NULL, widened columns are cast, dropped columns
+    are pruned (schema-evolution read path)."""
+    cols = []
+    have = set(df.columns)
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

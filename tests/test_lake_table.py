@@ -1,0 +1,146 @@
+"""Lake table layer: commits, snapshot isolation, branches, expiry/GC,
+schema evolution. Models the reference's write-path guarantees
+(S3DataLakeStreamLoader.kt:74-133, IcebergTableCleaner.kt:33-72,
+IcebergTableSynchronizerTest.kt)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.lake.evolve import SchemaEvolutionError, diff_schemas
+from airbyte_spark.lake.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+def _mk(spark, root, rows):
+    t = LakeTable.create(spark, root, SCHEMA, primary_key=["id"])
+    df = spark.createDataFrame(rows, SCHEMA)
+    t.append(df)
+    return t
+
+
+def test_append_scan_roundtrip(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [(f"k{i}", i) for i in range(100)])
+    got = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert got == {f"k{i}": i for i in range(100)}
+
+
+def test_snapshot_isolation(spark, tmp_table_dir):
+    """A reader pinned to a snapshot sees identical data across later
+    commits (branch-swap pattern, S3DataLakeStreamLoader.kt:104-133)."""
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    snap0 = t.current_snapshot_id()
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    assert sorted(r["id"] for r in t.scan(snapshot_id=snap0).collect()) == ["a"]
+    assert sorted(r["id"] for r in t.scan().collect()) == ["a", "b"]
+
+
+def test_branch_staging_swap(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    t.create_branch("staging")
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA), branch="staging")
+    # main unchanged until swap
+    assert t.scan().count() == 1
+    t.replace_branch("main", "staging")
+    t.drop_branch("staging")
+    assert t.scan().count() == 2
+
+
+def test_manifest_stats_pruning(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, primary_key=["id"])
+    # two disjoint key-range files
+    t.append(spark.createDataFrame([(f"a{i}", i) for i in range(10)], SCHEMA))
+    t.append(spark.createDataFrame([(f"z{i}", i) for i in range(10)], SCHEMA))
+    all_files = t.data_files()
+    assert len(all_files) >= 2
+    pruned = t.scan(key_range=("id", "a0", "a9"))
+    assert pruned.count() == 10
+    # pruning must not open the z-file: inputFiles reflects the plan
+    opened = pruned.inputFiles()
+    assert all("z" not in os.path.basename(os.path.dirname(p)) for p in opened)
+    zpaths = {e.path for e in all_files if e.stats["id"]["min"].startswith("z")}
+    assert not zpaths & {p.replace("file:", "") for p in opened}
+
+
+def test_expire_and_orphan_gc(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    files_v1 = {e.path for e in t.data_files()}
+    # overwrite everything (CoW): v1 files become historical
+    entries = t.write_dataframe(spark.createDataFrame([("a", 2)], SCHEMA))
+    t.commit("rewrite", entries, remove_paths=files_v1)
+    assert t.scan().collect()[0]["v"] == 2
+    # before expiry: v1 physically present and reachable via history
+    assert all(os.path.exists(p) for p in files_v1)
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired
+    orphans = t.remove_orphan_files()
+    assert set(orphans) == files_v1
+    assert not any(os.path.exists(p) for p in files_v1)
+    assert t.scan().collect()[0]["v"] == 2  # head untouched
+
+
+def test_schema_evolution_roundtrip(spark, tmp_table_dir):
+    """v1 write -> evolve (add col, widen int->long) -> v2 write -> both
+    generations scan under v2 schema (testAppendSchemaEvolution analog,
+    BasicFunctionalityIntegrationTest.kt:2842)."""
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    v2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", LongType()),  # widened
+            StructField("alt_text", StringType(), True),  # added
+        ]
+    )
+    t.evolve_schema(v2)
+    t.append(
+        spark.createDataFrame([("b", 2, "hello")], v2)
+    )
+    rows = {r["id"]: (r["v"], r["alt_text"]) for r in t.scan().collect()}
+    assert rows == {"a": (1, None), "b": (2, "hello")}
+    assert dict(t.scan().dtypes)["v"] == "bigint"
+
+
+def test_schema_evolution_illegal(spark):
+    v1 = StructType([StructField("v", LongType())])
+    v2 = StructType([StructField("v", IntegerType())])
+    with pytest.raises(SchemaEvolutionError):
+        diff_schemas(v1, v2)
+    v3 = StructType([StructField("v", LongType()), StructField("n", StringType(), False)])
+    with pytest.raises(SchemaEvolutionError):
+        diff_schemas(v1, v3)
+
+
+def test_rewrite_manifests_recomputes_stats(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [(f"k{i:03d}", i) for i in range(50)])
+    snap = t.rewrite_manifests()
+    assert snap.operation == "rewrite-manifests"
+    entries = t.data_files()
+    assert sum(e.rows for e in entries) == 50
+    for e in entries:
+        assert e.stats["id"]["min"] <= e.stats["id"]["max"]
+        assert e.stats["v"]["null_count"] == 0
+
+
+def test_commit_conflict(spark, tmp_table_dir):
+    from airbyte_spark.lake.table import CommitConflict
+
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    stale_parent = t.current_snapshot_id()
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    entries = t.write_dataframe(spark.createDataFrame([("c", 3)], SCHEMA))
+    with pytest.raises(CommitConflict):
+        t.commit("append", entries, expected_parent=stale_parent)
