@@ -215,13 +215,19 @@ class LakeTable:
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
         df.write.mode("errorifexists").parquet(commit_dir)
         paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
-        return collect_file_entries(
+        entries = collect_file_entries(
             self.spark,
             paths,
             self.stats_columns,
             generation_id,
             schema_id=self.current_schema_id,
         )
+        # drop zero-row part files (Spark emits one per empty partition) —
+        # they carry no data and would defeat manifest-stat pruning
+        for e in entries:
+            if e.rows == 0:
+                os.unlink(e.path)
+        return [e for e in entries if e.rows > 0]
 
     def commit(
         self,
@@ -383,11 +389,25 @@ class LakeTable:
         schema = self.schema(branch=branch, snapshot_id=snapshot_id)
         if not entries:
             return self.spark.createDataFrame([], schema)
-        # Group files by the schema they were written under; read each group
-        # with its write-time physical schema, then align (cast / add-null)
-        # to the snapshot schema and union. This keeps pre-evolution files
-        # readable after add-column / int->long widening / drop-column
-        # (IcebergSuperTypeFinder.kt:89-121 legal promotions).
+        df = self.read_entries(entries, schema)
+        if key_range is not None:
+            col, lo, hi = key_range
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def read_entries(
+        self, entries: list[DataFileEntry], schema: StructType | None = None
+    ) -> DataFrame:
+        """Read a specific set of data files, aligned to `schema` (default:
+        current). Files are grouped by write-time schema id, each group is
+        read with its physical schema, cast/null-padded to the logical
+        schema and unioned — keeps pre-evolution files readable after
+        add-column / int->long widening (IcebergSuperTypeFinder.kt:89-121)."""
+        schema = schema or self.schema()
+        if not entries:
+            return self.spark.createDataFrame([], schema)
         by_schema: dict[int, list[str]] = {}
         for e in entries:
             by_schema.setdefault(e.schema_id, []).append(e.path)
@@ -399,11 +419,6 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if key_range is not None:
-            col, lo, hi = key_range
-            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
-        if columns:
-            df = df.select(*columns)
         return df
 
     # ------------------------------------------------------------------

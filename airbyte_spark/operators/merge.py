@@ -1,0 +1,268 @@
+"""MERGE INTO — incremental upsert/dedup on the table's primary key.
+
+Semantics mirror Airbyte's incremental-dedup sync mode end to end:
+
+- batch window-dedup W1: ROW_NUMBER over (pk) ORDER BY cursor DESC NULLS
+  LAST, _airbyte_extracted_at DESC, _airbyte_raw_id DESC keep rn=1
+  (SnowflakeDirectLoadSqlGenerator.kt:247-296; JdbcSqlGenerator.kt:437-462)
+  — realized as a salted two-phase window (operators/skew.py) so a hot
+  image_id cannot pin a shuffle partition.
+- cursor-newer resolution J2: a matched target row is replaced only when
+  the source row is newer — target.cursor < src.cursor, or equal cursor
+  and target.extracted_at <= src.extracted_at, or target cursor NULL and
+  source non-NULL (SnowflakeDirectLoadSqlGenerator.kt:160-179).
+- CDC delete P6: `_ab_cdc_deleted_at` non-null ⇒ matched row removed
+  (hard delete) and not-matched row suppressed (IcebergUtil.kt:49,191-204;
+  MERGE clauses SnowflakeDirectLoadSqlGenerator.kt:190-204).
+- null-PK guard P7: any NULL in a PK field fails the job
+  (BaseDeltaTaskWriter.java:38-39,70-84).
+
+Execution is **copy-on-write file rewrite** scoped by manifest pruning:
+only target files whose [min,max] PK range intersects the batch's key set
+are rewritten; at 10^12-row scale a 100k-row batch touches a handful of
+PK-sorted files, not the table. The resolve join is an explicit sort-merge
+join (`hint("merge")`); both sides are distinct-per-key after W1 so the
+join itself cannot skew — the skew lives in the raw batch and is absorbed
+by the salted window. AQE skew-join stays on as backstop (session.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from airbyte_spark.lake.format import DataFileEntry, Snapshot
+from airbyte_spark.lake.table import MAIN, LakeTable
+from airbyte_spark.operators.skew import salted_dedup_rank
+
+EXTRACTED_COL = "_airbyte_extracted_at"
+RAW_ID_COL = "_airbyte_raw_id"
+CDC_DELETED_COL = "_ab_cdc_deleted_at"
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+class NullPrimaryKeyError(ValueError):
+    """Null in a PK field is a hard config error (BaseDeltaTaskWriter.java:38)."""
+
+
+@dataclass
+class MergeResult:
+    snapshot: Snapshot
+    source_rows: int
+    deduped_rows: int
+    rewritten_files: int
+    added_files: int
+
+
+def dedup_order(cursor_col: str | None) -> list[Column]:
+    """The W1 total order: cursor DESC NULLS LAST, extracted_at DESC, then
+    raw_id DESC as the arbitrary-but-stable tiebreak (RecordDiffer sorts the
+    same way, RecordDiffer.kt:87-110). No cursor ⇒ extracted_at only
+    (testDedupNoCursor, BasicFunctionalityIntegrationTest.kt:3339)."""
+    order: list[Column] = []
+    if cursor_col:
+        order.append(F.desc_nulls_last(cursor_col))
+    order.append(F.desc(EXTRACTED_COL))
+    order.append(F.desc(RAW_ID_COL))
+    return order
+
+
+def dedup_batch(
+    source: DataFrame,
+    pk: list[str],
+    cursor_col: str | None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """W1 window-dedup of a MERGE source batch (keep newest per PK)."""
+    return salted_dedup_rank(
+        source,
+        keys=pk,
+        order_by=dedup_order(cursor_col),
+        salt_buckets=salt_buckets,
+        salt_on=RAW_ID_COL if RAW_ID_COL in source.columns else None,
+    )
+
+
+def _cursor_newer(t_pfx: str, s_pfx: str, cursor_col: str | None) -> Column:
+    """src-wins predicate (SnowflakeDirectLoadSqlGenerator.kt:160-179)."""
+    t_ex, s_ex = F.col(f"{t_pfx}.{EXTRACTED_COL}"), F.col(f"{s_pfx}.{EXTRACTED_COL}")
+    if not cursor_col:
+        return t_ex <= s_ex
+    t_c, s_c = F.col(f"{t_pfx}.{cursor_col}"), F.col(f"{s_pfx}.{cursor_col}")
+    return (
+        (t_c.isNull() & s_c.isNotNull())
+        | (t_c.isNull() & s_c.isNull() & (t_ex <= s_ex))
+        | (t_c < s_c)
+        | ((t_c == s_c) & (t_ex <= s_ex))
+    )
+
+
+def _candidate_entries(
+    table: LakeTable,
+    src_keys: DataFrame,
+    entries: list[DataFileEntry],
+    pk0: str,
+) -> list[DataFileEntry]:
+    """Manifest-level pruning: keep only target files whose [min,max] range
+    of the leading PK column intersects the batch key set. The files list is
+    metadata-sized → broadcast to a range-join against the distinct keys;
+    only matching paths come back to the driver (S5 planFiles semantics,
+    IcebergTableCleaner.kt:45-72)."""
+    spark = table.spark
+    with_stats = [
+        (e.path, e.stats[pk0]["min"], e.stats[pk0]["max"])
+        for e in entries
+        if e.stats.get(pk0, {}).get("min") is not None
+    ]
+    no_stats = [e for e in entries if e.stats.get(pk0, {}).get("min") is None]
+    hit_paths: set[str] = set()
+    if with_stats:
+        files_df = spark.createDataFrame(
+            with_stats, schema="path string, kmin string, kmax string"
+        )
+        k = F.col(pk0).cast("string")
+        hits = (
+            src_keys.join(
+                F.broadcast(files_df),
+                (k >= F.col("kmin")) & (k <= F.col("kmax")),
+                "inner",
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        hit_paths = {r["path"] for r in hits}
+    by_path = {e.path: e for e in entries}
+    return [by_path[p] for p in sorted(hit_paths)] + no_stats
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    cursor_col: str | None = "updated_at",
+    cdc_col: str | None = CDC_DELETED_COL,
+    salt_buckets: int = 16,
+    target_file_bytes: int | None = None,
+    branch: str = MAIN,
+    generation_id: int = 0,
+) -> MergeResult:
+    """Copy-on-write MERGE of a source batch into the lake table."""
+    spark = table.spark
+    pk = table.primary_key
+    if cursor_col and cursor_col not in source.columns:
+        cursor_col = None
+    if cdc_col and cdc_col not in source.columns:
+        cdc_col = None
+    target_file_bytes = target_file_bytes or int(
+        table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
+    )
+
+    # -- P7 null-PK guard + source size, one cheap action (no shuffle)
+    null_pk = F.lit(False)
+    for c in pk:
+        null_pk = null_pk | F.col(c).isNull()
+    counts = source.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(null_pk.cast("long")).alias("bad"),
+        F.sum(F.length(F.col("bytes")).cast("long")).alias("payload")
+        if "bytes" in source.columns
+        else F.lit(0).alias("payload"),
+    ).first()
+    if counts["bad"]:
+        raise NullPrimaryKeyError(
+            f"{counts['bad']} source rows have NULL in primary key {pk}"
+        )
+
+    # -- schema evolution: source may carry new columns (cursor, cdc, ...)
+    target_schema = table.schema(branch=branch)
+    existing = {f.name for f in target_schema.fields}
+    src_schema = {f.name: f for f in source.schema.fields}
+    new_cols = [n for n in source.columns if n not in existing]
+    if new_cols:
+        evolved = StructType(
+            list(target_schema.fields)
+            + [StructField(n, src_schema[n].dataType, True) for n in new_cols]
+        )
+        table.evolve_schema(evolved, branch=branch)
+        target_schema = table.schema(branch=branch)
+
+    # -- W1 salted window dedup of the batch
+    src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
+    try:
+        deduped_rows = src.count()
+
+        # -- manifest-pruned candidate file set
+        entries = table.data_files(branch=branch)
+        candidates = _candidate_entries(
+            table, src.select(*pk).distinct(), entries, pk[0]
+        )
+        touched = table.read_entries(candidates, target_schema).alias("t")
+        s = _align_to(src, target_schema).alias("s")
+
+        # -- resolve: explicit sort-merge full-outer on PK (both sides are
+        # distinct-per-key post-W1, so no skew is possible here)
+        cond = F.lit(True)
+        for c in pk:
+            cond = cond & (F.col(f"t.{c}") == F.col(f"s.{c}"))
+        j = touched.hint("merge").join(s, cond, "full_outer")
+
+        src_present = F.col(f"s.{pk[0]}").isNotNull()
+        tgt_present = F.col(f"t.{pk[0]}").isNotNull()
+        newer = _cursor_newer("t", "s", cursor_col)
+        use_src = src_present & (~tgt_present | newer)
+        src_is_delete = (
+            F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
+        )
+        # row survives unless the winning version is a CDC delete
+        keep = F.when(use_src, ~src_is_delete).otherwise(tgt_present)
+
+        out_cols = [
+            F.when(use_src, F.col(f"s.{f.name}"))
+            .otherwise(F.col(f"t.{f.name}"))
+            .alias(f.name)
+            for f in target_schema.fields
+        ]
+        merged = j.filter(keep).select(*out_cols)
+
+        # -- O1: keep the table PK-sorted; size output files to target
+        est_bytes = sum(e.bytes for e in candidates) + int(counts["payload"] or 0)
+        n_out = max(1, -(-est_bytes // target_file_bytes))
+        out = merged.repartitionByRange(n_out, *[F.col(c) for c in pk])
+        out = out.sortWithinPartitions(*pk)
+
+        new_entries = table.write_dataframe(out, generation_id=generation_id)
+        snap = table.commit(
+            "merge",
+            new_entries,
+            remove_paths={e.path for e in candidates},
+            branch=branch,
+            summary={
+                "source_rows": int(counts["n"]),
+                "deduped_rows": int(deduped_rows),
+                "candidate_files": len(candidates),
+            },
+        )
+        return MergeResult(
+            snapshot=snap,
+            source_rows=int(counts["n"]),
+            deduped_rows=int(deduped_rows),
+            rewritten_files=len(candidates),
+            added_files=len(new_entries),
+        )
+    finally:
+        src.unpersist()
+
+
+def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

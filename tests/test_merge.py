@@ -1,0 +1,183 @@
+"""MERGE INTO semantics — mirrors Airbyte's testDedup scenario matrix
+(BasicFunctionalityIntegrationTest.kt:3110-3338, testDedupNoCursor :3339)
+and the null-PK guard (BaseDeltaTaskWriter.java:38-39)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.merge import NullPrimaryKeyError, merge_into
+
+UTC = dt.timezone.utc
+
+BASE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("caption", StringType()),
+        StructField("v", IntegerType()),
+        StructField("_airbyte_raw_id", StringType()),
+        StructField("_airbyte_extracted_at", TimestampType()),
+    ]
+)
+
+SRC_SCHEMA = StructType(
+    list(BASE_SCHEMA.fields)
+    + [
+        StructField("updated_at", TimestampType()),
+        StructField("_ab_cdc_deleted_at", TimestampType()),
+    ]
+)
+
+
+def ts(day, sec=0):
+    return dt.datetime(2026, 1, day, 0, 0, sec, tzinfo=UTC)
+
+
+def _target(spark, root):
+    t = LakeTable.create(spark, root, BASE_SCHEMA, primary_key=["image_id"])
+    rows = [
+        ("keep", "untouched", 1, "r1", ts(1)),
+        ("upd", "old caption", 1, "r2", ts(1)),
+        ("stale", "current", 5, "r3", ts(1)),
+        ("gone", "to be deleted", 1, "r4", ts(1)),
+    ]
+    t.append(spark.createDataFrame(rows, BASE_SCHEMA))
+    # seed cursor values for existing rows via a first merge
+    seed = [
+        ("upd", "old caption", 1, "r2b", ts(1), ts(2), None),
+        ("stale", "current", 5, "r3b", ts(1), ts(10), None),
+        ("gone", "to be deleted", 1, "r4b", ts(1), ts(2), None),
+    ]
+    merge_into(t, spark.createDataFrame(seed, SRC_SCHEMA))
+    return t
+
+
+def _state(t):
+    return {
+        r["image_id"]: (r["caption"], r["v"])
+        for r in t.scan().collect()
+    }
+
+
+def test_merge_dedup_matrix(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir)
+    src_rows = [
+        # two versions of same id in one batch: newer cursor wins
+        ("dup", "v1", 1, "s1", ts(3), ts(3), None),
+        ("dup", "v2", 2, "s2", ts(3, 1), ts(4), None),
+        # update existing, newer cursor -> replaces
+        ("upd", "new caption", 2, "s3", ts(3), ts(5), None),
+        # stale update (cursor older than target's ts(10)) -> no overwrite
+        ("stale", "MUST NOT APPEAR", 9, "s4", ts(3), ts(4), None),
+        # CDC delete of existing
+        ("gone", None, 0, "s5", ts(3), ts(5), ts(6)),
+        # insert+delete same new id in one batch -> must not appear
+        ("flash", "born", 1, "s6", ts(3), ts(3), None),
+        ("flash", None, 0, "s7", ts(3, 1), ts(4), ts(6)),
+        # delete of nonexistent id -> no-op
+        ("ghost", None, 0, "s8", ts(3), ts(4), ts(6)),
+        # fresh insert
+        ("new", "hello", 7, "s9", ts(3), ts(3), None),
+    ]
+    res = merge_into(t, spark.createDataFrame(src_rows, SRC_SCHEMA))
+    assert res.source_rows == 9
+    got = _state(t)
+    assert got == {
+        "keep": ("untouched", 1),
+        "upd": ("new caption", 2),
+        "stale": ("current", 5),
+        "dup": ("v2", 2),
+        "new": ("hello", 7),
+    }
+    assert res.snapshot.operation == "merge"
+
+
+def test_merge_equal_cursor_extracted_tiebreak(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir)
+    src = [
+        ("tie", "early", 1, "s1", ts(5, 0), ts(7), None),
+        ("tie", "late extracted wins", 2, "s2", ts(5, 30), ts(7), None),
+    ]
+    merge_into(t, spark.createDataFrame(src, SRC_SCHEMA))
+    assert _state(t)["tie"] == ("late extracted wins", 2)
+
+
+def test_merge_no_cursor_falls_back_to_extracted(spark, tmp_table_dir):
+    """testDedupNoCursor: extractedAt decides (:3339)."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, BASE_SCHEMA, primary_key=["image_id"]
+    )
+    t.append(
+        spark.createDataFrame([("a", "old", 1, "r1", ts(1))], BASE_SCHEMA)
+    )
+    src = [
+        ("a", "newer extract", 2, "s1", ts(2)),
+        ("a", "older extract", 3, "s2", ts(1, 30)),
+    ]
+    merge_into(t, spark.createDataFrame(src, BASE_SCHEMA), cursor_col=None)
+    assert _state(t)["a"] == ("newer extract", 2)
+
+
+def test_merge_null_pk_fails(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir)
+    nullable_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in SRC_SCHEMA.fields]
+    )
+    src = [(None, "bad", 1, "s1", ts(3), ts(3), None)]
+    with pytest.raises(NullPrimaryKeyError):
+        merge_into(t, spark.createDataFrame(src, nullable_schema))
+
+
+def test_merge_untouched_files_not_rewritten(spark, tmp_table_dir):
+    """Manifest pruning: a merge whose keys fall outside a file's PK range
+    must not rewrite that file (CoW scoping)."""
+    t = LakeTable.create(spark, tmp_table_dir, BASE_SCHEMA, primary_key=["image_id"])
+    t.append(spark.createDataFrame([("aaa", "x", 1, "r1", ts(1))], BASE_SCHEMA))
+    t.append(spark.createDataFrame([("zzz", "y", 1, "r2", ts(1))], BASE_SCHEMA))
+    before = {e.path for e in t.data_files()}
+    src = [("zzz", "y2", 2, "s1", ts(2), ts(2), None)]
+    res = merge_into(t, spark.createDataFrame(src, SRC_SCHEMA))
+    after = {e.path for e in t.data_files()}
+    a_files = {p for p in before if p in after}
+    assert a_files, "the aaa file must survive untouched"
+    assert res.rewritten_files == 1
+    assert _state(t) == {"aaa": ("x", 1), "zzz": ("y2", 2)}
+
+
+def test_merge_idempotent_replay(spark, tmp_table_dir):
+    """At-least-once delivery: replaying the same batch yields the same
+    table state (resumability.md:14-34 / T5)."""
+    t = _target(spark, tmp_table_dir)
+    src = spark.createDataFrame(
+        [("upd", "final", 3, "s1", ts(4), ts(8), None)], SRC_SCHEMA
+    )
+    merge_into(t, src)
+    first = _state(t)
+    merge_into(t, src)  # replay
+    assert _state(t) == first
+
+
+def test_merge_hot_key_skew(spark, tmp_table_dir):
+    """≥20% of the batch shares one hot image_id (FIXTURES.md F2 skew case):
+    exactly one winner row must survive, chosen by the W1 total order."""
+    t = _target(spark, tmp_table_dir)
+    n = 5000
+    hot = [
+        ("hotkey", f"c{i}", i, f"s{i:06d}", ts(3, 0), ts(5), None)
+        for i in range(n)
+    ]
+    # winner: strictly newest cursor
+    hot.append(("hotkey", "WINNER", -1, "s_win", ts(3, 0), ts(9), None))
+    df = spark.createDataFrame(hot, SRC_SCHEMA).repartition(8)
+    res = merge_into(t, df, salt_buckets=8)
+    assert res.deduped_rows == 1
+    assert _state(t)["hotkey"] == ("WINNER", -1)
