@@ -1,0 +1,122 @@
+"""The north-star maintenance pipeline: MERGE -> compact -> cluster ->
+manifest rewrite -> expire + GC, checkpointed per stage so a killed job
+resumes idempotently (SURVEY.md §2.11, BASELINE.json north_rule).
+
+Runs entirely on a staging branch and swaps main atomically at the end,
+so concurrent readers of main see the pre-maintenance snapshot for the
+whole job (snapshot isolation, S3DataLakeStreamLoader.kt:74-133).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from airbyte_spark.checkpoints import JobCheckpointer
+from airbyte_spark.lake.table import MAIN, LakeTable
+from airbyte_spark.operators.cluster import cluster
+from airbyte_spark.operators.compact import compact
+from airbyte_spark.operators.merge import merge_into
+
+
+@dataclass
+class MaintenanceReport:
+    job_id: str
+    stages: dict = field(default_factory=dict)  # name -> metrics
+    wall_s: float = 0.0
+    rows: int = 0
+
+    @property
+    def rows_per_sec(self) -> float:
+        return self.rows / self.wall_s if self.wall_s else 0.0
+
+
+def run_maintenance(
+    table: LakeTable,
+    job_id: str,
+    merge_source: DataFrame | None = None,
+    cursor_col: str | None = "updated_at",
+    cluster_dims: list[str] | None = None,
+    curve: str = "zorder",
+    target_file_bytes: int | None = None,
+    expire_keep_last: int = 2,
+    use_staging: bool = True,
+) -> MaintenanceReport:
+    """Full maintenance pass. Stage boundaries are checkpoint boundaries:
+    each stage's snapshot commit + ledger write is atomic-by-effect, so a
+    re-run with the same job_id skips completed stages (T4/T5)."""
+    import os
+
+    ck = JobCheckpointer(os.path.join(table.root, "checkpoints"), job_id)
+    branch = f"staging-{job_id}" if use_staging else MAIN
+    t0 = time.monotonic()
+    report = MaintenanceReport(job_id=job_id)
+
+    def _stage(seq: int, name: str, fn):
+        metrics, ran = ck.run_step(seq, name, fn)
+        report.stages[name] = {**metrics, "resumed": not ran}
+        return metrics
+
+    _stage(0, "start", lambda: (
+        table.create_branch(branch, from_branch=MAIN)
+        if use_staging and branch not in table.branches()
+        else None
+    ) or {"branch": branch})
+
+    def _merge():
+        if merge_source is None:
+            return {"rows": 0, "skipped": True}
+        res = merge_into(
+            table, merge_source, cursor_col=cursor_col, branch=branch,
+            target_file_bytes=target_file_bytes,
+        )
+        return {
+            "rows": res.source_rows,
+            "deduped_rows": res.deduped_rows,
+            "rewritten_files": res.rewritten_files,
+            "snapshot": res.snapshot.snapshot_id,
+        }
+    m = _stage(1, "merge", _merge)
+    report.rows += int(m.get("rows", 0))
+
+    def _compact():
+        res = compact(table, target_file_bytes=target_file_bytes, branch=branch)
+        return {
+            "files_before": res.files_before,
+            "files_after": res.files_after,
+            "bins": len(res.plan.bins),
+            "rewritten_bytes": res.rewritten_bytes,
+        }
+    _stage(2, "compact", _compact)
+
+    def _cluster():
+        res = cluster(
+            table, dims=cluster_dims, curve=curve,
+            target_file_bytes=target_file_bytes, branch=branch,
+        )
+        return {"files_after": res.files_after, "curve": curve}
+    _stage(3, "cluster", _cluster)
+
+    _stage(4, "rewrite-manifests", lambda: {
+        "entries": table.rewrite_manifests(branch=branch).summary["rewritten_entries"]
+    })
+
+    def _swap():
+        if use_staging:
+            table.replace_branch(MAIN, branch)
+            table.drop_branch(branch)
+        return {"swapped": use_staging}
+    _stage(5, "swap", _swap)
+
+    def _gc():
+        expired = table.expire_snapshots(keep_last=expire_keep_last)
+        orphans = table.remove_orphan_files()
+        return {"expired_snapshots": len(expired), "orphan_files": len(orphans)}
+    _stage(6, "expire-gc", _gc)
+
+    report.wall_s = time.monotonic() - t0
+    if not report.rows:
+        report.rows = sum(e.rows for e in table.data_files())
+    return report
