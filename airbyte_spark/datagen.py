@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from airbyte_spark.codecs import encode_image, phash64
+from airbyte_spark.codecs import decode_image, encode_image, phash64
 
 _NS = uuid.UUID("00000000-0000-0000-0000-00000000a1b2")
 
@@ -94,6 +94,9 @@ def _make_row(i: int, seed: int, sync_id: int, generation_id: int) -> dict:
         axis=-1,
     ).astype(np.uint8)
     enc = encode_image(img, fmt)
+    # phash describes the STORED payload: hash the decoded bytes so the
+    # column stays consistent with `bytes` even for the lossy codec
+    img = decode_image(enc)
     image_id = f"img-{i:012d}"
     extracted_at = pd.Timestamp("2026-01-01", tz="UTC") + pd.Timedelta(seconds=int(i))
     return {

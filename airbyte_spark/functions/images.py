@@ -1,0 +1,144 @@
+"""Image-payload functions over binary columns — Arrow-batched UDFs only.
+
+The multimodal contract (BASELINE.json input_hint): images travel as an
+opaque `bytes: binary` column with typed metadata (w, h, fmt); all decode /
+verify / feature-extraction happens inside pandas UDFs (batch of rows per
+Python call, Arrow transfer), never per-row Spark Python.
+
+The container has no PIL/libjpeg, so decode supports the deterministic
+SPNG/SJPG stub codec (airbyte_spark/codecs.py) and raises
+NotImplementedError on real PNG/JPEG magic — the Spark-side plumbing
+(schema, batching, UDF signatures) is identical either way.
+
+Fidelity invariant (RecordDiffer.diffRecords analog, RecordDiffer.kt:105):
+per image_id, decoded pixels allclose — PSNR >= 40 dB for lossy fmt,
+bit-exact for png — plus exact caption equality (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.codecs import decode_image, phash64, psnr
+
+PSNR_LOSSY_THRESHOLD = 40.0
+
+
+@pandas_udf(LongType())
+def phash_udf(data: pd.Series) -> pd.Series:
+    """Recompute the 64-bit DCT perceptual hash from encoded bytes."""
+    return data.map(lambda b: phash64(decode_image(bytes(b))))
+
+
+@pandas_udf(DoubleType())
+def psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """PSNR between two encoded payloads (inf -> large sentinel)."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            out[i] = 0.0
+            continue
+        v = psnr(decode_image(bytes(x)), decode_image(bytes(y)))
+        out[i] = 1e9 if v == float("inf") else v
+    return pd.Series(out)
+
+
+@pandas_udf(BooleanType())
+def decodable_udf(data: pd.Series) -> pd.Series:
+    def ok(b):
+        try:
+            decode_image(bytes(b))
+            return True
+        except Exception:
+            return False
+    return data.map(ok)
+
+
+def image_feature_df(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Decode-side feature extraction over mapInPandas: per-image mean/std
+    luminance + recomputed dimensions. Demonstrates the batch shape for
+    real feature extractors (embedding models etc.)."""
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("dec_w", IntegerType()),
+            StructField("dec_h", IntegerType()),
+            StructField("luma_mean", DoubleType()),
+            StructField("luma_std", DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rid, data in zip(b[id_col], b["bytes"]):
+                px = decode_image(bytes(data))
+                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                rows.append(
+                    {
+                        id_col: rid,
+                        "dec_w": px.shape[1],
+                        "dec_h": px.shape[0],
+                        "luma_mean": float(luma.mean()),
+                        "luma_std": float(luma.std()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "bytes").mapInPandas(extract, schema=schema)
+
+
+def verify_fidelity(
+    expected: DataFrame,
+    actual: DataFrame,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Row-level fidelity check between two image tables: join on id and
+    compute (caption_equal, psnr, passes). `passes` applies the fmt-aware
+    rule: png requires byte-identical payloads; jpeg requires
+    PSNR >= 40 dB. Returns the per-row verdict DataFrame (callers assert
+    `filter(~passes).isEmpty()`)."""
+    e = expected.select(
+        F.col(id_col),
+        F.col("bytes").alias("e_bytes"),
+        F.col("caption").alias("e_caption"),
+        F.col("fmt").alias("fmt"),
+    )
+    a = actual.select(
+        F.col(id_col),
+        F.col("bytes").alias("a_bytes"),
+        F.col("caption").alias("a_caption"),
+    )
+    j = e.join(a, on=id_col, how="full_outer")
+    j = j.withColumn("caption_equal", F.col("e_caption").eqNullSafe(F.col("a_caption")))
+    j = j.withColumn(
+        "bytes_equal", F.col("e_bytes").isNotNull() & (F.col("e_bytes") == F.col("a_bytes"))
+    )
+    j = j.withColumn(
+        "psnr",
+        F.when(F.col("bytes_equal"), F.lit(1e9)).otherwise(
+            psnr_udf(F.col("e_bytes"), F.col("a_bytes"))
+        ),
+    )
+    j = j.withColumn(
+        "passes",
+        F.col("caption_equal")
+        & F.when(F.col("fmt") == "png", F.col("bytes_equal")).otherwise(
+            F.col("psnr") >= F.lit(PSNR_LOSSY_THRESHOLD)
+        ),
+    )
+    return j.select(id_col, "caption_equal", "bytes_equal", "psnr", "passes")
