@@ -1,38 +1,716 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps one entry per implemented operator family from
+SURVEY.md §2 (IDs in the key names) to a (spark, sf_dir) -> DataFrame
+callable; `oracle_sql()` holds the ANSI-SQL equivalent DuckDB runs on the
+same parquet views. Column names/aliases match pairwise so the driver's
+sorted-column value-hash compares cleanly. Non-SQL-expressible jobs (the
+image maintenance pipeline, simhash) have no oracle entry → rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_EN = ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"]
+_DE = ["der", "die", "und", "das", "ist", "ein", "eine", "zu", "den", "von"]
+_FR = ["le", "la", "les", "et", "de", "des", "un", "une", "est", "que"]
+_ES = ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: incremental-dedup MERGE resolution over the
+    events stream — latest state per (user_id), Airbyte's
+    incremental-dedup sync mode expressed as W1+J2 (SURVEY.md §2.5 W1,
+    §2.3 J2)."""
+    return q_j2_merge_resolution(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_s2_cursor_bounded_scan(spark, sf):
+    """S2: cursor-bounded incremental scan with pre-computed MAX bound."""
+    ev = _t(spark, sf, "events")
+    lo = "2024-01-15 00:00:00"
+    return (
+        ev.filter((F.col("ts") > F.lit(lo).cast("timestamp")))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def q_p2_composite_range(spark, sf):
+    """P2: row-value comparison (l_orderkey,l_linenumber) > (100,3)."""
+    li = _t(spark, sf, "lineitem")
+    pred = (F.col("l_orderkey") > 100) | (
+        (F.col("l_orderkey") == 100) & (F.col("l_linenumber") > 3)
+    )
+    return li.filter(pred).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_p3_predicate_tree(spark, sf):
+    """P3: boolean predicate tree (Catalyst simplifies)."""
+    p = _t(spark, sf, "part")
+    pred = (
+        ((F.col("p_size") >= 10) & (F.col("p_size") <= 20))
+        | (F.col("p_brand") == "Brand#1")
+    ) & ~(F.col("p_retailprice") < 100.0)
+    return p.filter(pred).select("p_partkey", "p_brand", "p_size")
+
+
+def q_a1_max_cursor(spark, sf):
+    """A1: MAX(cursor) scalar aggregate."""
+    return _t(spark, sf, "events").agg(F.max("ts").alias("max_ts"))
+
+
+def q_a2_partition_histogram(spark, sf):
+    """A2: per-key row/byte histogram (counts + payload bytes)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("props")).alias("bytes"),
+    )
+
+
+def q_a5_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_a6_file_stats(spark, sf):
+    """A6: min/max column stats per group (manifest-stat recomputation
+    shape: per output file -> here per returnflag)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+def q_a7_distinct(spark, sf):
+    return _t(spark, sf, "orders").select("o_custkey").distinct()
+
+
+def q_w1_dedup_rank(spark, sf):
+    """W1: ROW_NUMBER dedup — latest event per user (cursor=ts,
+    tiebreak=event_id; SnowflakeDirectLoadSqlGenerator.kt:283-287)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_w2_scd2_lag(spark, sf):
+    """W2: SCD2 end-dating via LAG (stream_processor.py:891-906)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lead("ts").over(w).alias("end_at"),
+        F.row_number().over(w).alias("version"),
+    )
+
+
+def q_j2_merge_resolution(spark, sf):
+    """J2: MERGE resolution as full-outer + cursor-newer pick: target =
+    latest pre-cutoff state, source = post-cutoff batch (deduped); output
+    = upserted final state per user."""
+    ev = _t(spark, sf, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tgt = (
+        ev.filter(F.col("ts") <= cutoff)
+        .withColumn("rn", F.row_number().over(w)).filter("rn=1").drop("rn")
+        .select("user_id", "event_id", "ts", "value")
+    ).alias("t")
+    src = (
+        ev.filter(F.col("ts") > cutoff)
+        .withColumn("rn", F.row_number().over(w)).filter("rn=1").drop("rn")
+        .select("user_id", "event_id", "ts", "value")
+    ).alias("s")
+    j = tgt.join(src, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
+    use_src = F.col("s.user_id").isNotNull()
+    return j.select(
+        F.coalesce(F.col("s.user_id"), F.col("t.user_id")).alias("user_id"),
+        F.when(use_src, F.col("s.event_id")).otherwise(F.col("t.event_id")).alias("event_id"),
+        F.when(use_src, F.col("s.value")).otherwise(F.col("t.value")).alias("value"),
+    )
+
+
+def q_j_broadcast_dims(spark, sf):
+    """Star join with broadcast dims: revenue per region (dims are
+    broadcast — verified in bench explain)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("orders"),
+    )
+
+
+def q_q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape over lineitem (the classic agg benchmark)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_o2_order_topk(spark, sf):
+    """O2: total-order top-k (ORDER BY + LIMIT with stable tiebreak)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_u1_union_all(spark, sf):
+    """U1: UNION ALL assembly (stream_processor.py:948-952)."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+    return a.unionByName(b)
+
+
+def q_u3_except_keys(spark, sf):
+    """U3: key difference — users with events but no purchase (anti)."""
+    ev = _t(spark, sf, "events")
+    all_u = ev.select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return all_u.exceptAll(buyers)
+
+
+def q_f_scalar_functions(spark, sf):
+    """§2.8 scalar surface: JSON extraction, safe cast, surrogate key
+    (md5 of concat — surrogate_key.sql), timestamp formatting."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.floor("value").cast("long").alias("value_int"),
+        F.md5(F.concat_ws("-", F.col("event_id").cast("string"),
+                          F.col("user_id").cast("string"))).alias("surrogate_key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+
+
+def q_sessionization(spark, sf):
+    """Stateful-stream shape in batch: session count per user with
+    30-minute inactivity gaps (lag + conditional cumsum)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ: route through a
+    # zoned timestamp (session tz = UTC) to get epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    newsess = F.when(F.lag("ts").over(w).isNull(), 1).otherwise(gap)
+    return (
+        ev.withColumn("is_new", newsess)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("sessions"), F.count(F.lit(1)).alias("events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def _words(col):
+    return F.filter(F.split(_norm_text(col), " "), lambda t: t != "")
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: canonical (min) doc_id per normalized text."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("fp", _norm_text(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def q_text_stats(spark, sf):
+    """Token counting + quality signals per document."""
+    d = _t(spark, sf, "documents")
+    toks = _words(F.col("text"))
+    n = F.size(toks)
+    wl = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_EN)))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, wl.cast("double") / n.cast("double")).otherwise(0.0), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def q_text_langid(spark, sf):
+    """Language ID: argmax of per-language stopword ratios with a fixed
+    preference order (en > de > fr > es) on ties."""
+    d = _t(spark, sf, "documents")
+    toks = _words(F.col("text"))
+    n = F.size(toks)
+
+    def ratio(words):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+
+    r_en, r_de, r_fr, r_es = ratio(_EN), ratio(_DE), ratio(_FR), ratio(_ES)
+    best = F.greatest(r_en, r_de, r_fr, r_es)
+    lang = (
+        F.when(best <= 0, "unknown")
+        .when(r_en == best, "en")
+        .when(r_de == best, "de")
+        .when(r_fr == best, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", lang.alias("lang_pred"))
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash(8 md5 seeds) + LSH(4 bands x 2) candidate pairs over word
+    unigram sets (the oracle-checkable variant; the 3-gram shingle version
+    is functions/dedup.py::lsh_candidate_pairs)."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    )
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("#", f"h{2*b}", f"h{2*b+1}")).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    pairs = None
+    for b in range(4):
+        l = bands.select(F.col("doc_id").alias("id_a"), F.col(f"b{b}").alias("bh"))
+        r = bands.select(F.col("doc_id").alias("id_b"), F.col(f"b{b}").alias("bh"))
+        p = l.join(r, "bh").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def q_dedup_jaccard(spark, sf):
+    """Exact unigram-set Jaccard for every LSH candidate pair."""
+    cand = q_dedup_minhash_lsh(spark, sf)
+    d = _t(spark, sf, "documents")
+    sets = d.select("doc_id", F.array_distinct(_words(F.col("text"))).alias("ws"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("wa", "wb")).cast("double")
+                / F.size(F.array_union("wa", "wb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force exact cosine top-10 for 5 fixed query vectors (ids
+    0..4); returns the neighbor id set per query (floats kept out of the
+    compared columns — ranks are tie-free on this data)."""
+    from airbyte_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = brute_force_topk(emb, queries, k=10)
+    return res.select("query_id", "vec_id", "rank")
+
+
+def q_embedding_norms(spark, sf):
+    """Vector math in pure expressions: L2 norm + max|x| per embedding."""
+    emb = _t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sq), 6).alias("l2"),
+        F.round(mx, 6).alias("max_abs"),
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (pandas-UDF path — rows-only check)."""
+    from airbyte_spark.functions.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=8)
+
+
+def q_images_maintenance(spark, sf):
+    """The north-star job (rows-only check): build a small synthetic
+    image+caption lake table, run MERGE + FFD compact + Z-order cluster +
+    manifest rewrite + expire/GC, return the per-stage metrics."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images, generate_update_batch
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.maintenance import run_maintenance
+
+    root = tempfile.mkdtemp(prefix="images-maint-")
+    try:
+        t = LakeTable.create(
+            spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
+            properties={"write.target-file-size-bytes": 4 * 1024 * 1024},
+        )
+        for i in range(4):
+            t.append(generate_images(spark, 50, id_offset=i * 50, num_partitions=2))
+        src = generate_update_batch(spark, 200, 80, num_partitions=2)
+        rep = run_maintenance(t, "entry-job", merge_source=src)
+        rows = [
+            (name, int(m.get("rows", 0)), bool(m.get("resumed", False)))
+            for name, m in rep.stages.items()
+        ]
+        return spark.createDataFrame(rows, "stage string, rows long, resumed boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
+        "p2_composite_range": q_p2_composite_range,
+        "p3_predicate_tree": q_p3_predicate_tree,
+        "a1_max_cursor": q_a1_max_cursor,
+        "a2_partition_histogram": q_a2_partition_histogram,
+        "a5_count": q_a5_count,
+        "a6_file_stats": q_a6_file_stats,
+        "a7_distinct": q_a7_distinct,
+        "w1_dedup_rank": q_w1_dedup_rank,
+        "w2_scd2_lag": q_w2_scd2_lag,
+        "j2_merge_resolution": q_j2_merge_resolution,
+        "j_broadcast_dims": q_j_broadcast_dims,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "o2_order_topk": q_o2_order_topk,
+        "u1_union_all": q_u1_union_all,
+        "u3_except_keys": q_u3_except_keys,
+        "f_scalar_functions": q_f_scalar_functions,
+        "sessionization": q_sessionization,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
+        "ann_topk": q_ann_topk,
+        "embedding_norms": q_embedding_norms,
+        "dedup_simhash": q_dedup_simhash,
+        "images_maintenance": q_images_maintenance,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = (
+    "list_filter(string_split(lower(trim(regexp_replace(trim(text), '\\s+', ' ', 'g'))), ' '), "
+    "w -> w != '')"
+)
+
+
+def _in_list(items: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en, de, fr, es = map(_in_list, (_EN, _DE, _FR, _ES))
+    return {
+        "s2_cursor_bounded_scan": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        """,
+        "p2_composite_range": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey > 100 OR (l_orderkey = 100 AND l_linenumber > 3)
+        """,
+        "p3_predicate_tree": """
+            SELECT p_partkey, p_brand, p_size FROM part
+            WHERE ((p_size BETWEEN 10 AND 20) OR p_brand = 'Brand#1')
+              AND NOT (p_retailprice < 100.0)
+        """,
+        "a1_max_cursor": "SELECT max(ts) AS max_ts FROM events",
+        "a2_partition_histogram": """
+            SELECT event_type, count(*) AS rows, sum(length(props)) AS bytes
+            FROM events GROUP BY event_type
+        """,
+        "a5_count": "SELECT count(*) AS n FROM lineitem",
+        "a6_file_stats": """
+            SELECT l_returnflag,
+                   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+                   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+                   count(*) AS rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a7_distinct": "SELECT DISTINCT o_custkey FROM orders",
+        "w1_dedup_rank": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "w2_scd2_lag": """
+            SELECT user_id, event_id,
+                   lead(ts) OVER w AS end_at,
+                   row_number() OVER w AS version
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "j2_merge_resolution": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+                ts <= TIMESTAMP '2024-01-20 00:00:00' AS is_old
+              FROM events),
+            tgt AS (
+              SELECT user_id, event_id, value FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+                FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+              WHERE rn2 = 1),
+            src AS (
+              SELECT user_id, event_id, value FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn2
+                FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00')
+              WHERE rn2 = 1)
+            SELECT coalesce(s.user_id, t.user_id) AS user_id,
+                   CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+                   CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
+            FROM tgt t FULL OUTER JOIN src s USING (user_id)
+        """,
+        "j_broadcast_dims": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "o2_order_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "u1_union_all": """
+            SELECT event_id, user_id FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "u3_except_keys": """
+            SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+            EXCEPT ALL
+            SELECT user_id FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "f_scalar_functions": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(floor(value) AS BIGINT) AS value_int,
+                   md5(CAST(event_id AS VARCHAR) || '-' || CAST(user_id AS VARCHAR)) AS surrogate_key,
+                   strftime(ts, '%Y-%m-%d') AS day
+            FROM events
+        """,
+        "sessionization": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                          ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, sum(is_new) AS sessions, count(*) AS events
+            FROM g GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+        """,
+        "text_stats": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORDS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     CAST(len(list_filter(toks, w -> w IN ({en}))) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END, 6) AS stopword_ratio
+            FROM t
+        """,
+        "text_langid": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, w -> w IN ({en}))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_en,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, w -> w IN ({de}))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_de,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, w -> w IN ({fr}))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_fr,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, w -> w IN ({es}))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_es
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'unknown'
+                   WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+                   WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+                   WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM r
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH w AS (
+              SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     {', '.join(f"min(md5('{i}|' || w)) AS h{i}" for i in range(8))}
+              FROM w GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id,
+                     {', '.join(f"md5(h{2*b} || '#' || h{2*b+1}) AS b{b}" for b in range(4))}
+              FROM sig)
+            SELECT DISTINCT id_a, id_b FROM (
+              {' UNION ALL '.join(
+                  f"SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM bands l "
+                  f"JOIN bands r ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
+                  for b in range(4))})
+        """,
+        "dedup_jaccard": f"""
+            WITH w AS (
+              SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     {', '.join(f"min(md5('{i}|' || w)) AS h{i}" for i in range(8))}
+              FROM w GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id,
+                     {', '.join(f"md5(h{2*b} || '#' || h{2*b+1}) AS b{b}" for b in range(4))}
+              FROM sig),
+            cand AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                {' UNION ALL '.join(
+                    f"SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM bands l "
+                    f"JOIN bands r ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
+                    for b in range(4))})),
+            sets AS (
+              SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws FROM documents)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS cos
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))), 6) AS l2,
+                   round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 x -> abs(x))), 6) AS max_abs
+            FROM embeddings
+        """,
+        # dedup_simhash / images_maintenance: non-SQL-expressible
+        # (pandas-UDF simhash; lake-table maintenance) -> rows-only check
+    }
