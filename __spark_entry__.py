@@ -322,13 +322,30 @@ def q_text_langid(spark, sf):
     return d.select("doc_id", lang.alias("lang_pred"))
 
 
+def _shingles(col):
+    """Distinct word trigrams (falls back to the whole text for short
+    docs) — discriminative enough that LSH buckets stay small even on a
+    low-vocabulary corpus."""
+    toks = _words(col)
+    k = F.size(toks) - 2
+    return F.when(
+        k > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash(8 md5 seeds) + LSH(4 bands x 2) candidate pairs over word
-    unigram sets (the oracle-checkable variant; the 3-gram shingle version
-    is functions/dedup.py::lsh_candidate_pairs)."""
+    trigram shingle sets (oracle-checked; the generic n-gram version is
+    functions/dedup.py::lsh_candidate_pairs)."""
     d = _t(spark, sf, "documents")
     words = d.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
     )
     sig = words.groupBy("doc_id").agg(
         *[
@@ -353,10 +370,10 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_jaccard(spark, sf):
-    """Exact unigram-set Jaccard for every LSH candidate pair."""
+    """Exact trigram-shingle Jaccard for every LSH candidate pair."""
     cand = q_dedup_minhash_lsh(spark, sf)
     d = _t(spark, sf, "documents")
-    sets = d.select("doc_id", F.array_distinct(_words(F.col("text"))).alias("ws"))
+    sets = d.select("doc_id", _shingles(F.col("text")).alias("ws"))
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
     return (
@@ -481,6 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WORDS_SQL = (
     "list_filter(string_split(lower(trim(regexp_replace(trim(text), '\\s+', ' ', 'g'))), ' '), "
     "w -> w != '')"
+)
+
+# distinct word trigrams with whole-text fallback — mirrors _shingles()
+_SHINGLES_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE [array_to_string(toks, ' ')] END"
 )
 
 
@@ -645,8 +669,10 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "dedup_minhash_lsh": f"""
-            WITH w AS (
-              SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+            WITH tok AS (
+              SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+            w AS (
+              SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS w FROM tok),
             sig AS (
               SELECT doc_id,
                      {', '.join(f"min(md5('{i}|' || w)) AS h{i}" for i in range(8))}
@@ -662,8 +688,10 @@ def oracle_sql() -> dict[str, str]:
                   for b in range(4))})
         """,
         "dedup_jaccard": f"""
-            WITH w AS (
-              SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+            WITH tok AS (
+              SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+            w AS (
+              SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS w FROM tok),
             sig AS (
               SELECT doc_id,
                      {', '.join(f"min(md5('{i}|' || w)) AS h{i}" for i in range(8))}
@@ -679,7 +707,7 @@ def oracle_sql() -> dict[str, str]:
                     f"JOIN bands r ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
                     for b in range(4))})),
             sets AS (
-              SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws FROM documents)
+              SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok)
             SELECT c.id_a, c.id_b,
                    round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard

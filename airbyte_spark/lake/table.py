@@ -203,18 +203,28 @@ class LakeTable:
         self,
         df: DataFrame,
         generation_id: int = 0,
-        sorted_within_partitions: bool = False,
+        partition_by: str | None = None,
     ) -> list[DataFileEntry]:
         """Materialize a DataFrame as parquet data files; no commit yet.
 
         One commit-scoped subdir per write, generation-tagged (S14). The
         caller controls partitioning/ordering of `df` — this is where
-        target-file-size binning (compaction) or range-partition-by-zkey
-        (clustering) has already been applied upstream.
-        """
+        target-file-size binning (compaction) or range-bucketed writes
+        (merge/clustering, operators/rangewrite.py) have already been
+        applied upstream. `partition_by` names a transient bucket column:
+        the writer emits exactly one file per bucket value and the column
+        is not stored."""
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
-        df.write.mode("errorifexists").parquet(commit_dir)
-        paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(commit_dir)
+        if partition_by:
+            paths = sorted(
+                glob.glob(os.path.join(commit_dir, f"{partition_by}=*", "part-*.parquet"))
+            )
+        else:
+            paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
         entries = collect_file_entries(
             self.spark,
             paths,

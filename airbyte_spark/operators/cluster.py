@@ -131,12 +131,26 @@ def cluster(
     total_bytes = sum(e.bytes for e in entries)
     n_out = max(1, -(-total_bytes // target_file_bytes))
 
-    out = (
-        keyed.repartitionByRange(n_out, "_ck")
-        .sortWithinPartitions("_ck")
-        .drop("_ck")
+    # Boundaries from a column-pruned scan of just the clustered dims (the
+    # payload column never loads) — then ONE pass over the full table with
+    # a range-bucketed partitionBy write. repartitionByRange would instead
+    # sample the keyed plan and execute the payload read + key UDF twice.
+    from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
+
+    slim = table.scan(branch=branch, columns=list(dims)).withColumn(
+        "_ck", key(*[F.col(d) for d in dims])
     )
-    new_entries = table.write_dataframe(out, generation_id=generation_id)
+    bounds = numeric_boundaries(slim, "_ck", n_out)
+    out = range_bucketed(
+        keyed,
+        F.col("_ck"),
+        bounds,
+        sort_cols=["_ck"],
+        min_tasks=table.spark.sparkContext.defaultParallelism,
+    ).drop("_ck")
+    new_entries = table.write_dataframe(
+        out, generation_id=generation_id, partition_by="_pid"
+    )
     snap = table.commit(
         "cluster",
         new_entries,

@@ -23,14 +23,12 @@ rewrite strategies).
 
 from __future__ import annotations
 
-import glob
 import os
 from dataclasses import dataclass
 
 from pyspark.sql import functions as F
 
-from airbyte_spark.lake.format import Snapshot, new_id
-from airbyte_spark.lake.stats import collect_file_entries
+from airbyte_spark.lake.format import Snapshot
 from airbyte_spark.lake.table import MAIN, LakeTable
 from airbyte_spark.plans.ffd import CompactionPlan, plan_ffd
 
@@ -113,36 +111,35 @@ def _execute_bins(table: LakeTable, plan: CompactionPlan, generation_id: int, sc
     victims = [p for b in plan.bins for p in b.paths]
     # input_file_name() → bin id via a map literal (evaluated JVM-side in
     # whole-stage codegen — no join, no shuffle for the lookup)
-    # keyed by basename (part-<uuid>... is globally unique) to stay agnostic
-    # of the file:// URI normalization input_file_name() applies. At ~10^6
-    # victim files this map literal would be replaced by a broadcast join
-    # against the plan table; same plan shape.
+    # keyed by the trailing "<dir>/<file>" path pair — basenames repeat
+    # across partitionBy bucket dirs, but (commit-or-bucket dir, filename)
+    # is unique — to stay agnostic of the file:// URI normalization
+    # input_file_name() applies. At ~10^6 victim files this map literal
+    # would be replaced by a broadcast join against the plan table.
+    def _tail(p: str) -> str:
+        return f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
+
     kv = []
     for b in plan.bins:
         for p in b.paths:
-            kv.extend([F.lit(os.path.basename(p)), F.lit(b.bin_id)])
+            kv.extend([F.lit(_tail(p)), F.lit(b.bin_id)])
     bin_map = F.create_map(*kv)
 
+    parts = F.split(F.input_file_name(), "/")
+    tail = F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
     df = (
         spark.read.schema(physical)
         .parquet(*victims)
-        .withColumn(
-            "_bin", bin_map[F.element_at(F.split(F.input_file_name(), "/"), -1)]
-        )
+        .withColumn("_bin", bin_map[tail])
     )
     n_bins = len(plan.bins)
-    commit_dir = os.path.join(table.data_dir, f"{new_id()}-g{generation_id}")
-    (
-        df.repartition(n_bins, "_bin")
-        .write.partitionBy("_bin")
-        .mode("errorifexists")
-        .parquet(commit_dir)
+    out = df.repartition(
+        max(n_bins, spark.sparkContext.defaultParallelism), "_bin"
     )
-    paths = sorted(glob.glob(os.path.join(commit_dir, "_bin=*", "part-*.parquet")))
-    entries = collect_file_entries(
-        spark, paths, table.stats_columns, generation_id, schema_id=schema_id
-    )
-    for e in entries:
-        if e.rows == 0:
-            os.unlink(e.path)
-    return [e for e in entries if e.rows > 0]
+    # NOTE: compaction entries must carry the victims' schema_id, not the
+    # table's current one — write under a scoped entry collection
+    entries = table.write_dataframe(out, generation_id=generation_id, partition_by="_bin")
+    if schema_id != table.current_schema_id:
+        for e in entries:
+            e.schema_id = schema_id
+    return entries

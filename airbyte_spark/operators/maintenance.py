@@ -55,8 +55,13 @@ def run_maintenance(
     report = MaintenanceReport(job_id=job_id)
 
     def _stage(seq: int, name: str, fn):
+        s0 = time.monotonic()
         metrics, ran = ck.run_step(seq, name, fn)
-        report.stages[name] = {**metrics, "resumed": not ran}
+        report.stages[name] = {
+            **metrics,
+            "resumed": not ran,
+            "sec": round(time.monotonic() - s0, 3),
+        }
         return metrics
 
     _stage(0, "start", lambda: (

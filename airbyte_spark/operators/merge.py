@@ -161,18 +161,26 @@ def merge_into(
         table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )
 
-    # -- P7 null-PK guard + source size, one cheap action (no shuffle)
+    # -- slim projection for all key-side work: windows and guards shuffle
+    # ~40 B/row instead of the multi-KB image payload (the payload crosses
+    # the wire exactly once, in the final fetch join below)
+    slim_cols = list(dict.fromkeys(
+        pk
+        + ([cursor_col] if cursor_col else [])
+        + [c for c in (EXTRACTED_COL, RAW_ID_COL, cdc_col) if c and c in source.columns]
+    ))
+    slim = source.select(*slim_cols).persist()
+
+    # -- P7 null-PK guard + source size, one cheap action on the slim side
     null_pk = F.lit(False)
     for c in pk:
         null_pk = null_pk | F.col(c).isNull()
-    counts = source.select(
+    counts = slim.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(null_pk.cast("long")).alias("bad"),
-        F.sum(F.length(F.col("bytes")).cast("long")).alias("payload")
-        if "bytes" in source.columns
-        else F.lit(0).alias("payload"),
     ).first()
     if counts["bad"]:
+        slim.unpersist()
         raise NullPrimaryKeyError(
             f"{counts['bad']} source rows have NULL in primary key {pk}"
         )
@@ -190,16 +198,34 @@ def merge_into(
         table.evolve_schema(evolved, branch=branch)
         target_schema = table.schema(branch=branch)
 
-    # -- W1 salted window dedup of the batch
-    src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
-    try:
+    # -- W1 salted window dedup on the slim keys, then fetch the winning
+    # payload rows with one join on the unique raw id (AQE turns it into a
+    # broadcast when the winner set is small)
+    if RAW_ID_COL in source.columns:
+        winners = dedup_batch(slim, pk, cursor_col, salt_buckets).persist()
+        # the count runs on the slim/cached side only — the payload-side
+        # semi join below stays lazy until the single output write
+        deduped_rows = winners.count()
+        # dropDuplicates guards against replayed raw_ids (at-least-once
+        # delivery) re-entering through the semi join
+        src = source.join(
+            F.broadcast(winners.select(*pk, RAW_ID_COL))
+            if deduped_rows <= 2_000_000
+            else winners.select(*pk, RAW_ID_COL),
+            on=pk + [RAW_ID_COL],
+            how="left_semi",
+        ).dropDuplicates(pk + [RAW_ID_COL])
+    else:
+        winners = None
+        src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
         deduped_rows = src.count()
+    try:
 
-        # -- manifest-pruned candidate file set
+        # -- manifest-pruned candidate file set (key set comes from the
+        # cached slim winners, not the payload side)
         entries = table.data_files(branch=branch)
-        candidates = _candidate_entries(
-            table, src.select(*pk).distinct(), entries, pk[0]
-        )
+        key_set = (winners if winners is not None else src).select(*pk).distinct()
+        candidates = _candidate_entries(table, key_set, entries, pk[0])
         touched = table.read_entries(candidates, target_schema).alias("t")
         s = _align_to(src, target_schema).alias("s")
 
@@ -229,12 +255,46 @@ def merge_into(
         merged = j.filter(keep).select(*out_cols)
 
         # -- O1: keep the table PK-sorted; size output files to target
-        est_bytes = sum(e.bytes for e in candidates) + int(counts["payload"] or 0)
+        # (source bytes estimated from candidate/table average row size)
+        cand_rows = sum(e.rows for e in candidates)
+        cand_bytes = sum(e.bytes for e in candidates)
+        all_entries = entries or candidates
+        avg_row = (
+            cand_bytes / cand_rows
+            if cand_rows
+            else (
+                sum(e.bytes for e in all_entries) / max(1, sum(e.rows for e in all_entries))
+                if all_entries
+                else 1024.0
+            )
+        )
+        est_bytes = int(cand_bytes + deduped_rows * avg_row)
         n_out = max(1, -(-est_bytes // target_file_bytes))
-        out = merged.repartitionByRange(n_out, *[F.col(c) for c in pk])
-        out = out.sortWithinPartitions(*pk)
+        # single-pass range-bucketed write (see operators/rangewrite.py):
+        # boundaries interpolate from candidate manifest stats (zero extra
+        # jobs); fallback to a column-pruned sample when no stats exist.
+        # repartitionByRange would instead sample the full merge plan and
+        # execute the payload join twice.
+        from airbyte_spark.operators.rangewrite import (
+            manifest_boundaries,
+            range_bucketed,
+            sampled_boundaries,
+        )
 
-        new_entries = table.write_dataframe(out, generation_id=generation_id)
+        est_rows = cand_rows + deduped_rows
+        bounds = manifest_boundaries(candidates, pk[0], n_out)
+        if not bounds and n_out > 1:
+            bounds = sampled_boundaries(merged.select(pk[0]), pk[0], n_out, est_rows)
+        out = range_bucketed(
+            merged,
+            F.col(pk[0]),
+            bounds,
+            sort_cols=list(pk),
+            min_tasks=spark.sparkContext.defaultParallelism,
+        )
+        new_entries = table.write_dataframe(
+            out, generation_id=generation_id, partition_by="_pid"
+        )
         snap = table.commit(
             "merge",
             new_entries,
@@ -254,7 +314,11 @@ def merge_into(
             added_files=len(new_entries),
         )
     finally:
-        src.unpersist()
+        if winners is not None:
+            winners.unpersist()
+        else:
+            src.unpersist()
+        slim.unpersist()
 
 
 def _align_to(df: DataFrame, schema: StructType) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Single-pass range-bucketed writes.
+
+`df.repartitionByRange(col)` samples its input with a separate job, which
+re-executes the whole upstream plan — for a payload-heavy merge join or a
+decode-UDF clustering pipeline that doubles the dominant cost. Instead:
+
+1. compute n_out-1 boundary values for the range key on a CHEAP plan —
+   either the same plan column-pruned to the key (Catalyst drops the
+   payload I/O), a numeric approxQuantile, or manifest stats;
+2. tag each row with `_pid = #{boundaries < key}` (a codegen'd literal
+   scan, no shuffle);
+3. `repartition(N, '_pid')` (hash keeps a bucket wholly in one task) and
+   `write.partitionBy('_pid')` — the writer splits by directory, so each
+   bucket emits exactly ONE file regardless of hash collisions.
+
+Result: one execution of the expensive plan, one shuffle, deterministic
+file count, disjoint key ranges per file (manifest pruning stays sharp).
+For bucket counts beyond ~1000 the boundary-literal expression gets big;
+callers at that scale shard the job (e.g. compact/cluster per partition
+of the table), which they need anyway for commit-size hygiene.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sampled_boundaries(
+    keys: DataFrame,
+    col: str,
+    n_out: int,
+    est_rows: int,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+) -> list:
+    """Quantile boundaries for any orderable key via a small sample of a
+    column-pruned plan. One cheap job; boundary list is driver metadata."""
+    if n_out <= 1:
+        return []
+    frac = min(1.0, sample_rows / max(1, est_rows))
+    rows = [r[0] for r in keys.select(col).sample(fraction=frac, seed=seed).collect()]
+    if not rows:
+        return []
+    rows.sort()
+    step = len(rows) / n_out
+    bounds = []
+    for i in range(1, n_out):
+        v = rows[min(len(rows) - 1, int(i * step))]
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    return bounds
+
+
+def manifest_boundaries(entries: list, col: str, n_out: int) -> list:
+    """Boundaries interpolated purely from manifest [min,max]+rows stats —
+    zero Spark jobs. Assumes roughly uniform keys within each file (true
+    for PK-sorted tables); rows outside the known range clamp into the
+    first/last bucket. entries: DataFileEntry list with stats[col]."""
+    if n_out <= 1:
+        return []
+    pts: list = []
+    for e in entries:
+        st = e.stats.get(col) if hasattr(e, "stats") else None
+        if st and st.get("min") is not None:
+            pts.append(st["min"])
+            pts.append(st["max"])
+    if not pts:
+        return []
+    pts.sort()
+    step = len(pts) / n_out
+    out = []
+    for i in range(1, n_out):
+        v = pts[min(len(pts) - 1, int(i * step))]
+        if not out or v > out[-1]:
+            out.append(v)
+    return out
+
+
+def numeric_boundaries(keys: DataFrame, col: str, n_out: int) -> list:
+    """approxQuantile boundaries for a numeric key (single pass, no sort)."""
+    if n_out <= 1:
+        return []
+    probs = [i / n_out for i in range(1, n_out)]
+    vals = keys.approxQuantile(col, probs, 0.001)
+    out = []
+    for v in vals:
+        if v is not None and (not out or v > out[-1]):
+            out.append(v)
+    return out
+
+
+def bucket_expr(key: Column, boundaries: list) -> Column:
+    """Partition id = number of boundaries <= key (0..len(boundaries))."""
+    if not boundaries:
+        return F.lit(0)
+    pid = F.lit(0)
+    for b in boundaries:
+        pid = pid + (key >= F.lit(b)).cast("int")
+    return pid
+
+
+def range_bucketed(
+    df: DataFrame,
+    key: Column,
+    boundaries: list,
+    sort_cols: list,
+    min_tasks: int = 0,
+) -> DataFrame:
+    """Tag + shuffle + sort: returns a DataFrame carrying `_pid`, ready for
+    `write.partitionBy('_pid')` (table.write_dataframe(partition_by='_pid'))."""
+    n_out = len(boundaries) + 1
+    tagged = df.withColumn("_pid", bucket_expr(key, boundaries))
+    n_parts = max(n_out, min_tasks)
+    return tagged.repartition(n_parts, "_pid").sortWithinPartitions("_pid", *sort_cols)

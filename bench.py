@@ -1,0 +1,142 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the north-star maintenance pipeline
+(MERGE + FFD compact + Z-order cluster + manifest rewrite + expire/GC)
+over a deterministic synthetic image+caption lake table sized to the SF.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "maintenance": {"images": N, "images_per_sec": R}}
+
+The BasicPerformanceTest analog (records/sec + MB/sec per scenario,
+BasicPerformanceTest.kt:440-446). Scaling evidence (N vs 4N cores) is
+produced by scripts/scaling_bench.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "w1_dedup_rank",
+    "j_broadcast_dims",
+    "j2_merge_resolution",
+    "sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "text_stats",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_maintenance_bench(spark, sf: float) -> dict:
+    from airbyte_spark.datagen import (
+        IMAGES_SCHEMA,
+        generate_images,
+        generate_update_batch,
+    )
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.maintenance import run_maintenance
+
+    n_base = max(500, int(60_000 * sf))
+    n_updates = max(200, int(20_000 * sf))
+    root = tempfile.mkdtemp(prefix="bench-images-")
+    try:
+        t = LakeTable.create(
+            spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
+            properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
+        )
+        # several small commits -> a compactable long tail of files
+        chunks = 6
+        per = n_base // chunks
+        for i in range(chunks):
+            t.append(
+                generate_images(spark, per, id_offset=i * per,
+                                num_partitions=max(4, CPUS))
+            )
+        src = generate_update_batch(
+            spark, n_base, n_updates, hot_key_fraction=0.05,
+            num_partitions=max(4, CPUS),
+        )
+        t0 = time.monotonic()
+        rep = run_maintenance(
+            t, f"bench-{time.time_ns()}", merge_source=src, curve="zorder",
+        )
+        wall = time.monotonic() - t0
+        total_rows = sum(e.rows for e in t.data_files())
+        images_processed = n_base + n_updates
+        return {
+            "sec": round(wall, 3),
+            "images": images_processed,
+            "table_rows": total_rows,
+            "images_per_sec": round(images_processed / wall, 1),
+            "stages": {k: v.get("resumed", False) for k, v in rep.stages.items()},
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from airbyte_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(parallelism=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = _sf_from_dir(SF_DIR)
+    qs = entry_mod.queries()
+
+    times: dict[str, float] = {}
+    # warm the JVM/scan cache once with a trivial action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    maint = run_maintenance_bench(spark, sf)
+    times["maintenance_pipeline"] = maint["sec"]
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + image-table maintenance (merge+compact+zorder+gc) wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": CPUS,
+                "maintenance": {
+                    "images": maint["images"],
+                    "images_per_sec": maint["images_per_sec"],
+                    "table_rows": maint["table_rows"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
