@@ -81,7 +81,9 @@ def run_maintenance(
             "rows": res.source_rows,
             "deduped_rows": res.deduped_rows,
             "rewritten_files": res.rewritten_files,
+            "added_files": res.added_files,
             "snapshot": res.snapshot.snapshot_id,
+            "phase_sec": res.phase_sec,
         }
     m = _stage(1, "merge", _merge)
     report.rows += int(m.get("rows", 0))

@@ -56,6 +56,7 @@ class MergeResult:
     deduped_rows: int
     rewritten_files: int
     added_files: int
+    phase_sec: dict | None = None  # wall time per internal phase
 
 
 def dedup_order(cursor_col: str | None) -> list[Column]:
@@ -149,8 +150,19 @@ def merge_into(
     target_file_bytes: int | None = None,
     branch: str = MAIN,
     generation_id: int = 0,
+    broadcast_threshold_bytes: int = 256 * 1024 * 1024,
 ) -> MergeResult:
     """Copy-on-write MERGE of a source batch into the lake table."""
+    import time as _time
+
+    _ph: dict = {}
+    _t0 = _time.monotonic()
+
+    def _tick(name: str) -> None:
+        nonlocal _t0
+        _ph[name] = round(_time.monotonic() - _t0, 3)
+        _t0 = _time.monotonic()
+
     spark = table.spark
     pk = table.primary_key
     if cursor_col and cursor_col not in source.columns:
@@ -179,6 +191,7 @@ def merge_into(
         F.count(F.lit(1)).alias("n"),
         F.sum(null_pk.cast("long")).alias("bad"),
     ).first()
+    _tick("guard")
     if counts["bad"]:
         slim.unpersist()
         raise NullPrimaryKeyError(
@@ -197,6 +210,7 @@ def merge_into(
         )
         table.evolve_schema(evolved, branch=branch)
         target_schema = table.schema(branch=branch)
+    _tick("evolve")
 
     # -- W1 salted window dedup on the slim keys, then fetch the winning
     # payload rows with one join on the unique raw id (AQE turns it into a
@@ -219,6 +233,7 @@ def merge_into(
         winners = None
         src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
         deduped_rows = src.count()
+    _tick("dedup")
     try:
 
         # -- manifest-pruned candidate file set (key set comes from the
@@ -226,36 +241,18 @@ def merge_into(
         entries = table.data_files(branch=branch)
         key_set = (winners if winners is not None else src).select(*pk).distinct()
         candidates = _candidate_entries(table, key_set, entries, pk[0])
+        _tick("candidates")
         touched = table.read_entries(candidates, target_schema).alias("t")
         s = _align_to(src, target_schema).alias("s")
 
-        # -- resolve: explicit sort-merge full-outer on PK (both sides are
-        # distinct-per-key post-W1, so no skew is possible here)
-        cond = F.lit(True)
-        for c in pk:
-            cond = cond & (F.col(f"t.{c}") == F.col(f"s.{c}"))
-        j = touched.hint("merge").join(s, cond, "full_outer")
-
-        src_present = F.col(f"s.{pk[0]}").isNotNull()
-        tgt_present = F.col(f"t.{pk[0]}").isNotNull()
-        newer = _cursor_newer("t", "s", cursor_col)
-        use_src = src_present & (~tgt_present | newer)
-        src_is_delete = (
-            F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
-        )
-        # row survives unless the winning version is a CDC delete
-        keep = F.when(use_src, ~src_is_delete).otherwise(tgt_present)
-
-        out_cols = [
-            F.when(use_src, F.col(f"s.{f.name}"))
-            .otherwise(F.col(f"t.{f.name}"))
-            .alias(f.name)
-            for f in target_schema.fields
-        ]
-        merged = j.filter(keep).select(*out_cols)
-
-        # -- O1: keep the table PK-sorted; size output files to target
-        # (source bytes estimated from candidate/table average row size)
+        # -- resolve strategy. Airbyte micro-batches cap at 100k rows /
+        # 50 MB (AggregatePublishingConfig.kt:36-38), so the deduped batch
+        # is normally broadcastable: resolve as target LEFT JOIN
+        # broadcast(source) + a key-only anti join for inserts — the
+        # candidate payload is scanned once and shuffled only by the
+        # output bucketing, never for the join. Oversized batches fall
+        # back to an explicit sort-merge full-outer (both sides are
+        # distinct-per-key post-W1, so the join cannot skew).
         cand_rows = sum(e.rows for e in candidates)
         cand_bytes = sum(e.bytes for e in candidates)
         all_entries = entries or candidates
@@ -268,7 +265,52 @@ def merge_into(
                 else 1024.0
             )
         )
-        est_bytes = int(cand_bytes + deduped_rows * avg_row)
+        src_bytes_est = deduped_rows * avg_row
+        cond = F.lit(True)
+        for c in pk:
+            cond = cond & (F.col(f"t.{c}") == F.col(f"s.{c}"))
+        src_present = F.col(f"s.{pk[0]}").isNotNull()
+        newer = _cursor_newer("t", "s", cursor_col)
+        src_is_delete = (
+            F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
+        )
+        if src_bytes_est <= broadcast_threshold_bytes:
+            j = touched.join(F.broadcast(s), cond, "left")
+            use_src = src_present & newer
+            keep = F.when(use_src, ~src_is_delete).otherwise(F.lit(True))
+            out_cols = [
+                F.when(use_src, F.col(f"s.{f.name}"))
+                .otherwise(F.col(f"t.{f.name}"))
+                .alias(f.name)
+                for f in target_schema.fields
+            ]
+            updates = j.filter(keep).select(*out_cols)
+            # inserts: batch keys absent from the candidate files — the
+            # anti join probes a column-pruned key-only scan (no payload)
+            key_scan = table.read_entries(candidates, target_schema).select(*pk)
+            not_deleted = ~F.col(cdc_col).isNotNull() if cdc_col else F.lit(True)
+            inserts = (
+                s.join(key_scan, on=pk, how="left_anti")
+                .filter(not_deleted)
+                .select(*[F.col(f.name) for f in target_schema.fields])
+            )
+            merged = updates.unionByName(inserts)
+        else:
+            j = touched.hint("merge").join(s, cond, "full_outer")
+            tgt_present = F.col(f"t.{pk[0]}").isNotNull()
+            use_src = src_present & (~tgt_present | newer)
+            # row survives unless the winning version is a CDC delete
+            keep = F.when(use_src, ~src_is_delete).otherwise(tgt_present)
+            out_cols = [
+                F.when(use_src, F.col(f"s.{f.name}"))
+                .otherwise(F.col(f"t.{f.name}"))
+                .alias(f.name)
+                for f in target_schema.fields
+            ]
+            merged = j.filter(keep).select(*out_cols)
+
+        # -- O1: keep the table PK-sorted; size output files to target
+        est_bytes = int(cand_bytes + src_bytes_est)
         n_out = max(1, -(-est_bytes // target_file_bytes))
         # single-pass range-bucketed write (see operators/rangewrite.py):
         # boundaries interpolate from candidate manifest stats (zero extra
@@ -295,6 +337,7 @@ def merge_into(
         new_entries = table.write_dataframe(
             out, generation_id=generation_id, partition_by="_pid"
         )
+        _tick("write")
         snap = table.commit(
             "merge",
             new_entries,
@@ -312,6 +355,7 @@ def merge_into(
             deduped_rows=int(deduped_rows),
             rewritten_files=len(candidates),
             added_files=len(new_entries),
+            phase_sec=_ph,
         )
     finally:
         if winners is not None:

@@ -42,13 +42,31 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for all pandas UDF exchange (the only Python in any job).
+        # Batch size tuned for multi-KB binary payload rows: 1024 rows x
+        # ~26KB ≈ 27MB per in-flight batch per worker keeps 32 concurrent
+        # python workers' peak RSS bounded.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # local[] defaults to task maxFailures=1 — a single transient
+        # python-worker crash kills the job; retry like a real cluster
+        .config("spark.task.maxFailures", "4")
         # Binary image payloads are heavy per-row; cap scan partition bytes
         # so a 512MB parquet file still splits across tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # this box's virtualized Xeon SIGSEGVs in the JVM's AVX-512
+        # arraycopy stubs under concurrent load (hs_err: ~StubRoutines::
+        # jlong_disjoint_arraycopy_avx3) — cap the JIT at AVX2
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+IgnoreUnrecognizedVMOptions -XX:UseAVX=2",
+        )
+        # fixed modest heap: measured on this box, 8g at 32 threads beats
+        # 16g/32g (big heaps degrade across runs — delayed old-gen sweeps
+        # + slow page commits under the VM); shuffle spill handles the rest
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

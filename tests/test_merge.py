@@ -101,6 +101,28 @@ def test_merge_dedup_matrix(spark, tmp_table_dir):
     assert res.snapshot.operation == "merge"
 
 
+def test_merge_sort_merge_fallback_matches_broadcast(spark, tmp_table_dir):
+    """The oversized-batch sort-merge path must produce the same state as
+    the broadcast path (broadcast_threshold_bytes=0 forces the fallback)."""
+    t = _target(spark, tmp_table_dir)
+    src_rows = [
+        ("upd", "v-smj", 9, "s1", ts(4), ts(8), None),
+        ("gone", None, 0, "s2", ts(4), ts(8), ts(9)),
+        ("fresh", "new", 1, "s3", ts(4), ts(4), None),
+    ]
+    merge_into(
+        t,
+        spark.createDataFrame(src_rows, SRC_SCHEMA),
+        broadcast_threshold_bytes=0,
+    )
+    assert _state(t) == {
+        "keep": ("untouched", 1),
+        "upd": ("v-smj", 9),
+        "stale": ("current", 5),
+        "fresh": ("new", 1),
+    }
+
+
 def test_merge_equal_cursor_extracted_tiebreak(spark, tmp_table_dir):
     t = _target(spark, tmp_table_dir)
     src = [
