@@ -70,11 +70,15 @@ try:
     best = None
     for r in range(3):
         t0 = time.monotonic()
-        run_maintenance(t, f"scale-{r}", merge_source=src)
-        # fidelity verify: decode every surviving image, recompute phash
-        bad = t.scan().select(
-            F.sum((phash_udf("bytes") != F.col("phash")).cast("long"))).first()[0]
-        assert not bad, f"{bad} corrupted rows"
+        try:
+            run_maintenance(t, f"scale-{r}", merge_source=src)
+            # fidelity verify: decode every surviving image, recompute phash
+            bad = t.scan().select(
+                F.sum((phash_udf("bytes") != F.col("phash")).cast("long"))).first()[0]
+            assert not bad, f"{bad} corrupted rows"
+        except Exception as e:
+            print(f"RUN {r} FAILED: {type(e).__name__}: {str(e)[:800]}", flush=True)
+            raise
         w = time.monotonic() - t0
         best = w if best is None or w < best else best
     images = n_base + n_src
@@ -101,8 +105,14 @@ def main():
                 [sys.executable, "-c", WORKER, str(cores), base_dir],
                 capture_output=True, text=True, timeout=1800,
             )
+            with open(f"/tmp/scale_worker_{cores}.stderr", "w") as f:
+                f.write(out.stderr)
+            with open(f"/tmp/scale_worker_{cores}.stdout", "w") as f:
+                f.write(out.stdout)
             if out.returncode != 0:
-                print(out.stderr[-2000:], file=sys.stderr)
+                print(f"worker cores={cores} rc={out.returncode}; see "
+                      f"/tmp/scale_worker_{cores}.stderr", file=sys.stderr)
+                print(out.stdout[-1000:], file=sys.stderr)
                 sys.exit(1)
             results.append(json.loads(out.stdout.strip().splitlines()[-1]))
         lo, hi = results
