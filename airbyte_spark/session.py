@@ -47,6 +47,11 @@ def get_spark(
         # python workers' peak RSS bounded.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # vectorized parquet reader sizes column vectors per ROW COUNT; at
+        # 4096 rows x ~26KB binary x 32 concurrent tasks that is >3 GB of
+        # on-heap vectors (observed OOM in OnHeapColumnVector.reserve) —
+        # shrink the columnar batch for the binary-payload workload
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         # local[] defaults to task maxFailures=1 — a single transient
         # python-worker crash kills the job; retry like a real cluster
         .config("spark.task.maxFailures", "4")
