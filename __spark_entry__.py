@@ -459,6 +459,62 @@ def q_images_maintenance(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_p4_watermark_filter(spark, sf):
+    """P4: incremental watermark — rows newer than the destination's
+    high-water mark, two-phase agg(max) then filter
+    (macros/incremental.sql:11-19)."""
+    ev = _t(spark, sf, "events")
+    final = ev.filter(F.col("event_type") == "purchase")
+    wm = final.agg(F.max("ts")).first()[0]
+    out = ev if wm is None else ev.filter(F.col("ts") > F.lit(wm))
+    return out.select("event_id", "user_id", "ts")
+
+
+def q_training_data_filter(spark, sf):
+    """The composed training-data curation path: exact dedup -> language
+    gate -> quality thresholds, returning the surviving corpus."""
+    d = _t(spark, sf, "documents")
+    toks = _words(F.col("text"))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_EN)))
+    ratio = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+    scored = d.select(
+        "doc_id", "lang", "source",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("fp"),
+        n.alias("n_tokens"),
+        ratio.alias("sw"),
+    )
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keep, on=["fp", "doc_id"], how="inner")
+        .filter((F.col("n_tokens") >= 5) & (F.col("lang") == "en"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Approximate ANN: hyperplane-LSH buckets + exact re-rank (pandas-UDF
+    bucketing -> rows-only check; exactness is cross-checked against
+    ann_topk in tests)."""
+    from airbyte_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries_df, k=10, nbits=4, n_tables=8)
+
+
+def q_image_features(spark, sf):
+    """Multimodal plumbing (rows-only): decode-side feature extraction over
+    mapInPandas on a deterministic synthetic image batch."""
+    from airbyte_spark.datagen import generate_images
+    from airbyte_spark.functions.images import image_feature_df
+
+    df = generate_images(spark, 200, num_partitions=4)
+    return image_feature_df(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -488,6 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "dedup_simhash": q_dedup_simhash,
         "images_maintenance": q_images_maintenance,
+        "p4_watermark_filter": q_p4_watermark_filter,
+        "training_data_filter": q_training_data_filter,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "image_features": q_image_features,
     }
 
 
@@ -739,6 +799,25 @@ def oracle_sql() -> dict[str, str]:
                                                  x -> abs(x))), 6) AS max_abs
             FROM embeddings
         """,
-        # dedup_simhash / images_maintenance: non-SQL-expressible
-        # (pandas-UDF simhash; lake-table maintenance) -> rows-only check
+        "p4_watermark_filter": """
+            SELECT event_id, user_id, ts FROM events
+            WHERE ts > (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        """,
+        "training_data_filter": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, source,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+                     len({_WORDS_SQL}) AS n_tokens,
+                     CASE WHEN len({_WORDS_SQL}) > 0 THEN
+                       CAST(len(list_filter({_WORDS_SQL}, w -> w IN ({en}))) AS DOUBLE)
+                         / len({_WORDS_SQL}) ELSE 0.0 END AS sw
+              FROM documents),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp)
+            SELECT s.doc_id, s.source, s.n_tokens
+            FROM scored s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
+            WHERE s.n_tokens >= 5 AND s.lang = 'en'
+        """,
+        # dedup_simhash / images_maintenance / ann_lsh_topk /
+        # image_features: non-SQL-expressible (pandas-UDF or lake-table
+        # paths) -> rows-only check
     }

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the pure driver-side /
+numpy-side logic: FFD planner invariants, curve key bijectivity,
+codec round-trips, boundary bucketing."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from airbyte_spark.codecs import decode_image, encode_image, psnr
+from airbyte_spark.functions.curves import hilbert_key, zorder_key
+from airbyte_spark.plans.ffd import plan_ffd
+
+files_strategy = st.lists(
+    st.tuples(
+        st.uuids().map(str),
+        st.integers(min_value=1, max_value=1_000_000),
+        st.integers(min_value=1, max_value=10_000),
+    ),
+    min_size=0,
+    max_size=200,
+    unique_by=lambda f: f[0],
+)
+
+
+@given(files=files_strategy, target=st.integers(min_value=10, max_value=2_000_000))
+@settings(max_examples=200, deadline=None)
+def test_ffd_invariants(files, target):
+    plan = plan_ffd(files, target_bytes=target)
+    sizes = dict((p, b) for p, b, _ in files)
+    seen = set()
+    for b in plan.bins:
+        # never exceed capacity unless a single file alone exceeds it
+        if len(b.paths) > 1:
+            assert b.bytes <= target
+        assert len(b.paths) >= 2  # no no-op rewrites
+        assert b.bytes == sum(sizes[p] for p in b.paths)
+        for p in b.paths:
+            assert p not in seen  # each file in at most one bin
+            seen.add(p)
+    assert plan.skipped_files + plan.input_files == len(files)
+
+
+@given(
+    bits=st.integers(min_value=1, max_value=8),
+    ndims=st.integers(min_value=2, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_curve_keys_bijective_and_bounded(bits, ndims, seed):
+    n = 1 << bits
+    rng = np.random.default_rng(seed)
+    total = n**ndims
+    if total > 4096:
+        idx = rng.integers(0, n, size=(ndims, 4096))
+    else:
+        grids = np.meshgrid(*([np.arange(n)] * ndims), indexing="ij")
+        idx = np.stack([g.ravel() for g in grids])
+    cols = [c.astype(np.float64) for c in idx]
+    bounds = [(0, n - 1)] * ndims
+    for fn in (zorder_key, hilbert_key):
+        k = fn(cols, bounds, bits=bits)
+        assert k.min() >= 0 and k.max() < total
+        # injective on distinct points
+        pts = set(map(tuple, idx.T.tolist()))
+        assert len(set(k.tolist())) == len(pts)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+    fmt=st.sampled_from(["png", "jpeg"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrip_properties(h, w, seed, fmt):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_image(encode_image(px, fmt))
+    assert dec.shape == px.shape
+    if fmt == "png":
+        assert np.array_equal(dec, px)
+    else:
+        assert psnr(px, dec) >= 40.0
+
+
+@given(
+    keys=st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                  min_size=1, max_size=500),
+    n_out=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=100, deadline=None)
+def test_bucket_boundaries_partition_the_keyspace(keys, n_out):
+    """Driver-side boundary math: every key lands in exactly one bucket,
+    buckets are order-respecting."""
+    pts = sorted(keys)
+    step = len(pts) / n_out
+    bounds = []
+    for i in range(1, n_out):
+        v = pts[min(len(pts) - 1, int(i * step))]
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+
+    def pid(k):
+        return sum(1 for b in bounds if k >= b)
+
+    assigned = [pid(k) for k in keys]
+    assert all(0 <= p <= len(bounds) for p in assigned)
+    # monotone: larger key -> same or larger bucket
+    s = sorted(zip(keys, assigned))
+    assert all(s[i][1] <= s[i + 1][1] for i in range(len(s) - 1))
