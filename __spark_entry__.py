@@ -459,6 +459,32 @@ def q_images_maintenance(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_u2_star_intersect(spark, sf):
+    """U2: schema-intersection projection of two tables (star_intersect
+    macro, stream_processor.py:938-941) — union customers and suppliers on
+    their common column shape."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal"),
+    )
+    common = [x for x in c.columns if x in s.columns]
+    return c.select(*common).unionByName(s.select(*common)).withColumn(
+        "acctbal", F.round("acctbal", 2)
+    )
+
+
+def q_o4_generation_probe(spark, sf):
+    """O4: LIMIT-1 scalar probe (SELECT ... LIMIT 1 made deterministic by
+    aggregating — the probe's purpose is 'fetch the single generation id',
+    SnowflakeDirectLoadSqlGenerator.kt:302-312)."""
+    ev = _t(spark, sf, "events")
+    return ev.orderBy("event_id").limit(1).select("event_id", "event_type")
+
+
 def q_p4_watermark_filter(spark, sf):
     """P4: incremental watermark — rows newer than the destination's
     high-water mark, two-phase agg(max) then filter
@@ -544,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "dedup_simhash": q_dedup_simhash,
         "images_maintenance": q_images_maintenance,
+        "u2_star_intersect": q_u2_star_intersect,
+        "o4_generation_probe": q_o4_generation_probe,
         "p4_watermark_filter": q_p4_watermark_filter,
         "training_data_filter": q_training_data_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -798,6 +826,17 @@ def oracle_sql() -> dict[str, str]:
                    round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                  x -> abs(x))), 6) AS max_abs
             FROM embeddings
+        """,
+        "u2_star_intersect": """
+            SELECT key, name, nationkey, round(acctbal, 2) AS acctbal FROM (
+              SELECT c_custkey AS key, c_name AS name, c_nationkey AS nationkey,
+                     c_acctbal AS acctbal FROM customer
+              UNION ALL
+              SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier)
+        """,
+        "o4_generation_probe": """
+            SELECT event_id, event_type FROM events
+            ORDER BY event_id LIMIT 1
         """,
         "p4_watermark_filter": """
             SELECT event_id, user_id, ts FROM events
