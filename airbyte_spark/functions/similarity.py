@@ -139,6 +139,74 @@ def lsh_topk(
     )
 
 
+def _centroids(dim: int, k: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 5):
+    """Assign each vector to its nearest (by cosine) seeded random
+    centroid — the coarse quantizer of an IVF index, vectorized."""
+    cents = _centroids(dim, n_cells, seed)
+
+    @pandas_udf(IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus bucketed once into n_cells by
+    nearest centroid; each query probes its nprobe nearest cells and
+    exactly re-ranks only those candidates. At scale the corpus cell
+    assignment is computed once and persisted with the table (a clustering
+    dimension), making queries touch ~nprobe/n_cells of the data."""
+    cents = _centroids(dim, n_cells, seed=5)
+    cell = ivf_cell_udf(dim, n_cells, seed=5)
+    c_b = corpus.select(F.col(id_col), F.col(vec_col), cell(F.col(vec_col)).alias("_cell"))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ cents.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q_b = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    hits = c_b.join(F.broadcast(q_b), on="_cell").select(
+        query_id_col, id_col, F.col(vec_col), F.col("_qvec")
+    )
+    scored = hits.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     tau: float = 0.95,

@@ -149,6 +149,22 @@ def test_lsh_topk_recall(spark, emb):
     }
 
 
+def test_ivf_topk_recall(spark, emb):
+    from airbyte_spark.functions.similarity import ivf_topk
+
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+    # self must always be in its own cell probe
+    self_hits = approx.filter("rank=1").collect()
+    assert all(r["query_id"] == r["vec_id"] for r in self_hits)
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     # plant a near-identical vector
     import pyspark.sql.functions as F2
