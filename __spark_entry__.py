@@ -342,21 +342,36 @@ def _shingles(col):
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash(8 md5 seeds) + LSH(4 bands x 2) candidate pairs over word
     trigram shingle sets (oracle-checked; the generic n-gram version is
-    functions/dedup.py::lsh_candidate_pairs)."""
+    functions/dedup.py::lsh_candidate_pairs). Signatures are computed with
+    array expressions — zero shuffle until the band self-join."""
     d = _t(spark, sf, "documents")
-    words = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
-    )
-    sig = words.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"h{i}")
-            for i in range(8)
-        ]
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("ws"))
+    # ONE nested higher-order expression for the whole signature: multiple
+    # sibling array_min(transform(...)) columns in a single projection
+    # corrupt each other in Spark 4.1 (shared lambda-variable slots) —
+    # regression-tested in test_text_dedup_similarity.py
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("ws"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+                )
+            ),
+        ).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
         *[
-            F.md5(F.concat_ws("#", f"h{2*b}", f"h{2*b+1}")).alias(f"b{b}")
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.element_at("sig", 2 * b + 1),
+                    F.element_at("sig", 2 * b + 2),
+                )
+            ).alias(f"b{b}")
             for b in range(4)
         ],
     )
@@ -759,12 +774,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH tok AS (
               SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
-            w AS (
-              SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS w FROM tok),
+            sh AS (
+              SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok),
             sig AS (
               SELECT doc_id,
-                     {', '.join(f"min(md5('{i}|' || w)) AS h{i}" for i in range(8))}
-              FROM w GROUP BY doc_id),
+                     {', '.join(f"list_min(list_transform(ws, s -> md5('{i}|' || s))) AS h{i}" for i in range(8))}
+              FROM sh),
             bands AS (
               SELECT doc_id,
                      {', '.join(f"md5(h{2*b} || '#' || h{2*b+1}) AS b{b}" for b in range(4))}
@@ -778,12 +793,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": f"""
             WITH tok AS (
               SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
-            w AS (
-              SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS w FROM tok),
+            shw AS (
+              SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok),
             sig AS (
               SELECT doc_id,
-                     {', '.join(f"min(md5('{i}|' || w)) AS h{i}" for i in range(8))}
-              FROM w GROUP BY doc_id),
+                     {', '.join(f"list_min(list_transform(ws, s -> md5('{i}|' || s))) AS h{i}" for i in range(8))}
+              FROM shw),
             bands AS (
               SELECT doc_id,
                      {', '.join(f"md5(h{2*b} || '#' || h{2*b+1}) AS b{b}" for b in range(4))}
@@ -795,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
                     f"JOIN bands r ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
                     for b in range(4))})),
             sets AS (
-              SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok)
+              SELECT doc_id, ws FROM shw)
             SELECT c.id_a, c.id_b,
                    round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard

@@ -73,16 +73,20 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """array<string> signature: element i = min over shingles of
     md5(i || '|' || shingle). String-min over hex digests is a valid
     uniform min-hash (md5 is order-uniform on hex strings) and is exactly
-    reproducible in any engine with md5()."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
+    reproducible in any engine with md5().
+
+    Built as ONE nested higher-order expression: sibling
+    array_min(transform(...)) expressions in the same projection corrupt
+    each other in Spark 4.1 (lambda-variable slot sharing; regression test
+    in tests/test_text_dedup_similarity.py)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
             )
-            for i in range(num_hashes)
-        ]
+        ),
     )
 
 

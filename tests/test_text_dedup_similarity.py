@@ -121,6 +121,29 @@ def test_simhash_near_dups(docs):
     assert (0, 200000) in found  # near dup within hamming ball
 
 
+def test_minhash_signature_matches_python_reference(spark, docs):
+    """Regression: Spark 4.1 corrupts sibling array_min(transform(...))
+    expressions sharing one projection (lambda-variable slots). The nested
+    single-expression signature must equal a pure-python md5 min-hash."""
+    import hashlib
+
+    from airbyte_spark.functions.dedup import minhash_signature, word_shingles
+    from airbyte_spark.functions.text import normalized_text
+
+    sh = docs.limit(20).select(
+        "doc_id", word_shingles(normalized_text(F.col("text")), 3).alias("ws")
+    )
+    sig = sh.select("doc_id", "ws", minhash_signature(F.col("ws"), 8).alias("sig"))
+    for r in sig.collect():
+        py = [
+            min(
+                hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in r["ws"]
+            )
+            for i in range(8)
+        ]
+        assert list(r["sig"]) == py, r["doc_id"]
+
+
 def test_brute_force_topk_self_is_best(spark, emb):
     queries = emb.limit(3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
