@@ -345,33 +345,24 @@ def q_dedup_minhash_lsh(spark, sf):
     functions/dedup.py::lsh_candidate_pairs). Signatures are computed with
     array expressions — zero shuffle until the band self-join."""
     d = _t(spark, sf, "documents")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("ws"))
-    # ONE nested higher-order expression for the whole signature: multiple
-    # sibling array_min(transform(...)) columns in a single projection
-    # corrupt each other in Spark 4.1 (shared lambda-variable slots) —
-    # regression-tested in test_text_dedup_similarity.py
-    sig = sh.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(7)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("ws"),
-                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-                )
-            ),
-        ).alias("sig"),
+    # explode + groupBy-min materializes the signature behind an aggregation
+    # barrier. Two rejected alternatives, both measured: (a) sibling
+    # array_min(transform(...)) columns in one projection return corrupted
+    # values on Spark 4.1 (shared lambda-variable slots — regression test in
+    # test_text_dedup_similarity.py); (b) a single nested HOF expression is
+    # correct but gets inlined into every downstream band expression by
+    # projection collapse (~12x recompute).
+    words = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("w"))
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"h{i}")
+            for i in range(8)
+        ]
     )
     bands = sig.select(
         "doc_id",
         *[
-            F.md5(
-                F.concat_ws(
-                    "#",
-                    F.element_at("sig", 2 * b + 1),
-                    F.element_at("sig", 2 * b + 2),
-                )
-            ).alias(f"b{b}")
+            F.md5(F.concat_ws("#", f"h{2*b}", f"h{2*b+1}")).alias(f"b{b}")
             for b in range(4)
         ],
     )

@@ -101,11 +101,21 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs (a < b) that collide in >= 1 LSH band.
     Shuffle cost: one groupBy on (band, band_hash) — never all-pairs."""
     rows = num_hashes // bands
-    sig = docs.select(
+    # signature via explode + groupBy-min: the aggregation is a barrier
+    # that materializes the signature once (sibling-HOF and nested-HOF
+    # alternatives are either corrupt or recomputed per band on Spark 4.1
+    # — see minhash_signature docstring and __spark_entry__)
+    words = docs.select(
         F.col(id_col),
-        minhash_signature(
-            word_shingles(normalized_text(F.col(text_col)), shingle_n), num_hashes
-        ).alias("_sig"),
+        F.explode(
+            word_shingles(normalized_text(F.col(text_col)), shingle_n)
+        ).alias("_w"),
+    )
+    sig = words.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_w")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
     banded = sig.select(
         id_col,
@@ -115,7 +125,10 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws("#", F.slice(F.col("_sig"), b * rows + 1, rows))
+                            F.concat_ws(
+                                "#",
+                                *[f"_h{b * rows + j}" for j in range(rows)],
+                            )
                         ).alias("bhash"),
                     )
                     for b in range(bands)
