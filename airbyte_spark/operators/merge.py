@@ -237,7 +237,12 @@ def merge_into(
     try:
 
         # -- manifest-pruned candidate file set (key set comes from the
-        # cached slim winners, not the payload side)
+        # cached slim winners, not the payload side). The snapshot we plan
+        # against is pinned: a concurrent commit moving the branch between
+        # planning and commit raises CommitConflict (optimistic
+        # concurrency — caller retries), else a concurrent rewrite of the
+        # same candidate files would be silently lost.
+        planned_parent = table.current_snapshot_id(branch)
         entries = table.data_files(branch=branch)
         key_set = (winners if winners is not None else src).select(*pk).distinct()
         candidates = _candidate_entries(table, key_set, entries, pk[0])
@@ -343,6 +348,7 @@ def merge_into(
             new_entries,
             remove_paths={e.path for e in candidates},
             branch=branch,
+            expected_parent=planned_parent,
             summary={
                 "source_rows": int(counts["n"]),
                 "deduped_rows": int(deduped_rows),

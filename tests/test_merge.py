@@ -188,6 +188,40 @@ def test_merge_idempotent_replay(spark, tmp_table_dir):
     assert _state(t) == first
 
 
+def test_merge_into_empty_table(spark, tmp_table_dir):
+    """Insert-only merge against a table with zero data files."""
+    t = LakeTable.create(spark, tmp_table_dir, BASE_SCHEMA, primary_key=["image_id"])
+    src = [("a", "first", 1, "s1", ts(1), ts(1), None),
+           ("b", None, 0, "s2", ts(1), ts(1), ts(2))]  # delete of nonexistent
+    res = merge_into(t, spark.createDataFrame(src, SRC_SCHEMA))
+    assert _state(t) == {"a": ("first", 1)}
+    assert res.rewritten_files == 0
+
+
+def test_merge_concurrent_conflict(spark, tmp_table_dir):
+    """A branch that moved between merge planning and commit must raise
+    CommitConflict, not silently drop the concurrent commit's files."""
+    from unittest.mock import patch
+
+    from airbyte_spark.lake.table import CommitConflict, LakeTable as LT
+
+    t = _target(spark, tmp_table_dir)
+    src = spark.createDataFrame(
+        [("upd", "mine", 7, "s1", ts(4), ts(8), None)], SRC_SCHEMA
+    )
+    real_commit = LT.commit
+
+    def racing_commit(self, *a, **kw):
+        # simulate a concurrent writer landing first
+        LT.commit = real_commit
+        t.append(spark.createDataFrame([("zz", "other", 1, "rX", ts(1))], BASE_SCHEMA))
+        return real_commit(self, *a, **kw)
+
+    with patch.object(LT, "commit", racing_commit):
+        with pytest.raises(CommitConflict):
+            merge_into(t, src)
+
+
 def test_merge_hot_key_skew(spark, tmp_table_dir):
     """≥20% of the batch shares one hot image_id (FIXTURES.md F2 skew case):
     exactly one winner row must survive, chosen by the W1 total order."""
