@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
+        # RocksDB state store: the default HDFS-backed provider's checksum
+        # file manager EOFs on local-FS commits under applyInPandasWithState
+        # (Spark 4.1); RocksDB is the production choice anyway
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         # this box's virtualized Xeon SIGSEGVs in the JVM's AVX-512
