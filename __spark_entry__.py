@@ -547,6 +547,119 @@ def q_image_features(spark, sf):
     return image_feature_df(df)
 
 
+def _tmp_images_table(spark, n=120, files=6, target_bytes=512 * 1024):
+    import tempfile
+
+    from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images
+    from airbyte_spark.lake.table import LakeTable
+
+    root = tempfile.mkdtemp(prefix="entry-tbl-")
+    t = LakeTable.create(
+        spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
+        properties={"write.target-file-size-bytes": target_bytes},
+    )
+    per = n // files
+    for i in range(files):
+        t.append(generate_images(spark, per, id_offset=i * per, num_partitions=2))
+    return t
+
+
+def q_images_compact_ffd(spark, sf):
+    """FFD bin-packing compaction in isolation (rows-only): returns the
+    before/after file inventory proving bins respect the target size."""
+    import shutil
+
+    from airbyte_spark.operators.compact import compact
+
+    t = _tmp_images_table(spark)
+    try:
+        before = len(t.data_files())
+        res = compact(t)
+        rows = [
+            ("before_files", before),
+            ("after_files", len(t.data_files())),
+            ("bins", len(res.plan.bins)),
+            ("rows_preserved", int(t.scan().count())),
+        ]
+        return spark.createDataFrame(rows, "metric string, value long")
+    finally:
+        shutil.rmtree(t.root, ignore_errors=True)
+
+
+def q_images_cluster_hilbert(spark, sf):
+    """Hilbert clustering in isolation (rows-only): per-file phash spans
+    after the rewrite (tight spans = pruning works)."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from airbyte_spark.operators.cluster import cluster
+
+    t = _tmp_images_table(spark, n=240, files=4)
+    try:
+        n0 = t.scan().count()
+        cluster(t, dims=["phash", "w", "h"], curve="hilbert",
+                target_file_bytes=512 * 1024)
+        entries = t.data_files()
+        rows = [
+            (e.path.split("/")[-1], int(e.rows),
+             int(e.stats["phash"]["min"]), int(e.stats["phash"]["max"]))
+            for e in entries
+        ]
+        assert sum(r[1] for r in rows) == n0
+        return spark.createDataFrame(
+            rows, "file string, rows long, phash_min long, phash_max long"
+        ).select(F2.count("file").alias("files"),
+                 F2.sum("rows").alias("rows"))
+    finally:
+        shutil.rmtree(t.root, ignore_errors=True)
+
+
+def q_schema_evolution_roundtrip(spark, sf):
+    """Schema evolution in isolation (rows-only): add column + widen
+    int->long, then scan both generations under the new schema."""
+    import shutil
+
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    t = _tmp_images_table(spark, n=40, files=2)
+    try:
+        old = t.schema()
+        new_fields = []
+        for f in old.fields:
+            if f.name == "w":
+                new_fields.append(SF_("w", LT(), True))
+            else:
+                new_fields.append(f)
+        new_fields.append(SF_("alt_text", ST(), True))
+        t.evolve_schema(STt(new_fields))
+        from airbyte_spark.datagen import generate_images
+
+        v2 = generate_images(spark, 10, id_offset=1000, num_partitions=1)
+        from pyspark.sql import functions as F2
+
+        t.append(
+            v2.withColumn("w", F2.col("w").cast("long"))
+            .withColumn("alt_text", F2.lit("v2"))
+        )
+        rows = (
+            t.scan()
+            .groupBy("alt_text")
+            .count()
+            .select(
+                F2.coalesce("alt_text", F2.lit("v1")).alias("generation"),
+                F2.col("count").alias("rows"),
+            )
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(rows, "generation string, rows long")
+    finally:
+        shutil.rmtree(t.root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -582,6 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_filter": q_training_data_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_features": q_image_features,
+        "images_compact_ffd": q_images_compact_ffd,
+        "images_cluster_hilbert": q_images_cluster_hilbert,
+        "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
     }
 
 
