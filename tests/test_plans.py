@@ -82,6 +82,31 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "partial_" in p, p
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    shuffles (the write-once/join-many co-location play)."""
+    from airbyte_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "b_orders", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    j = bucketed_join(spark, "b_lineitem", "b_orders", on=["l_orderkey"])
+    p = plan_of(j)
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+    if "SortMergeJoin" in p:
+        assert "Exchange" not in p, p[:800]
+    # and it's correct
+    expect = li.join(o, "l_orderkey").count()
+    assert j.count() == expect
+    spark.sql("DROP TABLE b_lineitem")
+    spark.sql("DROP TABLE b_orders")
+
+
 def test_topk_uses_take_ordered(spark):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
     global sort."""
