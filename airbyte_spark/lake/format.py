@@ -50,6 +50,7 @@ class DataFileEntry:
     bytes: int
     generation_id: int = 0
     schema_id: int = 0  # which registered schema this file was written under
+    partition: dict = field(default_factory=dict)  # identity-partition values
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
 
     def to_json(self) -> dict:
@@ -63,6 +64,7 @@ class DataFileEntry:
             bytes=d["bytes"],
             generation_id=d.get("generation_id", 0),
             schema_id=d.get("schema_id", 0),
+            partition=d.get("partition", {}),
             stats=d.get("stats", {}),
         )
 

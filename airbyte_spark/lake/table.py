@@ -65,6 +65,7 @@ class LakeTable:
         primary_key: list[str],
         stats_columns: list[str] | None = None,
         properties: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> "LakeTable":
         t = LakeTable(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
@@ -95,6 +96,11 @@ class LakeTable:
                     # semantics, SURVEY.md §2.11 / build-plan step 7).
                     "schemas": {"0": schema.json()},
                     "current_schema_id": 0,
+                    # identity partition columns: files are laid out and
+                    # pruned per partition; maintenance jobs scope to one
+                    # partition (bounded rewrites + independent commits at
+                    # 10^12-row scale)
+                    "partition_by": partition_by or [],
                 },
             },
         )
@@ -129,6 +135,10 @@ class LakeTable:
     @property
     def current_schema_id(self) -> int:
         return int(self._refs()["table"].get("current_schema_id", 0))
+
+    @property
+    def partition_by(self) -> list[str]:
+        return self._refs()["table"].get("partition_by", [])
 
     def registered_schema(self, schema_id: int) -> StructType:
         import json as _json
@@ -213,18 +223,26 @@ class LakeTable:
         (merge/clustering, operators/rangewrite.py) have already been
         applied upstream. `partition_by` names a transient bucket column:
         the writer emits exactly one file per bucket value and the column
-        is not stored."""
+        is not stored.
+
+        Table-level partition columns (`self.partition_by`) are written as
+        `_p_<col>=<value>` directory levels via aliases, so the data file
+        keeps the real column (files stay self-contained for schema-aligned
+        reads) while the layout carries partition values for pruning."""
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
+        part_cols = [c for c in self.partition_by if c in df.columns]
+        write_parts = [f"_p_{c}" for c in part_cols]
+        for c in part_cols:
+            df = df.withColumn(f"_p_{c}", F.col(c).cast("string"))
+        if partition_by:
+            write_parts.append(partition_by)
         w = df.write.mode("errorifexists")
-        if partition_by:
-            w = w.partitionBy(partition_by)
+        if write_parts:
+            w = w.partitionBy(*write_parts)
         w.parquet(commit_dir)
-        if partition_by:
-            paths = sorted(
-                glob.glob(os.path.join(commit_dir, f"{partition_by}=*", "part-*.parquet"))
-            )
-        else:
-            paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        paths = sorted(
+            glob.glob(os.path.join(commit_dir, "**", "part-*.parquet"), recursive=True)
+        )
         entries = collect_file_entries(
             self.spark,
             paths,
@@ -232,6 +250,8 @@ class LakeTable:
             generation_id,
             schema_id=self.current_schema_id,
         )
+        for e in entries:
+            e.partition = _partition_values(e.path, part_cols)
         # drop zero-row part files (Spark emits one per empty partition) —
         # they carry no data and would defeat manifest-stat pruning
         for e in entries:
@@ -387,12 +407,20 @@ class LakeTable:
         snapshot_id: str | None = None,
         columns: list[str] | None = None,
         key_range: tuple[str, object, object] | None = None,
+        partition_filter: dict | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. `key_range=(col, lo, hi)` prunes
-        files whose manifest [min,max] does not intersect [lo,hi] before
-        Spark ever opens them — manifest-level pruning on top of parquet
+        files whose manifest [min,max] does not intersect [lo,hi];
+        `partition_filter={col: value}` prunes whole partitions — both
+        happen before Spark ever opens a file, on top of parquet
         row-group pruning."""
         entries = self.data_files(branch=branch, snapshot_id=snapshot_id)
+        if partition_filter:
+            entries = [
+                e
+                for e in entries
+                if all(e.partition.get(c) == str(v) for c, v in partition_filter.items())
+            ]
         if key_range is not None:
             col, lo, hi = key_range
             entries = [e for e in entries if _intersects(e.stats.get(col), lo, hi)]
@@ -500,6 +528,18 @@ class LakeTable:
                 if os.path.isdir(d) and not os.listdir(d):
                     shutil.rmtree(d)
         return orphans
+
+
+def _partition_values(path: str, part_cols: list[str]) -> dict:
+    """Parse `_p_<col>=<value>` directory levels out of a data-file path."""
+    out: dict = {}
+    for seg in path.split(os.sep):
+        if "=" in seg and seg.startswith("_p_"):
+            k, _, v = seg.partition("=")
+            col = k[len("_p_") :]
+            if col in part_cols:
+                out[col] = v
+    return out
 
 
 def _intersects(stat: dict | None, lo, hi) -> bool:

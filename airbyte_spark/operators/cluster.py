@@ -42,10 +42,13 @@ class ClusterResult:
     files_after: int
 
 
-def _dim_bounds(table: LakeTable, dims: list[str], branch: str) -> list[tuple[float, float]]:
-    """Global [min,max] per clustered dim from manifest stats (metadata
-    only). Falls back to a 1-job agg scan for dims missing stats."""
-    entries = table.data_files(branch=branch)
+def _dim_bounds_entries(
+    entries, table: LakeTable, dims: list[str], branch: str,
+    partition_filter: dict | None = None,
+) -> list[tuple[float, float]]:
+    """[min,max] per clustered dim over the given entries from manifest
+    stats (metadata only). Falls back to a 1-job agg scan for dims
+    missing stats."""
     bounds: list[tuple[float, float]] = []
     missing: list[str] = []
     for d in dims:
@@ -64,7 +67,7 @@ def _dim_bounds(table: LakeTable, dims: list[str], branch: str) -> list[tuple[fl
             bounds.append((0.0, 0.0))
             missing.append(d)
     if missing:
-        row = table.scan(branch=branch).agg(
+        row = table.scan(branch=branch, partition_filter=partition_filter).agg(
             *[F.min(d).alias(f"lo_{d}") for d in missing],
             *[F.max(d).alias(f"hi_{d}") for d in missing],
         ).first()
@@ -108,8 +111,12 @@ def cluster(
     target_file_bytes: int | None = None,
     branch: str = MAIN,
     generation_id: int = 0,
+    partition_filter: dict | None = None,
 ) -> ClusterResult:
-    """Full-table clustering rewrite along a space-filling curve."""
+    """Clustering rewrite along a space-filling curve. With
+    `partition_filter` only that partition's files are rewritten — the
+    per-partition job shape that keeps rewrites bounded at 10^12 rows
+    (partitions cluster independently and in parallel)."""
     if curve not in ("zorder", "hilbert"):
         raise ValueError("curve must be 'zorder' or 'hilbert'")
     dims = dims or ["phash", "w", "h"]
@@ -117,11 +124,17 @@ def cluster(
         bits = 63 // len(dims)
         bits = min(bits, 21)
     entries = table.data_files(branch=branch)
+    if partition_filter:
+        entries = [
+            e
+            for e in entries
+            if all(e.partition.get(c) == str(v) for c, v in partition_filter.items())
+        ]
     if not entries:
-        raise ValueError("empty table")
-    bounds = _dim_bounds(table, dims, branch)
+        raise ValueError("empty table or empty partition")
+    bounds = _dim_bounds_entries(entries, table, dims, branch, partition_filter)
 
-    df = table.scan(branch=branch)
+    df = table.scan(branch=branch, partition_filter=partition_filter)
     key = curve_key_udf(dims, bounds, curve, bits)
     keyed = df.withColumn("_ck", key(*[F.col(d) for d in dims]))
 
@@ -137,7 +150,9 @@ def cluster(
     # sample the keyed plan and execute the payload read + key UDF twice.
     from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
 
-    slim = table.scan(branch=branch, columns=list(dims)).withColumn(
+    slim = table.scan(
+        branch=branch, columns=list(dims), partition_filter=partition_filter
+    ).withColumn(
         "_ck", key(*[F.col(d) for d in dims])
     )
     bounds = numeric_boundaries(slim, "_ck", n_out)

@@ -55,16 +55,18 @@ def compact(
         table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )
     entries = table.data_files(branch=branch)
-    # group by (generation, schema) — files may only be packed with peers
-    # written under the same schema + generation (generation-tagged naming
-    # S14 keeps truncate semantics intact, IcebergUtil.kt:58-69)
-    groups: dict[tuple[int, int], list] = {}
+    # group by (generation, schema, partition) — files may only be packed
+    # with peers of the same schema + generation (generation-tagged naming
+    # S14, IcebergUtil.kt:58-69) and the same partition (partition-scoped
+    # rewrites keep commits bounded and parallelizable at table scale)
+    groups: dict[tuple, list] = {}
     for e in entries:
-        groups.setdefault((e.generation_id, e.schema_id), []).append(e)
+        pkey = tuple(sorted(e.partition.items()))
+        groups.setdefault((e.generation_id, e.schema_id, pkey), []).append(e)
 
     all_new, all_victims = [], set()
     plans: list[CompactionPlan] = []
-    for (gen, sid), group in sorted(groups.items()):
+    for (gen, sid, _pkey), group in sorted(groups.items()):
         plan = plan_ffd(
             [(e.path, e.bytes, e.rows) for e in group],
             target_bytes=target_file_bytes,

@@ -176,10 +176,12 @@ def merge_into(
     # -- slim projection for all key-side work: windows and guards shuffle
     # ~40 B/row instead of the multi-KB image payload (the payload crosses
     # the wire exactly once, in the final fetch join below)
+    part_cols = [c for c in table.partition_by if c in source.columns]
     slim_cols = list(dict.fromkeys(
         pk
         + ([cursor_col] if cursor_col else [])
         + [c for c in (EXTRACTED_COL, RAW_ID_COL, cdc_col) if c and c in source.columns]
+        + part_cols
     ))
     slim = source.select(*slim_cols).persist()
 
@@ -244,8 +246,30 @@ def merge_into(
         # same candidate files would be silently lost.
         planned_parent = table.current_snapshot_id(branch)
         entries = table.data_files(branch=branch)
-        key_set = (winners if winners is not None else src).select(*pk).distinct()
-        candidates = _candidate_entries(table, key_set, entries, pk[0])
+        keyed = winners if winners is not None else src
+        # Partition pruning: a batch touching K partitions skips the other
+        # partitions' files entirely. ONLY valid when partition values are
+        # immutable per PK — otherwise an update that moves a row across
+        # partitions would leave the old copy stranded (duplicate PKs). The
+        # table owner asserts immutability via the
+        # `merge.partition-pruning` property; default off (PK-range
+        # manifest pruning below is always safe).
+        prunable = entries
+        if part_cols and str(
+            table.properties.get("merge.partition-pruning", "")
+        ).lower() in ("1", "true"):
+            batch_parts = {
+                tuple(str(r[c]) for c in part_cols)
+                for r in keyed.select(*part_cols).distinct().collect()
+            }
+            prunable = [
+                e
+                for e in entries
+                if tuple(e.partition.get(c) for c in part_cols) in batch_parts
+                or not e.partition
+            ]
+        key_set = keyed.select(*pk).distinct()
+        candidates = _candidate_entries(table, key_set, prunable, pk[0])
         _tick("candidates")
         touched = table.read_entries(candidates, target_schema).alias("t")
         s = _align_to(src, target_schema).alias("s")

@@ -1,0 +1,114 @@
+"""Partitioned lake tables: layout, scan pruning, partition-scoped
+compaction/clustering, partition-aware merge pruning. The bounded-rewrite
+shape that keeps maintenance commits small at 10^12 rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images, generate_update_batch
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.cluster import cluster
+from airbyte_spark.operators.compact import compact
+from airbyte_spark.operators.merge import merge_into
+
+
+@pytest.fixture()
+def part_table(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, IMAGES_SCHEMA, primary_key=["image_id"],
+        partition_by=["fmt"],
+        properties={"write.target-file-size-bytes": 2 * 1024 * 1024},
+    )
+    for i in range(4):
+        t.append(generate_images(spark, 60, id_offset=i * 60, num_partitions=2))
+    return t
+
+
+def test_partition_layout_and_entries(spark, part_table):
+    entries = part_table.data_files()
+    assert entries
+    for e in entries:
+        assert e.partition.get("fmt") in ("png", "jpeg")
+        assert f"_p_fmt={e.partition['fmt']}" in e.path
+
+
+def test_partition_scan_pruning(spark, part_table):
+    full = part_table.scan()
+    png = part_table.scan(partition_filter={"fmt": "png"})
+    assert png.count() == full.filter("fmt = 'png'").count()
+    # pruning happens at the file level, not as a post-filter
+    opened = {p.replace("file:", "") for p in png.inputFiles()}
+    assert all("_p_fmt=png" in p for p in opened)
+    assert len(opened) < len(part_table.data_files())
+
+
+def test_partition_scoped_compaction(spark, part_table):
+    t = part_table
+    before = {e.path for e in t.data_files() if e.partition["fmt"] == "png"}
+    res = compact(t)
+    assert res.snapshot is not None
+    # bins never mix partitions: every output file has exactly one fmt
+    for e in t.data_files():
+        vals = t.spark.read.parquet(e.path).select("fmt").distinct().collect()
+        assert len(vals) == 1
+        assert str(vals[0][0]) == e.partition["fmt"]
+
+
+def test_partition_scoped_cluster(spark, part_table):
+    t = part_table
+    jpeg_before = {e.path for e in t.data_files() if e.partition["fmt"] == "jpeg"}
+    png_before = {e.path for e in t.data_files() if e.partition["fmt"] == "png"}
+    n_png = t.scan(partition_filter={"fmt": "png"}).count()
+    res = cluster(t, curve="zorder", partition_filter={"fmt": "png"},
+                  target_file_bytes=1024 * 1024)
+    after = t.data_files()
+    # jpeg untouched, png rewritten
+    assert jpeg_before == {e.path for e in after if e.partition["fmt"] == "jpeg"}
+    assert png_before.isdisjoint(
+        {e.path for e in after if e.partition["fmt"] == "png"}
+    )
+    assert t.scan(partition_filter={"fmt": "png"}).count() == n_png
+
+
+def test_merge_moves_rows_across_partitions(spark, part_table):
+    """Default (no pruning): an update that changes a row's partition value
+    (png -> jpeg) must MOVE the row — old copy removed, no duplicate PK."""
+    t = part_table
+    src = generate_update_batch(spark, 240, 60, num_partitions=2)
+    merge_into(t, src)
+    dup = (
+        t.scan().groupBy("image_id").count().filter("count > 1")
+    )
+    assert dup.isEmpty(), "rows must not be duplicated across partitions"
+    # every file's physical fmt matches its partition dir
+    for e in t.data_files():
+        vals = spark.read.parquet(e.path).select("fmt").distinct().collect()
+        assert len(vals) == 1 and str(vals[0][0]) == e.partition["fmt"]
+
+
+def test_partition_pruned_merge_when_immutable(spark, tmp_table_dir):
+    """With `merge.partition-pruning` asserted, a batch confined to the
+    jpeg partition must not rewrite any png file even when PK ranges
+    interleave."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, IMAGES_SCHEMA, primary_key=["image_id"],
+        partition_by=["fmt"],
+        properties={"merge.partition-pruning": "true",
+                    "write.target-file-size-bytes": 2 * 1024 * 1024},
+    )
+    base = generate_images(spark, 200, num_partitions=2).persist()
+    t.append(base)
+    png_before = {e.path for e in t.data_files() if e.partition["fmt"] == "png"}
+    assert png_before
+    # updates for existing jpeg-resident ids, fmt preserved
+    jpeg_rows = base.filter("fmt = 'jpeg'").limit(30)
+    src = (
+        jpeg_rows.withColumn("caption", F.concat(F.col("caption"), F.lit(" v2")))
+        .withColumn("updated_at", F.lit("2026-05-01 00:00:00").cast("timestamp"))
+        .withColumn("_airbyte_raw_id", F.concat(F.col("_airbyte_raw_id"), F.lit("-u")))
+    )
+    merge_into(t, src)
+    png_after = {e.path for e in t.data_files() if e.partition["fmt"] == "png"}
+    assert png_before == png_after, "png partition must be untouched"
+    assert t.scan().filter(F.col("caption").endswith(" v2")).count() == 30
+    base.unpersist()
