@@ -450,6 +450,7 @@ def q_images_maintenance(spark, sf):
     try:
         t = LakeTable.create(
             spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
+            partition_by=["fmt"],  # partition-scoped maintenance shape
             properties={"write.target-file-size-bytes": 4 * 1024 * 1024},
         )
         for i in range(4):
@@ -464,6 +465,29 @@ def q_images_maintenance(spark, sf):
         return spark.createDataFrame(rows, "stage string, rows long, resumed boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_daily_rollup(spark, sf):
+    """Time-dimension rollup: events per day per type (date_trunc agg)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_semi_join_exists(spark, sf):
+    """Semi join (EXISTS): orders that have at least one high-quantity
+    lineitem (J4's delete-stale shape as a read query)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
 
 
 def q_u2_star_intersect(spark, sf):
@@ -690,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "dedup_simhash": q_dedup_simhash,
         "images_maintenance": q_images_maintenance,
+        "daily_rollup": q_daily_rollup,
+        "semi_join_exists": q_semi_join_exists,
         "u2_star_intersect": q_u2_star_intersect,
         "o4_generation_probe": q_o4_generation_probe,
         "p4_watermark_filter": q_p4_watermark_filter,
@@ -949,6 +975,18 @@ def oracle_sql() -> dict[str, str]:
                    round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                  x -> abs(x))), 6) AS max_abs
             FROM embeddings
+        """,
+        "daily_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, count(*) AS events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "semi_join_exists": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 45)
         """,
         "u2_star_intersect": """
             SELECT key, name, nationkey, round(acctbal, 2) AS acctbal FROM (
