@@ -767,7 +767,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a1_max_cursor": "SELECT max(ts) AS max_ts FROM events",
         "a2_partition_histogram": """
-            SELECT event_type, count(*) AS rows, sum(length(props)) AS bytes
+            SELECT event_type, count(*) AS rows,
+                   CAST(sum(length(props)) AS BIGINT) AS bytes
             FROM events GROUP BY event_type
         """,
         "a5_count": "SELECT count(*) AS n FROM lineitem",
@@ -867,7 +868,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END AS is_new
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            SELECT user_id, sum(is_new) AS sessions, count(*) AS events
+            SELECT user_id, CAST(sum(is_new) AS BIGINT) AS sessions,
+                   count(*) AS events
             FROM g GROUP BY user_id
         """,
         "dedup_exact": """

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -516,29 +515,45 @@ class LakeTable:
         snapshot (run AFTER expire_snapshots). Prefix-scoped like Airbyte's
         `deletePrefix` GC (IcebergTableCleaner.kt:33-43)."""
         reachable = self.reachable_files()
+        # recursive: merge/compact/cluster outputs are written NESTED under
+        # `_pid=N/` and `_p_<col>=<v>/` partitionBy levels — a one-level glob
+        # would leak every CoW-replaced file forever
         orphans = [
             p
-            for p in glob.glob(os.path.join(self.data_dir, "*", "*.parquet"))
+            for p in glob.glob(
+                os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+            )
             if p not in reachable
         ]
         if not dry_run:
             for p in orphans:
                 os.unlink(p)
-            for d in glob.glob(os.path.join(self.data_dir, "*")):
-                if os.path.isdir(d) and not os.listdir(d):
-                    shutil.rmtree(d)
+            # bottom-up empty-dir sweep (deepest first so emptied parents
+            # are caught in the same pass)
+            for d, _dirs, _files in sorted(
+                os.walk(self.data_dir), key=lambda t: -t[0].count(os.sep)
+            ):
+                if d != self.data_dir and not os.listdir(d):
+                    os.rmdir(d)
         return orphans
 
 
 def _partition_values(path: str, part_cols: list[str]) -> dict:
-    """Parse `_p_<col>=<value>` directory levels out of a data-file path."""
+    """Parse `_p_<col>=<value>` directory levels out of a data-file path.
+
+    Spark percent-escapes partition-dir values (ExternalCatalogUtils
+    .escapePathName: ':', ' ', '/', '%', ...), so the raw segment must be
+    unescaped or `scan(partition_filter={col: value})` comparisons against
+    `str(value)` would silently never match for e.g. timestamp values."""
+    from urllib.parse import unquote
+
     out: dict = {}
     for seg in path.split(os.sep):
         if "=" in seg and seg.startswith("_p_"):
             k, _, v = seg.partition("=")
             col = k[len("_p_") :]
             if col in part_cols:
-                out[col] = v
+                out[col] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
     return out
 
 
