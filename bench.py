@@ -112,6 +112,23 @@ def main() -> None:
     times: dict[str, float] = {}
     # warm the JVM/scan cache once with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # warm the Python UDF workers too: one worker per core forks + imports
+    # pandas/numpy/pyarrow on first use (~15 s at 32 cores on this box) —
+    # a one-time interpreter cost that otherwise lands on whichever query
+    # happens to hit Arrow first. Workers are reused afterwards
+    # (spark.python.worker.reuse=true), matching steady-state on a cluster.
+    from pyspark.sql.functions import col as _col
+
+    from airbyte_spark.functions.dedup import simhash_udf
+
+    spark.range(CPUS * 4, numPartitions=CPUS * 4).select(
+        simhash_udf(_col("id").cast("string"))
+    ).count()
+    # ... and the block-manager/cache machinery: the FIRST persist in a
+    # session pays ~2-4 s of memory-store+codegen init on this box
+    _warm_cache = spark.range(1000).persist()
+    _warm_cache.count()
+    _warm_cache.unpersist()
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         df = qs[name](spark, SF_DIR)

@@ -144,6 +144,106 @@ def test_minhash_signature_matches_python_reference(spark, docs):
         assert list(r["sig"]) == py, r["doc_id"]
 
 
+def test_minhash_udf_matches_python_reference(spark, docs):
+    """The Arrow-vectorized signature (scale path, no explode shuffle) must
+    be bit-identical to min(md5(f'{i}|{s}')) over the shingle set."""
+    import hashlib
+
+    from airbyte_spark.functions.dedup import minhash_signature_udf, word_shingles
+    from airbyte_spark.functions.text import normalized_text
+
+    sh = docs.limit(20).select(
+        "doc_id", word_shingles(normalized_text(F.col("text")), 3).alias("ws")
+    )
+    sig = sh.select("doc_id", "ws", minhash_signature_udf(8)(F.col("ws")).alias("sig"))
+    for r in sig.collect():
+        py = [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in r["ws"])
+            for i in range(8)
+        ]
+        assert list(r["sig"]) == py, r["doc_id"]
+
+
+def test_shingles_udf_matches_sql_expression(spark, docs):
+    """The Python shingle UDF (fast path) must produce the same shingle
+    SETS as the word_shingles SQL expression it replaces — including
+    whitespace edge cases Java's ASCII-only \\s treats differently from
+    Python's unicode \\s."""
+    from airbyte_spark.functions.dedup import shingles_udf, word_shingles
+    from airbyte_spark.functions.text import normalized_text
+
+    edge = spark.createDataFrame(
+        [(9000001, "a  b\tc\nd"), (9000002, "  one two  "), (9000003, ""),
+         (9000004, "Mixed CASE Text With  SPACES here")],
+        ["doc_id", "text"],
+    )
+    both = (
+        docs.select("doc_id", "text").limit(30).unionByName(edge)
+        .select(
+            "doc_id",
+            word_shingles(normalized_text(F.col("text")), 3).alias("sql_sh"),
+            shingles_udf(3)(F.col("text")).alias("py_sh"),
+        )
+    )
+    for r in both.collect():
+        assert sorted(r["sql_sh"]) == sorted(r["py_sh"]), r["doc_id"]
+
+
+def test_simhash_batch_matches_scalar_reference():
+    """Pinned values: the batch-vectorized simhash must equal the scalar
+    FNV-1a/sign-accumulate definition (the round-1 per-row loop)."""
+    import pandas as pd
+
+    from airbyte_spark.functions.dedup import _simhash_batch
+
+    def scalar_simhash(t):
+        toks = [w for w in (t or "").lower().split() if w]
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for w in toks:
+            h = 0xCBF29CE484222325
+            for byt in w.encode("utf-8"):
+                h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sh = sum(1 << b for b in range(64) if acc[b] > 0)
+        return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        None,
+        "a",
+        "unicode tökens should häsh identically müller",
+        "repeated repeated repeated words words count",
+    ]
+    got = list(_simhash_batch(pd.Series(texts)))
+    assert got == [scalar_simhash(t) for t in texts]
+
+
+def test_lsh_bucket_cap_no_quadratic_stage(spark):
+    """Skew guard: 1k identical docs put all ids in one bucket per band;
+    with the cap the output is the O(n) star around the min id, not the
+    ~500k all-pairs expansion — and the class stays connected."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated across the entire corpus").alias(
+            "text"
+        ),
+    )
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, bands=4, max_bucket_size=100)
+    rows = pairs.collect()
+    assert len(rows) == 999  # star expansion: (0, k) for every k
+    assert {r["id_a"] for r in rows} == {0}
+    assert {r["id_b"] for r in rows} == set(range(1, 1000))
+    sim = simhash_near_dup_pairs(docs, max_bucket_size=100)
+    srows = sim.collect()
+    assert len(srows) == 999
+    assert all(r["hamming"] == 0 for r in srows)
+
+
 def test_brute_force_topk_self_is_best(spark, emb):
     queries = emb.limit(3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
