@@ -665,6 +665,74 @@ def q_images_cluster_hilbert(spark, sf):
         shutil.rmtree(t.root, ignore_errors=True)
 
 
+def q_merge_mor_upsert(spark, sf):
+    """Merge-on-read upsert end-to-end, ORACLE-CHECKED: build a lake table
+    from the events table, MoR-merge a deterministic update + CDC-delete
+    batch (insert + equality-delete files, S13 rowDelta analog —
+    BaseDeltaTaskWriter.java:86-98), then scan; the scan-time anti-join
+    must reproduce exactly the upsert SQL the oracle runs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-mor-")
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(base)
+        batch = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            F.concat(F.lit("s"), F.col("event_id")).alias("_airbyte_raw_id"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
+            F.when(F.col("event_id") % 15 == 0, F.col("ts")).alias(
+                "_ab_cdc_deleted_at"
+            ),
+        )
+        res = merge_into(t, batch, mode="mor")
+        assert res.rewritten_files == 0, "MoR must not rewrite candidates"
+        assert t.delete_files(), "MoR merge must add equality-delete files"
+        rows = (
+            t.scan()
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_schema_evolution_roundtrip(spark, sf):
     """Schema evolution in isolation (rows-only): add column + widen
     int->long, then scan both generations under the new schema."""
@@ -750,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_compact_ffd": q_images_compact_ffd,
         "images_cluster_hilbert": q_images_cluster_hilbert,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
+        "merge_mor_upsert": q_merge_mor_upsert,
     }
 
 
@@ -1043,6 +1112,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.source, s.n_tokens
             FROM scored s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
             WHERE s.n_tokens >= 5 AND s.lang = 'en'
+        """,
+        "merge_mor_upsert": """
+            WITH batch AS (
+              SELECT event_id, event_type, value + 1000 AS value,
+                     (event_id % 15 = 0) AS is_del
+              FROM events WHERE event_id % 5 = 0)
+            SELECT e.event_id,
+                   COALESCE(b.event_type, e.event_type) AS event_type,
+                   round(COALESCE(b.value, e.value), 4) AS value
+            FROM events e LEFT JOIN batch b USING (event_id)
+            WHERE NOT COALESCE(b.is_del, FALSE)
         """,
         # dedup_simhash / images_maintenance / ann_lsh_topk /
         # image_features: non-SQL-expressible (pandas-UDF or lake-table

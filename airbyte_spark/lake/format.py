@@ -38,11 +38,24 @@ class ColumnStats:
 
 @dataclass
 class DataFileEntry:
-    """One data file: path + counts + per-column min/max stats.
+    """One data or equality-delete file: path + counts + per-column
+    min/max stats.
 
     Stats power scan pruning (the engine's analog of Iceberg manifest
     filtering) and are recomputed by the manifest-rewrite maintenance job
     (SURVEY.md §2.11 "Manifest rewrite w/ stats").
+
+    `content`: "data" | "equality-deletes". A delete file holds only the
+    table's primary-key columns; at scan time its keys remove matching
+    rows from every data file with a strictly smaller `sequence` (Iceberg
+    equality-delete semantics; the reference writes them via
+    BaseDeltaTaskWriter.java:86-98 / S3DataLakeAggregate.kt:53-58
+    `newRowDelta()`).
+
+    `sequence`: the commit sequence the file was added in. `None` means
+    "stamp me at commit time" (LakeTable.commit fills in the new
+    snapshot's sequence); preserved verbatim by metadata-only rewrites so
+    delete applicability never changes under manifest maintenance.
     """
 
     path: str
@@ -52,6 +65,8 @@ class DataFileEntry:
     schema_id: int = 0  # which registered schema this file was written under
     partition: dict = field(default_factory=dict)  # identity-partition values
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
+    content: str = "data"
+    sequence: int | None = None
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -66,6 +81,8 @@ class DataFileEntry:
             schema_id=d.get("schema_id", 0),
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
+            content=d.get("content", "data"),
+            sequence=d.get("sequence", 0),
         )
 
 

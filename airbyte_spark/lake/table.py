@@ -163,15 +163,33 @@ class LakeTable:
             __import__("json").loads(self.snapshot(snapshot_id, branch).schema_json)
         )
 
-    def data_files(
+    def all_files(
         self, branch: str = MAIN, snapshot_id: str | None = None
     ) -> list[DataFileEntry]:
+        """Every manifest entry at a snapshot — data AND delete files."""
         snap = self.snapshot(snapshot_id, branch)
         entries: list[DataFileEntry] = []
         for m in snap.manifests:
             for e in read_json(os.path.join(self.meta_dir, m))["entries"]:
                 entries.append(DataFileEntry.from_json(e))
         return entries
+
+    def data_files(
+        self, branch: str = MAIN, snapshot_id: str | None = None
+    ) -> list[DataFileEntry]:
+        return [
+            e for e in self.all_files(branch, snapshot_id) if e.content == "data"
+        ]
+
+    def delete_files(
+        self, branch: str = MAIN, snapshot_id: str | None = None
+    ) -> list[DataFileEntry]:
+        """Live equality-delete files (merge-on-read path, S13 rowDelta)."""
+        return [
+            e
+            for e in self.all_files(branch, snapshot_id)
+            if e.content == "equality-deletes"
+        ]
 
     def history(self, branch: str = MAIN) -> list[Snapshot]:
         out = []
@@ -258,6 +276,28 @@ class LakeTable:
                 os.unlink(e.path)
         return [e for e in entries if e.rows > 0]
 
+    def write_delete_files(
+        self, keys: DataFrame, generation_id: int = 0
+    ) -> list[DataFileEntry]:
+        """Materialize an equality-delete file set: ONLY the table's
+        primary-key columns, stats collected on the keys so scans and the
+        delete-fold rewrite can prune by key range. Micro-batch key sets
+        coalesce to a single file (the reference writes one delete file per
+        batch aggregate, S3DataLakeAggregate.kt:53-58). No commit yet —
+        pass the entries to `commit(add_entries=...)`."""
+        pk = self.primary_key
+        commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}-del")
+        keys.select(*pk).coalesce(1).write.mode("errorifexists").parquet(commit_dir)
+        paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        entries = collect_file_entries(
+            self.spark, paths, pk, generation_id, schema_id=self.current_schema_id
+        )
+        for e in entries:
+            e.content = "equality-deletes"
+            if e.rows == 0:
+                os.unlink(e.path)
+        return [e for e in entries if e.rows > 0]
+
     def commit(
         self,
         operation: str,
@@ -268,14 +308,21 @@ class LakeTable:
         summary: dict | None = None,
         expected_parent: str | None = None,
     ) -> Snapshot:
-        """Atomic snapshot commit: (existing - removed) + added files."""
+        """Atomic snapshot commit: (existing - removed) + added files.
+
+        Added entries with `sequence=None` are stamped with the new
+        snapshot's sequence; metadata-only rewrites pass entries with their
+        original sequence so equality-delete applicability is unchanged."""
         parent = self.snapshot(branch=branch)
         if expected_parent is not None and parent.snapshot_id != expected_parent:
             raise CommitConflict(
                 f"expected parent {expected_parent}, found {parent.snapshot_id}"
             )
         remove_paths = remove_paths or set()
-        kept = [e for e in self.data_files(branch=branch) if e.path not in remove_paths]
+        kept = [e for e in self.all_files(branch=branch) if e.path not in remove_paths]
+        for e in add_entries:
+            if e.sequence is None:
+                e.sequence = parent.sequence + 1
         manifests = []
         if kept:
             manifests.append(self._write_manifest(kept))
@@ -356,7 +403,7 @@ class LakeTable:
         live file and commit fresh manifests (SURVEY.md §2.11 "Manifest
         rewrite w/ stats"; stat source = writer config
         IcebergTableWriterFactory.kt:108-136). Distributed footer reads."""
-        old = self.data_files(branch=branch)
+        old = self.all_files(branch=branch)
         by_key: dict[tuple[int, int], list[str]] = {}
         for e in old:
             by_key.setdefault((e.generation_id, e.schema_id), []).append(e.path)
@@ -367,6 +414,15 @@ class LakeTable:
                     self.spark, paths, self.stats_columns, gen, schema_id=sid
                 )
             )
+        # metadata-only rewrite: carry over identity that stats recomputation
+        # must not disturb — partition values, content kind, and the commit
+        # sequence (delete applicability depends on it)
+        old_by_path = {e.path: e for e in old}
+        for e in fresh:
+            o = old_by_path[e.path]
+            e.partition = o.partition
+            e.content = o.content
+            e.sequence = o.sequence
         return self.commit(
             "rewrite-manifests",
             fresh,
@@ -384,11 +440,37 @@ class LakeTable:
         refs["branches"][name] = refs["branches"][from_branch]
         atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
-    def replace_branch(self, target: str, source: str) -> None:
+    def replace_branch(
+        self, target: str, source: str, require_ancestor: bool = True
+    ) -> None:
         """Atomically point `target` at `source`'s snapshot (the teardown
-        `replaceBranch(main <- staging)` of S3DataLakeStreamLoader.kt:96-133)."""
+        `replaceBranch(main <- staging)` of S3DataLakeStreamLoader.kt:96-133).
+
+        With `require_ancestor` (default), the swap is fast-forward-only:
+        the target's current head must be an ancestor of (or equal to) the
+        source head, else a commit that landed on the target since the
+        source branched off would be silently discarded — raise
+        CommitConflict and let the caller rebase/retry instead."""
         refs = self._refs()
-        refs["branches"][target] = refs["branches"][source]
+        src_head = refs["branches"][source]
+        tgt_head = refs["branches"].get(target)
+        if require_ancestor and tgt_head is not None:
+            sid, ok = src_head, False
+            while sid is not None:
+                if sid == tgt_head:
+                    ok = True
+                    break
+                p = os.path.join(self.meta_dir, f"snap-{sid}.json")
+                if not os.path.exists(p):
+                    break  # history trimmed by expire — cannot verify further
+                sid = Snapshot.from_json(read_json(p)).parent_id
+            if not ok:
+                raise CommitConflict(
+                    f"branch {target} moved to {tgt_head}, which is not an "
+                    f"ancestor of {source} head {src_head}; replace would "
+                    "discard that commit"
+                )
+        refs["branches"][target] = src_head
         atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
     def drop_branch(self, name: str) -> None:
@@ -412,8 +494,10 @@ class LakeTable:
         files whose manifest [min,max] does not intersect [lo,hi];
         `partition_filter={col: value}` prunes whole partitions — both
         happen before Spark ever opens a file, on top of parquet
-        row-group pruning."""
+        row-group pruning. Equality-delete files (merge-on-read commits)
+        are applied automatically."""
         entries = self.data_files(branch=branch, snapshot_id=snapshot_id)
+        deletes = self.delete_files(branch=branch, snapshot_id=snapshot_id)
         if partition_filter:
             entries = [
                 e
@@ -423,10 +507,13 @@ class LakeTable:
         if key_range is not None:
             col, lo, hi = key_range
             entries = [e for e in entries if _intersects(e.stats.get(col), lo, hi)]
+            # a delete file whose key range misses [lo,hi] cannot affect the
+            # surviving rows — prune it from the anti-join too
+            deletes = [d for d in deletes if _intersects(d.stats.get(col), lo, hi)]
         schema = self.schema(branch=branch, snapshot_id=snapshot_id)
         if not entries:
             return self.spark.createDataFrame([], schema)
-        df = self.read_entries(entries, schema)
+        df = self.read_entries(entries, schema, deletes=deletes)
         if key_range is not None:
             col, lo, hi = key_range
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -435,28 +522,51 @@ class LakeTable:
         return df
 
     def read_entries(
-        self, entries: list[DataFileEntry], schema: StructType | None = None
+        self,
+        entries: list[DataFileEntry],
+        schema: StructType | None = None,
+        deletes: list[DataFileEntry] | None = None,
     ) -> DataFrame:
         """Read a specific set of data files, aligned to `schema` (default:
         current). Files are grouped by write-time schema id, each group is
         read with its physical schema, cast/null-padded to the logical
         schema and unioned — keeps pre-evolution files readable after
-        add-column / int->long widening (IcebergSuperTypeFinder.kt:89-121)."""
+        add-column / int->long widening (IcebergSuperTypeFinder.kt:89-121).
+
+        `deletes`: equality-delete entries to apply (Iceberg semantics: a
+        delete key removes matching rows from every data file whose commit
+        sequence is STRICTLY smaller than the delete file's). Applied as
+        one anti-join against the max delete sequence per key — broadcast
+        when the delete set is micro-batch-sized, which it is by
+        construction in the MoR merge path."""
         schema = schema or self.schema()
+        entries = [e for e in entries if e.content == "data"]
         if not entries:
             return self.spark.createDataFrame([], schema)
-        by_schema: dict[int, list[str]] = {}
+        deletes = [d for d in (deletes or []) if d.rows > 0]
+        # a delete only bites data files with a smaller sequence — if every
+        # requested file is at least as new as every delete, skip the join
+        min_data_seq = min(e.sequence or 0 for e in entries)
+        deletes = [d for d in deletes if (d.sequence or 0) > min_data_seq]
+        by_group: dict[tuple[int, int], list[str]] = {}
         for e in entries:
-            by_schema.setdefault(e.schema_id, []).append(e.path)
+            # sequence only matters while deletes apply; without them all
+            # files of one schema can share a single multi-path scan
+            seq = (e.sequence or 0) if deletes else 0
+            by_group.setdefault((e.schema_id, seq), []).append(e.path)
         parts: list[DataFrame] = []
-        for sid, paths in sorted(by_schema.items()):
+        for (sid, seq), paths in sorted(by_group.items()):
             physical = self.registered_schema(sid)
-            part = self.spark.read.schema(physical).parquet(*paths)
-            parts.append(_align(part, schema))
+            part = _align(self.spark.read.schema(physical).parquet(*paths), schema)
+            if deletes:
+                part = part.withColumn("_mor_seq", F.lit(seq))
+            parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        if not deletes:
+            return df
+        return apply_equality_deletes(self.spark, df, deletes, self.primary_key)
 
     # ------------------------------------------------------------------
     # maintenance: expiry + orphan GC (IcebergTableCleaner semantics)
@@ -536,6 +646,37 @@ class LakeTable:
                 if d != self.data_dir and not os.listdir(d):
                     os.rmdir(d)
         return orphans
+
+
+def apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    deletes: list[DataFileEntry],
+    pk: list[str],
+) -> DataFrame:
+    """Remove rows matched by equality-delete keys. `df` must carry a
+    `_mor_seq` column (each row's data-file commit sequence); a delete key
+    removes rows whose sequence is strictly smaller than the delete file's.
+    One left join against the max delete sequence per key — broadcast for
+    micro-batch-sized delete sets."""
+    by_seq: dict[int, list[str]] = {}
+    for d in deletes:
+        by_seq.setdefault(d.sequence or 0, []).append(d.path)
+    key_parts = [
+        spark.read.parquet(*paths).select(*pk).withColumn("_del_seq", F.lit(seq))
+        for seq, paths in sorted(by_seq.items())
+    ]
+    keys = key_parts[0]
+    for p in key_parts[1:]:
+        keys = keys.unionByName(p)
+    newest = keys.groupBy(*pk).agg(F.max("_del_seq").alias("_del_seq"))
+    if sum(d.rows for d in deletes) <= 2_000_000:
+        newest = F.broadcast(newest)
+    return (
+        df.join(newest, on=pk, how="left")
+        .filter(F.col("_del_seq").isNull() | (F.col("_mor_seq") >= F.col("_del_seq")))
+        .drop("_mor_seq", "_del_seq")
+    )
 
 
 def _partition_values(path: str, part_cols: list[str]) -> dict:

@@ -123,6 +123,7 @@ def cluster(
     if bits is None:
         bits = 63 // len(dims)
         bits = min(bits, 21)
+    planned_parent = table.current_snapshot_id(branch)
     entries = table.data_files(branch=branch)
     if partition_filter:
         entries = [
@@ -166,11 +167,18 @@ def cluster(
     new_entries = table.write_dataframe(
         out, generation_id=generation_id, partition_by="_pid"
     )
+    remove = {e.path for e in entries}
+    if not partition_filter:
+        # a full-table cluster rewrites every data file with a new commit
+        # sequence, applying live equality-deletes via scan() — the delete
+        # files are dead afterwards, drop them in the same commit
+        remove |= {d.path for d in table.delete_files(branch=branch)}
     snap = table.commit(
         "cluster",
         new_entries,
-        remove_paths={e.path for e in entries},
+        remove_paths=remove,
         branch=branch,
+        expected_parent=planned_parent,
         summary={"curve": curve, "dims": dims, "bits": bits},
     )
     return ClusterResult(

@@ -54,7 +54,11 @@ def compact(
     target_file_bytes = target_file_bytes or int(
         table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )
+    # pin the snapshot we plan against: a concurrent commit between
+    # planning and commit raises CommitConflict instead of being discarded
+    planned_parent = table.current_snapshot_id(branch)
     entries = table.data_files(branch=branch)
+    deletes = table.delete_files(branch=branch)
     # group by (generation, schema, partition) — files may only be packed
     # with peers of the same schema + generation (generation-tagged naming
     # S14, IcebergUtil.kt:58-69) and the same partition (partition-scoped
@@ -75,7 +79,8 @@ def compact(
         plans.append(plan)
         if not plan.bins:
             continue
-        new_entries = _execute_bins(table, plan, gen, sid)
+        seq_by_path = {e.path: e.sequence or 0 for e in group}
+        new_entries = _execute_bins(table, plan, gen, sid, deletes, seq_by_path)
         all_new.extend(new_entries)
         for b in plan.bins:
             all_victims.update(b.paths)
@@ -92,6 +97,7 @@ def compact(
         all_new,
         remove_paths=all_victims,
         branch=branch,
+        expected_parent=planned_parent,
         summary={
             "bins": len(merged_plan.bins),
             "input_files": merged_plan.input_files,
@@ -107,7 +113,14 @@ def compact(
     )
 
 
-def _execute_bins(table: LakeTable, plan: CompactionPlan, generation_id: int, schema_id: int):
+def _execute_bins(
+    table: LakeTable,
+    plan: CompactionPlan,
+    generation_id: int,
+    schema_id: int,
+    deletes=None,
+    seq_by_path: dict | None = None,
+):
     spark = table.spark
     physical = table.registered_schema(schema_id)
     victims = [p for b in plan.bins for p in b.paths]
@@ -134,6 +147,19 @@ def _execute_bins(table: LakeTable, plan: CompactionPlan, generation_id: int, sc
         .parquet(*victims)
         .withColumn("_bin", bin_map[tail])
     )
+    # MoR tables: packed output files get a NEW commit sequence, so live
+    # equality-deletes would stop applying to them — fold the applicable
+    # deletes in during the rewrite (Iceberg rewrite-data-files behavior)
+    min_seq = min(seq_by_path.values()) if seq_by_path else 0
+    applicable = [d for d in (deletes or []) if (d.sequence or 0) > min_seq]
+    if applicable:
+        from airbyte_spark.lake.table import apply_equality_deletes
+
+        kv_seq = []
+        for p in victims:
+            kv_seq.extend([F.lit(_tail(p)), F.lit(seq_by_path.get(p, 0))])
+        df = df.withColumn("_mor_seq", F.create_map(*kv_seq)[tail])
+        df = apply_equality_deletes(spark, df, applicable, table.primary_key)
     n_bins = len(plan.bins)
     out = df.repartition(
         max(n_bins, spark.sparkContext.defaultParallelism), "_bin"

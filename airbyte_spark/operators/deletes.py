@@ -1,0 +1,128 @@
+"""Fold equality-delete files into data files (MoR -> clean CoW state).
+
+The analog of Iceberg's rewrite-data-files with delete compaction: after a
+run of merge-on-read batches, data files older than live delete files still
+carry logically-deleted rows that every scan must anti-join away. This
+operator rewrites exactly the AFFECTED data files (manifest key-range
+intersection against the delete files' key stats) with the deletes applied,
+then drops every delete entry in the same atomic commit.
+
+Dropping all deletes is safe: any data file left unrewritten either has a
+commit sequence >= every delete file (no delete applies to it), or its
+PK range does not intersect any applicable delete file's range (range
+intersection is a superset of key membership).
+
+File layout is preserved: each victim file maps to one output file via the
+same input_file_name() -> id map used by compaction, so the fold never
+degrades the table's size distribution or clustering.
+
+Reference anchor: the reference leaves delete compaction to the Iceberg
+maintenance engine (docs/integrations/destinations/s3-data-lake.md:359-369);
+this module is that engine's rewriteDataFiles(delete-compaction) role.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.lake.format import DataFileEntry, Snapshot
+from airbyte_spark.lake.table import MAIN, LakeTable, apply_equality_deletes
+
+@dataclass
+class DeleteFoldResult:
+    snapshot: Snapshot | None
+    rewritten_files: int
+    dropped_delete_files: int
+
+
+def _ranges_intersect(a: dict | None, b: dict | None) -> bool:
+    """Conservative: missing stats on either side -> assume intersecting."""
+    if not a or a.get("min") is None or not b or b.get("min") is None:
+        return True
+    return not (a["max"] < b["min"] or a["min"] > b["max"])
+
+
+def rewrite_deletes(
+    table: LakeTable,
+    branch: str = MAIN,
+    generation_id: int = 0,
+) -> DeleteFoldResult:
+    """Rewrite delete-affected data files with deletes applied; drop all
+    delete entries atomically. No-op when the table has no delete files."""
+    deletes = table.delete_files(branch=branch)
+    if not deletes:
+        return DeleteFoldResult(None, 0, 0)
+    planned_parent = table.current_snapshot_id(branch)
+    pk = table.primary_key
+    pk0 = pk[0]
+    data = table.data_files(branch=branch)
+    victims = [
+        e
+        for e in data
+        if any(
+            (d.sequence or 0) > (e.sequence or 0)
+            and _ranges_intersect(e.stats.get(pk0), d.stats.get(pk0))
+            for d in deletes
+        )
+    ]
+    new_entries: list[DataFileEntry] = []
+    if victims:
+        spark = table.spark
+        # per-victim-file identity: one output file per input file keeps the
+        # size/clustering layout intact (same tail-keyed map literal trick as
+        # operators/compact.py — basenames repeat across bucket dirs).
+        # Victims are read and written in their PHYSICAL schema and the new
+        # entries keep the victims' schema_id — this is a row-removal
+        # rewrite, not a schema migration.
+        def _tail(p: str) -> str:
+            return f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
+
+        by_schema: dict[int, list[DataFileEntry]] = {}
+        for e in victims:
+            by_schema.setdefault(e.schema_id, []).append(e)
+        for sid, group in sorted(by_schema.items()):
+            kv_bin, kv_seq = [], []
+            for i, e in enumerate(group):
+                kv_bin.extend([F.lit(_tail(e.path)), F.lit(i)])
+                kv_seq.extend([F.lit(_tail(e.path)), F.lit(e.sequence or 0)])
+            parts = F.split(F.input_file_name(), "/")
+            tail = F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+            physical = table.registered_schema(sid)
+            df = (
+                spark.read.schema(physical)
+                .parquet(*[e.path for e in group])
+                .withColumn("_fold_bin", F.create_map(*kv_bin)[tail])
+                .withColumn("_mor_seq", F.create_map(*kv_seq)[tail])
+            )
+            df = apply_equality_deletes(spark, df, deletes, pk)
+            out = df.repartition(
+                max(len(group), spark.sparkContext.defaultParallelism), "_fold_bin"
+            )
+            ents = table.write_dataframe(
+                out, generation_id=generation_id, partition_by="_fold_bin"
+            )
+            if sid != table.current_schema_id:
+                for e in ents:
+                    e.schema_id = sid
+            new_entries.extend(ents)
+    snap = table.commit(
+        "rewrite-deletes",
+        new_entries,
+        remove_paths={e.path for e in victims} | {d.path for d in deletes},
+        branch=branch,
+        expected_parent=planned_parent,
+        summary={
+            "rewritten_files": len(victims),
+            "dropped_delete_files": len(deletes),
+        },
+    )
+    return DeleteFoldResult(
+        snapshot=snap,
+        rewritten_files=len(victims),
+        dropped_delete_files=len(deletes),
+    )
+
+

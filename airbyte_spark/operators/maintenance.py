@@ -43,10 +43,16 @@ def run_maintenance(
     target_file_bytes: int | None = None,
     expire_keep_last: int = 2,
     use_staging: bool = True,
+    merge_mode: str = "cow",
 ) -> MaintenanceReport:
     """Full maintenance pass. Stage boundaries are checkpoint boundaries:
     each stage's snapshot commit + ledger write is atomic-by-effect, so a
-    re-run with the same job_id skips completed stages (T4/T5)."""
+    re-run with the same job_id skips completed stages (T4/T5).
+
+    merge_mode="mor" runs the merge as insert+equality-delete (O(batch)
+    writes); the compact and cluster stages downstream fold the deletes
+    back into data files, so one maintenance pass leaves a clean CoW-state
+    table either way."""
     import os
 
     ck = JobCheckpointer(os.path.join(table.root, "checkpoints"), job_id)
@@ -75,7 +81,7 @@ def run_maintenance(
             return {"rows": 0, "skipped": True}
         res = merge_into(
             table, merge_source, cursor_col=cursor_col, branch=branch,
-            target_file_bytes=target_file_bytes,
+            target_file_bytes=target_file_bytes, mode=merge_mode,
         )
         return {
             "rows": res.source_rows,

@@ -57,18 +57,35 @@ class MergeResult:
     rewritten_files: int
     added_files: int
     phase_sec: dict | None = None  # wall time per internal phase
+    rewritten_bytes: int = 0  # candidate bytes re-written (CoW write cost)
+    added_bytes: int = 0  # bytes of new data+delete files
 
 
-def dedup_order(cursor_col: str | None) -> list[Column]:
+def dedup_order(
+    cursor_col: str | None, available: list[str] | None = None
+) -> list[Column]:
     """The W1 total order: cursor DESC NULLS LAST, extracted_at DESC, then
     raw_id DESC as the arbitrary-but-stable tiebreak (RecordDiffer sorts the
     same way, RecordDiffer.kt:87-110). No cursor ⇒ extracted_at only
-    (testDedupNoCursor, BasicFunctionalityIntegrationTest.kt:3339)."""
+    (testDedupNoCursor, BasicFunctionalityIntegrationTest.kt:3339).
+
+    `available` restricts the order to columns the source actually carries
+    — a source without Airbyte's meta columns (raw_id/extracted_at) still
+    dedups on its cursor instead of failing the window with an
+    unresolved-column error."""
+    have = (lambda c: c in available) if available is not None else (lambda c: True)
     order: list[Column] = []
-    if cursor_col:
+    if cursor_col and have(cursor_col):
         order.append(F.desc_nulls_last(cursor_col))
-    order.append(F.desc(EXTRACTED_COL))
-    order.append(F.desc(RAW_ID_COL))
+    if have(EXTRACTED_COL):
+        order.append(F.desc(EXTRACTED_COL))
+    if have(RAW_ID_COL):
+        order.append(F.desc(RAW_ID_COL))
+    if not order:
+        raise ValueError(
+            "merge source has no dedup-order column: need a cursor, "
+            f"{EXTRACTED_COL}, or {RAW_ID_COL}"
+        )
     return order
 
 
@@ -82,7 +99,7 @@ def dedup_batch(
     return salted_dedup_rank(
         source,
         keys=pk,
-        order_by=dedup_order(cursor_col),
+        order_by=dedup_order(cursor_col, available=source.columns),
         salt_buckets=salt_buckets,
         salt_on=RAW_ID_COL if RAW_ID_COL in source.columns else None,
     )
@@ -102,6 +119,47 @@ def _cursor_newer(t_pfx: str, s_pfx: str, cursor_col: str | None) -> Column:
     )
 
 
+def _coerce_stat(v, dt):
+    """Manifest stat (JSON-typed) -> python value of the PK's Spark type.
+    Raises on anything unconvertible — the caller treats that file as
+    unprunable rather than risking a lexicographic mis-prune ('10' < '9')
+    that would resurrect duplicate PKs."""
+    import datetime
+    import decimal
+
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if v is None:
+        raise ValueError("null stat")
+    if isinstance(dt, StringType):
+        return str(v)
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return int(v)
+    if isinstance(dt, (FloatType, DoubleType)):
+        return float(v)
+    if isinstance(dt, DecimalType):
+        return decimal.Decimal(str(v))
+    if isinstance(dt, DateType):
+        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        if isinstance(v, datetime.datetime):
+            return v
+        return datetime.datetime.fromisoformat(str(v))
+    raise ValueError(f"unprunable PK type {dt}")
+
+
 def _candidate_entries(
     table: LakeTable,
     src_keys: DataFrame,
@@ -112,20 +170,37 @@ def _candidate_entries(
     of the leading PK column intersects the batch key set. The files list is
     metadata-sized → broadcast to a range-join against the distinct keys;
     only matching paths come back to the driver (S5 planFiles semantics,
-    IcebergTableCleaner.kt:45-72)."""
+    IcebergTableCleaner.kt:45-72). Bounds are compared in the PK's OWN type
+    (numeric/temporal PKs prune numerically, never lexicographically)."""
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
     spark = table.spark
-    with_stats = [
-        (e.path, e.stats[pk0]["min"], e.stats[pk0]["max"])
-        for e in entries
-        if e.stats.get(pk0, {}).get("min") is not None
-    ]
-    no_stats = [e for e in entries if e.stats.get(pk0, {}).get("min") is None]
+    pk_type = src_keys.schema[pk0].dataType
+    with_stats, no_stats = [], []
+    for e in entries:
+        st = e.stats.get(pk0, {})
+        try:
+            lo = _coerce_stat(st.get("min"), pk_type)
+            hi = _coerce_stat(st.get("max"), pk_type)
+            with_stats.append((e.path, lo, hi))
+        except (ValueError, TypeError, ArithmeticError):
+            no_stats.append(e)
     hit_paths: set[str] = set()
     if with_stats:
+        from pyspark.sql.types import StringType as _Str
+
         files_df = spark.createDataFrame(
-            with_stats, schema="path string, kmin string, kmax string"
+            with_stats,
+            schema=_ST(
+                [
+                    _SF("path", _Str()),
+                    _SF("kmin", pk_type),
+                    _SF("kmax", pk_type),
+                ]
+            ),
         )
-        k = F.col(pk0).cast("string")
+        k = F.col(pk0)
         hits = (
             src_keys.join(
                 F.broadcast(files_df),
@@ -151,8 +226,23 @@ def merge_into(
     branch: str = MAIN,
     generation_id: int = 0,
     broadcast_threshold_bytes: int = 256 * 1024 * 1024,
+    mode: str = "cow",
 ) -> MergeResult:
-    """Copy-on-write MERGE of a source batch into the lake table."""
+    """MERGE of a source batch into the lake table.
+
+    mode="cow" (default): copy-on-write — candidate files are rewritten
+    with the batch folded in. Scan-cheap, write-amplified.
+
+    mode="mor": merge-on-read — the reference's actual S13 path
+    (insert + equality-delete files resolved at scan time,
+    BaseDeltaTaskWriter.java:86-98, S3DataLakeAggregate.kt:53-58
+    `newRowDelta()`). The batch resolves against a COLUMN-PRUNED key scan
+    of the candidate files (cursor-newer semantics identical to CoW), then
+    writes one equality-delete file (winning keys) + new data files
+    (winning non-CDC-delete rows). Write cost is O(batch) — no candidate
+    rewrite — so frequent micro-batches over a 100 TB table stop
+    write-amplifying; reads pay one broadcast anti-join until
+    `rewrite_deletes`/compaction folds the deletes in."""
     import time as _time
 
     _ph: dict = {}
@@ -163,6 +253,8 @@ def merge_into(
         _ph[name] = round(_time.monotonic() - _t0, 3)
         _t0 = _time.monotonic()
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     spark = table.spark
     pk = table.primary_key
     if cursor_col and cursor_col not in source.columns:
@@ -270,8 +362,33 @@ def merge_into(
             ]
         key_set = keyed.select(*pk).distinct()
         candidates = _candidate_entries(table, key_set, prunable, pk[0])
+        live_deletes = table.delete_files(branch=branch)
         _tick("candidates")
-        touched = table.read_entries(candidates, target_schema).alias("t")
+
+        if mode == "mor":
+            return _merge_mor(
+                table=table,
+                src=src,
+                keyed=keyed,
+                candidates=candidates,
+                live_deletes=live_deletes,
+                target_schema=target_schema,
+                pk=pk,
+                cursor_col=cursor_col,
+                cdc_col=cdc_col,
+                branch=branch,
+                generation_id=generation_id,
+                planned_parent=planned_parent,
+                source_rows=int(counts["n"]),
+                deduped_rows=int(deduped_rows),
+                target_file_bytes=target_file_bytes,
+                phases=_ph,
+                tick=_tick,
+            )
+
+        touched = table.read_entries(
+            candidates, target_schema, deletes=live_deletes
+        ).alias("t")
         s = _align_to(src, target_schema).alias("s")
 
         # -- resolve strategy. Airbyte micro-batches cap at 100k rows /
@@ -316,7 +433,9 @@ def merge_into(
             updates = j.filter(keep).select(*out_cols)
             # inserts: batch keys absent from the candidate files — the
             # anti join probes a column-pruned key-only scan (no payload)
-            key_scan = table.read_entries(candidates, target_schema).select(*pk)
+            key_scan = table.read_entries(
+                candidates, target_schema, deletes=live_deletes
+            ).select(*pk)
             not_deleted = ~F.col(cdc_col).isNotNull() if cdc_col else F.lit(True)
             inserts = (
                 s.join(key_scan, on=pk, how="left_anti")
@@ -386,6 +505,8 @@ def merge_into(
             rewritten_files=len(candidates),
             added_files=len(new_entries),
             phase_sec=_ph,
+            rewritten_bytes=sum(e.bytes for e in candidates),
+            added_bytes=sum(e.bytes for e in new_entries),
         )
     finally:
         if winners is not None:
@@ -393,6 +514,139 @@ def merge_into(
         else:
             src.unpersist()
         slim.unpersist()
+
+
+def _merge_mor(
+    *,
+    table: LakeTable,
+    src: DataFrame,
+    keyed: DataFrame,
+    candidates: list[DataFileEntry],
+    live_deletes: list[DataFileEntry],
+    target_schema: StructType,
+    pk: list[str],
+    cursor_col: str | None,
+    cdc_col: str | None,
+    branch: str,
+    generation_id: int,
+    planned_parent: str,
+    source_rows: int,
+    deduped_rows: int,
+    target_file_bytes: int,
+    phases: dict,
+    tick,
+) -> MergeResult:
+    """Merge-on-read execution: resolve the deduped batch against a
+    column-pruned key scan of the candidate files (same cursor-newer
+    semantics as CoW), then write ONE equality-delete file (all winning
+    keys) + new data files (winning non-CDC-delete rows). Candidate files
+    are never rewritten; the per-batch write cost is O(batch)."""
+    spark = table.spark
+    cast_map = {f.name: f.dataType for f in target_schema.fields}
+    resolve_cols = list(
+        dict.fromkeys(pk + ([cursor_col] if cursor_col else []) + [EXTRACTED_COL])
+    )
+    # target side: key/cursor columns only — Catalyst prunes the payload
+    # out of the parquet scan; live deletes from earlier MoR batches apply
+    tgt = table.read_entries(candidates, target_schema, deletes=live_deletes)
+    tgt = tgt.select(*[c for c in resolve_cols if c in tgt.columns])
+    # source side: the slim winner keys; align dtypes to the table's so the
+    # resolve join and the delete file compare in table types
+    s = keyed
+    for c in resolve_cols + ([cdc_col] if cdc_col else []):
+        if c not in s.columns:
+            s = s.withColumn(c, F.lit(None).cast("timestamp"))
+        if c not in tgt.columns:
+            tgt = tgt.withColumn(c, F.lit(None).cast("timestamp"))
+    s = s.select(
+        *[
+            F.col(c).cast(cast_map[c]).alias(c) if c in cast_map else F.col(c)
+            for c in s.columns
+        ]
+    )
+    j = s.alias("s").join(
+        tgt.alias("t"),
+        [F.col(f"t.{c}") == F.col(f"s.{c}") for c in pk],
+        "left",
+    )
+    tgt_present = F.col(f"t.{pk[0]}").isNotNull()
+    win = (~tgt_present) | _cursor_newer("t", "s", cursor_col)
+    src_is_delete = F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
+    winners = (
+        j.filter(win)
+        .select(
+            *[F.col(f"s.{c}").alias(c) for c in pk],
+            src_is_delete.alias("_is_del"),
+        )
+        .persist()
+    )
+    try:
+        # one delete file covers every winning key — upserts AND CDC
+        # deletes; keys with no current target row are harmless (the
+        # reference also writes deletes blindly, BaseDeltaTaskWriter.java:
+        # 86-98 delete-then-insert per record)
+        del_entries = table.write_delete_files(
+            winners.select(*pk), generation_id=generation_id
+        )
+        tick("mor_delete_write")
+        ins_keys = winners.filter(~F.col("_is_del")).select(*pk)
+        inserts = _align_to(src, target_schema).join(
+            F.broadcast(ins_keys) if deduped_rows <= 2_000_000 else ins_keys,
+            on=pk,
+            how="left_semi",
+        )
+        from airbyte_spark.operators.rangewrite import (
+            range_bucketed,
+            sampled_boundaries,
+        )
+
+        all_entries = candidates or table.data_files(branch=branch)
+        avg_row = (
+            sum(e.bytes for e in all_entries)
+            / max(1, sum(e.rows for e in all_entries))
+            if all_entries
+            else 1024.0
+        )
+        n_out = max(1, -(-int(deduped_rows * avg_row) // target_file_bytes))
+        bounds = sampled_boundaries(
+            inserts.select(pk[0]), pk[0], n_out, deduped_rows
+        )
+        out = range_bucketed(
+            inserts,
+            F.col(pk[0]),
+            bounds,
+            sort_cols=list(pk),
+            min_tasks=spark.sparkContext.defaultParallelism,
+        )
+        data_entries = table.write_dataframe(
+            out, generation_id=generation_id, partition_by="_pid"
+        )
+        tick("mor_data_write")
+        snap = table.commit(
+            "merge",
+            data_entries + del_entries,
+            branch=branch,
+            expected_parent=planned_parent,
+            summary={
+                "mode": "mor",
+                "source_rows": source_rows,
+                "deduped_rows": deduped_rows,
+                "candidate_files": len(candidates),
+                "delete_files": len(del_entries),
+            },
+        )
+        return MergeResult(
+            snapshot=snap,
+            source_rows=source_rows,
+            deduped_rows=deduped_rows,
+            rewritten_files=0,
+            added_files=len(data_entries) + len(del_entries),
+            phase_sec=phases,
+            rewritten_bytes=0,
+            added_bytes=sum(e.bytes for e in data_entries + del_entries),
+        )
+    finally:
+        winners.unpersist()
 
 
 def _align_to(df: DataFrame, schema: StructType) -> DataFrame:

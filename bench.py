@@ -99,6 +99,67 @@ def run_maintenance_bench(spark, sf: float) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_merge_mode_bench(spark, sf: float) -> dict:
+    """Small-batch merge cost, CoW vs MoR: the MoR path must write O(batch)
+    (zero candidate rewrites) where CoW rewrites every intersected file."""
+    from airbyte_spark.datagen import (
+        IMAGES_SCHEMA,
+        generate_images,
+        generate_update_batch,
+    )
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+
+    n_base = max(500, int(60_000 * sf))
+    batch_n = max(50, n_base // 100)  # 1% micro-batches
+    out: dict = {}
+    for mode in ("cow", "mor"):
+        root = tempfile.mkdtemp(prefix=f"bench-merge-{mode}-")
+        try:
+            t = LakeTable.create(
+                spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
+                properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
+            )
+            for i in range(4):
+                t.append(
+                    generate_images(spark, n_base // 4, id_offset=i * (n_base // 4),
+                                    num_partitions=max(4, CPUS // 4))
+                )
+            batches = [
+                generate_update_batch(
+                    spark, n_base, batch_n, seed=100 + i,
+                    num_partitions=max(2, CPUS // 8),
+                ).persist()
+                for i in range(3)
+            ]
+            for b in batches:
+                b.count()
+            t0 = time.monotonic()
+            rewritten = added = rw_bytes = add_bytes = 0
+            for b in batches:
+                r = merge_into(t, b, mode=mode)
+                rewritten += r.rewritten_files
+                added += r.added_files
+                rw_bytes += r.rewritten_bytes
+                add_bytes += r.added_bytes
+            wall = time.monotonic() - t0
+            out[mode] = {
+                "sec": round(wall, 3),
+                "batches": 3,
+                "batch_rows": batch_n,
+                "rewritten_files": rewritten,
+                "rewritten_mb": round(rw_bytes / 1e6, 2),
+                "added_files": added,
+                "written_mb": round(add_bytes / 1e6, 2),
+                "rows_per_sec": round(3 * batch_n / wall, 1),
+            }
+            for b in batches:
+                b.unpersist()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from airbyte_spark.session import get_spark
 
@@ -137,6 +198,7 @@ def main() -> None:
 
     maint = run_maintenance_bench(spark, sf)
     times["maintenance_pipeline"] = maint["sec"]
+    merge_modes = run_merge_mode_bench(spark, sf)
 
     total = round(sum(times.values()), 3)
     print(
@@ -153,6 +215,7 @@ def main() -> None:
                     "images_per_sec": maint["images_per_sec"],
                     "table_rows": maint["table_rows"],
                 },
+                "merge_modes": merge_modes,
             }
         )
     )

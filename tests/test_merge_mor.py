@@ -1,0 +1,237 @@
+"""Merge-on-read equality-delete path (S13 rowDelta analog,
+BaseDeltaTaskWriter.java:86-98, S3DataLakeAggregate.kt:53-58) — MoR scans
+must be byte-identical to CoW results on the testDedup matrix, write
+O(batch) files, and fold cleanly via rewrite_deletes / compaction."""
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.compact import compact
+from airbyte_spark.operators.deletes import rewrite_deletes
+from airbyte_spark.operators.merge import merge_into
+
+UTC = dt.timezone.utc
+
+BASE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("caption", StringType()),
+        StructField("v", IntegerType()),
+        StructField("_airbyte_raw_id", StringType()),
+        StructField("_airbyte_extracted_at", TimestampType()),
+    ]
+)
+
+SRC_SCHEMA = StructType(
+    list(BASE_SCHEMA.fields)
+    + [
+        StructField("updated_at", TimestampType()),
+        StructField("_ab_cdc_deleted_at", TimestampType()),
+    ]
+)
+
+
+def ts(day, sec=0):
+    return dt.datetime(2026, 1, day, 0, 0, sec, tzinfo=UTC)
+
+
+MATRIX = [
+    ("dup", "v1", 1, "s1", ts(3), ts(3), None),
+    ("dup", "v2", 2, "s2", ts(3, 1), ts(4), None),
+    ("upd", "new caption", 2, "s3", ts(3), ts(5), None),
+    ("stale", "MUST NOT APPEAR", 9, "s4", ts(3), ts(4), None),
+    ("gone", None, 0, "s5", ts(3), ts(5), ts(6)),
+    ("flash", "born", 1, "s6", ts(3), ts(3), None),
+    ("flash", None, 0, "s7", ts(3, 1), ts(4), ts(6)),
+    ("ghost", None, 0, "s8", ts(3), ts(4), ts(6)),
+    ("new", "hello", 7, "s9", ts(3), ts(3), None),
+]
+
+EXPECTED = {
+    "keep": ("untouched", 1),
+    "upd": ("new caption", 2),
+    "stale": ("current", 5),
+    "dup": ("v2", 2),
+    "new": ("hello", 7),
+}
+
+
+def _target(spark, root, mode):
+    t = LakeTable.create(spark, root, BASE_SCHEMA, primary_key=["image_id"])
+    rows = [
+        ("keep", "untouched", 1, "r1", ts(1)),
+        ("upd", "old caption", 1, "r2", ts(1)),
+        ("stale", "current", 5, "r3", ts(1)),
+        ("gone", "to be deleted", 1, "r4", ts(1)),
+    ]
+    t.append(spark.createDataFrame(rows, BASE_SCHEMA))
+    seed = [
+        ("upd", "old caption", 1, "r2b", ts(1), ts(2), None),
+        ("stale", "current", 5, "r3b", ts(1), ts(10), None),
+        ("gone", "to be deleted", 1, "r4b", ts(1), ts(2), None),
+    ]
+    merge_into(t, spark.createDataFrame(seed, SRC_SCHEMA), mode=mode)
+    return t
+
+
+def _state(t, **scan_kw):
+    return {
+        r["image_id"]: (r["caption"], r["v"])
+        for r in t.scan(**scan_kw).collect()
+    }
+
+
+def test_mor_matrix_matches_cow(spark, tmp_table_dir):
+    """Same source batches, two tables: MoR post-scan state must equal CoW
+    state exactly — and the MoR merge must rewrite zero candidate files."""
+    cow = _target(spark, os.path.join(tmp_table_dir, "cow"), "cow")
+    mor = _target(spark, os.path.join(tmp_table_dir, "mor"), "mor")
+    batch = spark.createDataFrame(MATRIX, SRC_SCHEMA)
+    res_cow = merge_into(cow, batch, mode="cow")
+    files_before = {e.path for e in mor.data_files()}
+    res_mor = merge_into(mor, batch, mode="mor")
+    assert _state(cow) == EXPECTED
+    assert _state(mor) == EXPECTED
+    # O(batch): no candidate data file was rewritten or removed
+    assert res_mor.rewritten_files == 0
+    assert files_before <= {e.path for e in mor.data_files()}
+    assert mor.delete_files(), "MoR merge must add an equality-delete file"
+    assert res_cow.snapshot.operation == res_mor.snapshot.operation == "merge"
+
+
+def test_mor_snapshot_isolation(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir, "mor")
+    pre_snap = t.current_snapshot_id()
+    pre = _state(t, snapshot_id=pre_snap)
+    merge_into(t, spark.createDataFrame(MATRIX, SRC_SCHEMA), mode="mor")
+    assert _state(t, snapshot_id=pre_snap) == pre
+
+
+def test_mor_idempotent_replay(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir, "mor")
+    src = spark.createDataFrame(
+        [("upd", "final", 3, "s1", ts(4), ts(8), None)], SRC_SCHEMA
+    )
+    merge_into(t, src, mode="mor")
+    first = _state(t)
+    merge_into(t, src, mode="mor")
+    assert _state(t) == first
+
+
+def test_rewrite_deletes_folds_and_gc_cleans(spark, tmp_table_dir):
+    """rewrite_deletes: same scan state, zero remaining delete files, and
+    expire+GC leaves exactly the reachable set on disk."""
+    t = _target(spark, tmp_table_dir, "mor")
+    merge_into(t, spark.createDataFrame(MATRIX, SRC_SCHEMA), mode="mor")
+    assert t.delete_files()
+    before = _state(t)
+    res = rewrite_deletes(t)
+    assert res.snapshot is not None and res.dropped_delete_files >= 1
+    assert not t.delete_files()
+    assert _state(t) == before == EXPECTED
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files()
+    on_disk = set(
+        glob.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert on_disk == t.reachable_files()
+    assert _state(t) == EXPECTED
+
+
+def test_rewrite_deletes_noop_without_deletes(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir, "cow")
+    res = rewrite_deletes(t)
+    assert res.snapshot is None and res.rewritten_files == 0
+
+
+def test_compact_folds_deletes(spark, tmp_table_dir):
+    """Compaction over a MoR table must not resurrect deleted/updated rows
+    (packed files get a new sequence, so deletes are applied in-rewrite)."""
+    t = _target(spark, tmp_table_dir, "mor")
+    merge_into(t, spark.createDataFrame(MATRIX, SRC_SCHEMA), mode="mor")
+    before = _state(t)
+    res = compact(t, target_file_bytes=64 * 1024 * 1024)
+    assert res.snapshot is not None
+    assert _state(t) == before == EXPECTED
+
+
+def test_mor_then_cow_interleave(spark, tmp_table_dir):
+    """A CoW merge over a table with live delete files must apply them when
+    rewriting candidates (no resurrection through the CoW path)."""
+    t = _target(spark, tmp_table_dir, "mor")
+    merge_into(t, spark.createDataFrame(MATRIX, SRC_SCHEMA), mode="mor")
+    src = [("upd", "cow pass", 4, "x1", ts(5), ts(11), None)]
+    merge_into(t, spark.createDataFrame(src, SRC_SCHEMA), mode="cow")
+    got = _state(t)
+    assert got["upd"] == ("cow pass", 4)
+    assert "gone" not in got and "flash" not in got and "ghost" not in got
+
+
+def test_merge_source_without_raw_id(spark, tmp_table_dir):
+    """A source lacking _airbyte_raw_id must still merge (dedup order falls
+    back to cursor + extracted_at) — regression for the unconditional
+    raw_id tiebreak."""
+    no_raw = StructType(
+        [f for f in SRC_SCHEMA.fields if f.name != "_airbyte_raw_id"]
+    )
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, mode), BASE_SCHEMA,
+            primary_key=["image_id"],
+        )
+        t.append(
+            spark.createDataFrame([("a", "old", 1, "r1", ts(1))], BASE_SCHEMA)
+        )
+        src = [
+            ("a", "newer", 2, ts(2), ts(5), None),
+            ("a", "older", 3, ts(2), ts(4), None),
+            ("b", "fresh", 1, ts(2), ts(2), None),
+        ]
+        res = merge_into(t, spark.createDataFrame(src, no_raw), mode=mode)
+        assert res.deduped_rows == 2
+        assert _state(t) == {"a": ("newer", 2), "b": ("fresh", 1)}
+
+
+def test_numeric_pk_pruning(spark, tmp_table_dir):
+    """Numeric PK: manifest pruning must compare numerically — a file with
+    key range [1,9] must NOT be rewritten for batch key 10 (the
+    lexicographic trap '10' < '9'), and merge must not TypeError."""
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("caption", StringType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+        ]
+    )
+    src_schema = StructType(
+        list(schema.fields) + [StructField("updated_at", TimestampType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["k"])
+    t.append(
+        spark.createDataFrame([(i, f"c{i}", f"r{i}", ts(1)) for i in range(1, 10)], schema)
+    )
+    t.append(
+        spark.createDataFrame([(100, "c100", "r100", ts(1))], schema)
+    )
+    before = {e.path for e in t.data_files()}
+    src = [(10, "ten", "s1", ts(2), ts(2)), (100, "hundred", "s2", ts(2), ts(2))]
+    res = merge_into(t, spark.createDataFrame(src, src_schema))
+    after = {e.path for e in t.data_files()}
+    # the [1,9] file range does not contain 10 or 100 -> survives untouched
+    assert before & after, "low-range file must not be rewritten"
+    assert res.rewritten_files == 1
+    got = {r["k"]: r["caption"] for r in t.scan().collect()}
+    assert got[10] == "ten" and got[100] == "hundred" and got[1] == "c1"
