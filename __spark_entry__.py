@@ -733,6 +733,84 @@ def q_merge_mor_upsert(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_scd2_materialize(spark, sf):
+    """Persistent SCD2 table built incrementally over two batches,
+    ORACLE-CHECKED: end-dating (lag over cursor DESC), active_row, W3
+    disambiguation — the reference's normalization SCD model
+    (stream_processor.py:869-997) as a lake-table operator. The oracle is
+    the equivalent full-recompute window SQL (incremental == full is
+    additionally pinned by test_scd2_incremental_equals_full_recompute)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.operators.scd2 import (
+        ACTIVE_ROW,
+        END_AT,
+        START_AT,
+        scd2_apply,
+        scd2_create,
+    )
+
+    ev = _t(spark, sf, "events")
+    src_schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    b1 = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    b2 = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("value") + 1000).alias("value"),
+        F.concat(F.lit("s"), F.col("event_id")).alias("_airbyte_raw_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-scd2-")
+    try:
+        t = scd2_create(spark, root, src_schema, pk=["event_id"],
+                        cursor_col="updated_at")
+        scd2_apply(t, b1)
+        scd2_apply(t, b2)
+        rows = (
+            t.scan()
+            .select(
+                "event_id",
+                F.round("value", 4).alias("value"),
+                F.col(START_AT).alias("start_at"),
+                F.col(END_AT).alias("end_at"),
+                F.col(ACTIVE_ROW).alias("active_row"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, value double, start_at timestamp, "
+            "end_at timestamp, active_row int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_schema_evolution_roundtrip(spark, sf):
     """Schema evolution in isolation (rows-only): add column + widen
     int->long, then scan both generations under the new schema."""
@@ -819,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_cluster_hilbert": q_images_cluster_hilbert,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "merge_mor_upsert": q_merge_mor_upsert,
+        "scd2_materialize": q_scd2_materialize,
     }
 
 
@@ -1123,6 +1202,23 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, e.value), 4) AS value
             FROM events e LEFT JOIN batch b USING (event_id)
             WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        "scd2_materialize": """
+            WITH b1 AS (
+              SELECT event_id, value, ts AS updated_at, ts AS x FROM events),
+            b2 AS (
+              SELECT event_id, value + 1000 AS value,
+                     ts + INTERVAL 1 DAY AS updated_at,
+                     ts + INTERVAL 1 DAY AS x
+              FROM events WHERE event_id % 5 = 0),
+            input AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+            SELECT event_id, round(value, 4) AS value,
+                   updated_at AS start_at,
+                   lag(updated_at) OVER w AS end_at,
+                   CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END
+                     AS active_row
+            FROM input
+            WINDOW w AS (PARTITION BY event_id ORDER BY updated_at DESC, x DESC)
         """,
         # dedup_simhash / images_maintenance / ann_lsh_topk /
         # image_features: non-SQL-expressible (pandas-UDF or lake-table

@@ -115,3 +115,124 @@ def test_jsonl_csv_roundtrip(spark, tmp_table_dir):
     write_csv(df, cp)
     got = read_csv(spark, cp)
     assert got.count() == 2 and "payload" in got.columns
+
+
+def test_coerce_type_matrix(spark):
+    """Full Airbyte lattice matrix (AirbyteValueCoercer.kt:82-255;
+    testBasicTypes/testNumericTypes/testContainerTypes/testUnions analogs,
+    BasicFunctionalityIntegrationTest.kt:3615-4544): each row = one source
+    value class through one declared type, asserting the coerced value and
+    whether a NULLED change record is captured."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.functions.coerce import (
+        AIRBYTE_SPARK_TYPES,
+        coerce_airbyte_record,
+        coerce_airbyte_value,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                s_int="42",
+                s_big="99999999999999999999999999",  # > int64
+                s_dec="12.5",
+                s_sci="1e3",
+                s_bool="true",
+                d_exact=12.0,
+                d_frac=12.5,
+                d_huge=1e20,
+                i_small=7,
+                b_true=True,
+                s_date="2024-01-15",
+                s_ts_off="2024-01-15T12:00:00+05:30",
+                s_ts_naked="2024-01-15 12:00:00",
+                s_bad_date="2024/01/15",
+                s_time="12:34:56.123",
+                s_time_off="12:34:56+01:00",
+                s_bad_time="not a time",
+                obj=Row(a=1, b="x"),
+                arr=[1, 2, 3],
+            )
+        ]
+    )
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def one(col, atype):
+        return df.select(
+            coerce_airbyte_value(F.col(col), types[col], atype).alias("v")
+        ).first()["v"]
+
+    # -- integer lattice row (coerceInt :84-92)
+    assert one("s_int", "integer") == 42
+    assert one("s_big", "integer") is None          # BigInteger > int64 -> NULL
+    assert one("s_dec", "integer") is None          # "12.5" not a BigInteger
+    assert one("d_exact", "integer") == 12          # NumberValue exact -> int
+    assert one("d_frac", "integer") is None         # toBigIntegerExact fails
+    assert one("d_huge", "integer") is None         # beyond int64 -> NULL
+    assert one("b_true", "integer") is None         # bool never int
+    # -- number row (coerceNumber :94-100)
+    assert one("s_dec", "number") == 12.5
+    assert one("s_sci", "number") == 1000.0         # BigDecimal sci notation
+    assert one("i_small", "number") == 7.0
+    assert one("b_true", "number") is None
+    # -- boolean row (requireType :82)
+    assert one("b_true", "boolean") is True
+    assert one("s_bool", "boolean") is None         # strings never coerce
+    assert one("i_small", "boolean") is None
+    # -- string row (coerceString :102-125): everything upcasts
+    assert one("i_small", "string") == "7"
+    assert one("b_true", "string") == "true"
+    assert one("obj", "string") == '{"a":1,"b":"x"}'
+    assert one("arr", "string") == "[1,2,3]"
+    # -- date row (coerceDate :127-134)
+    assert one("s_date", "date") == dt.date(2024, 1, 15)
+    assert one("s_bad_date", "date") is None        # non-ISO -> NULL
+    assert one("i_small", "date") is None
+    # -- timestamp rows (coerceTimestampTz/Ntz :168-219)
+    assert one("s_ts_off", "timestamp_tz") == dt.datetime(2024, 1, 15, 6, 30)
+    assert one("s_ts_naked", "timestamp_tz") == dt.datetime(2024, 1, 15, 12, 0)
+    # NTZ keeps the WRITTEN wall time, offset dropped (:182)
+    assert one("s_ts_off", "timestamp_ntz") == dt.datetime(2024, 1, 15, 12, 0)
+    assert one("s_bad_date", "timestamp_tz") is None
+    # -- time rows (coerceTimeTz/Ntz :136-166): canonical strings
+    assert one("s_time", "time_ntz") == "12:34:56.123000"
+    assert one("s_time_off", "time_ntz") == "12:34:56.000000"  # offset dropped
+    assert one("s_time", "time_tz") == "12:34:56.123000+00:00"  # assume UTC
+    assert one("s_time_off", "time_tz") == "11:34:56.000000+00:00"  # to UTC
+    assert one("s_bad_time", "time_ntz") is None
+    # -- union/object/array rows (:59-75): passthrough as JSON text
+    assert one("obj", "union") == '{"a":1,"b":"x"}'
+    assert one("arr", "array") == "[1,2,3]"
+    assert one("s_int", "unknown") == "42"
+
+    # -- change capture end-to-end: bad values NULL + NULLED record
+    declared = {
+        "s_big": "integer",
+        "d_frac": "integer",
+        "s_int": "integer",
+        "s_bool": "boolean",
+        "s_time": "time_ntz",
+        "missing_col": "number",
+    }
+    out = coerce_airbyte_record(df, declared, sync_id=9).first()
+    assert out["s_big"] is None and out["d_frac"] is None
+    assert out["s_int"] == 42 and out["missing_col"] is None
+    assert out["s_time"] == "12:34:56.123000"
+    changed = {c["field"] for c in out["_airbyte_meta"]["changes"]}
+    # missing_col is a schema gap, not a value error -> no change entry
+    assert changed == {"s_big", "d_frac", "s_bool"}
+    assert all(
+        c["change"] == "NULLED"
+        and c["reason"] == "DESTINATION_SERIALIZATION_ERROR"
+        for c in out["_airbyte_meta"]["changes"]
+    )
+    assert out["_airbyte_meta"]["sync_id"] == 9
+    # physical schema honors the lattice mapping
+    got_types = dict(
+        coerce_airbyte_record(df, declared).drop("_airbyte_meta").dtypes
+    )
+    assert got_types["s_big"] == "bigint" and got_types["missing_col"] == "double"
