@@ -100,7 +100,11 @@ def plan_range_partitions(
     )
     if not sample:
         return []
-    total = df.count()
+    # table size estimated FROM the sample (JdbcPartitionsCreator.kt:240
+    # does the same) — a df.count() here would be a second full scan just
+    # for the boundary count. When the TABLE_SAMPLE_SIZE cap truncated the
+    # sample this lower-bounds the size (fewer, larger partitions).
+    total = int(len(sample) / sample_fraction)
     n_parts = max(1, -(-total // target_rows_per_partition))
     if n_parts <= 1:
         return []

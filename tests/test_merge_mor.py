@@ -179,6 +179,59 @@ def test_mor_then_cow_interleave(spark, tmp_table_dir):
     assert "gone" not in got and "flash" not in got and "ghost" not in got
 
 
+def test_mor_on_partitioned_table(spark, tmp_table_dir):
+    """MoR over an identity-partitioned table: new data files land in
+    partition dirs, delete files stay table-global, and partition-pruned
+    scans still apply them."""
+    from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images, generate_update_batch
+
+    t = LakeTable.create(
+        spark, tmp_table_dir, IMAGES_SCHEMA, primary_key=["image_id"],
+        partition_by=["fmt"],
+        properties={"write.target-file-size-bytes": 2 * 1024 * 1024},
+    )
+    for i in range(2):
+        t.append(generate_images(spark, 60, id_offset=i * 60, num_partitions=2))
+    full_before = t.scan().count()
+    batch = generate_update_batch(spark, 120, 30, num_partitions=2)
+    res = merge_into(t, batch, mode="mor")
+    assert res.rewritten_files == 0 and t.delete_files()
+    # PK uniqueness holds through the delete anti-join
+    assert t.scan().groupBy("image_id").count().filter("count > 1").isEmpty()
+    # partition-pruned scan: correct per-partition rows, no stale versions
+    for fmt in ("png", "jpeg"):
+        pruned = t.scan(partition_filter={"fmt": fmt})
+        assert pruned.count() == t.scan().filter(f"fmt = '{fmt}'").count()
+    assert full_before == 120
+    upd_ids = {r["image_id"] for r in batch.select("image_id").distinct().collect()}
+    live = t.scan().count()
+    import pyspark.sql.functions as F2
+
+    present = {
+        r["image_id"]
+        for r in t.scan().filter(F2.col("image_id").isin(list(upd_ids)))
+        .select("image_id").collect()
+    }
+    # ids whose newest version is a delete are gone; others present
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("image_id").orderBy(
+        F2.desc_nulls_last("updated_at"),
+        F2.desc("_airbyte_extracted_at"),
+        F2.desc("_airbyte_raw_id"),
+    )
+    newest = (
+        batch.withColumn("_rn", F2.row_number().over(w)).filter("_rn = 1")
+    )
+    newest_deleted = {
+        r["image_id"]
+        for r in newest.filter(F2.col("_ab_cdc_deleted_at").isNotNull())
+        .select("image_id").collect()
+    }
+    assert present == upd_ids - newest_deleted
+    assert live == t.scan().select("image_id").distinct().count()
+
+
 def test_merge_source_without_raw_id(spark, tmp_table_dir):
     """A source lacking _airbyte_raw_id must still merge (dedup order falls
     back to cursor + extracted_at) — regression for the unconditional
