@@ -107,6 +107,60 @@ def test_bucketed_join_has_no_exchange(spark):
     spark.sql("DROP TABLE b_orders")
 
 
+def test_mor_scan_plan_broadcasts_deletes(spark, tmp_table_dir):
+    """The MoR read path's scale contract: micro-batch-sized delete sets
+    apply as a BROADCAST anti-join (never a shuffle of the data side), and
+    a column-pruned scan over a delete-carrying table still prunes the
+    payload out of the parquet read."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("caption", StringType()),
+            StructField("payload", StringType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+        ]
+    )
+    src_schema = StructType(
+        list(schema.fields) + [StructField("updated_at", TimestampType())]
+    )
+    ts = dt.datetime(2026, 3, 1)
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["image_id"])
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}", f"c{i}", "X" * 100, f"r{i}", ts) for i in range(200)], schema
+        )
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(f"k{i}", "upd", "Y" * 100, f"s{i}", ts, ts) for i in range(0, 200, 10)],
+            src_schema,
+        ),
+        mode="mor",
+    )
+    assert t.delete_files()
+    df = t.scan(columns=["image_id", "caption"])
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p, p[:800]
+    assert "SortMergeJoin" not in p
+    frag = p[p.index("ReadSchema") :][:300]
+    assert "payload" not in frag, f"payload must be pruned: {frag}"
+
+
 def test_topk_uses_take_ordered(spark):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
     global sort."""
