@@ -733,6 +733,88 @@ def q_merge_mor_upsert(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_log_sync(spark, sf):
+    """S4 CDC log scan end-to-end, ORACLE-CHECKED: synthesize a Debezium
+    envelope log from the events table (creates + updates + deletes with
+    monotone lsn), read it as a bounded merge source
+    (sources/cdc.py::read_cdc_log — CdcPartitionsCreator.kt semantics),
+    MERGE with the lsn as cursor, scan the final state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.sources.cdc import cdc_upper_bound, read_cdc_log
+
+    ev = _t(spark, sf, "events")
+    img = F.struct(
+        F.col("event_id"), F.col("event_type"), F.col("value")
+    )
+    creates = ev.select(
+        F.lit("c").alias("op"),
+        F.col("event_id").alias("lsn"),
+        (F.col("event_id") * 1000).alias("ts_ms"),
+        F.lit(None).cast(
+            "struct<event_id:bigint,event_type:string,value:double>"
+        ).alias("before"),
+        img.alias("after"),
+    )
+    updates = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.lit("u").alias("op"),
+        (F.col("event_id") + 1_000_000).alias("lsn"),
+        ((F.col("event_id") + 1_000_000) * 1000).alias("ts_ms"),
+        img.alias("before"),
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            (F.col("value") + 1000).alias("value"),
+        ).alias("after"),
+    )
+    deletes = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.lit("d").alias("op"),
+        (F.col("event_id") + 2_000_000).alias("lsn"),
+        ((F.col("event_id") + 2_000_000) * 1000).alias("ts_ms"),
+        img.alias("before"),
+        F.lit(None).cast(
+            "struct<event_id:bigint,event_type:string,value:double>"
+        ).alias("after"),
+    )
+    value_schema = STt(
+        [SF_("event_id", LT(), False), SF_("event_type", ST()), SF_("value", DT())]
+    )
+    table_schema = STt(
+        list(value_schema.fields)
+        + [SF_("_ab_cdc_lsn", LT()), SF_("_airbyte_extracted_at", TT())]
+    )
+    root = tempfile.mkdtemp(prefix="entry-cdc-")
+    try:
+        log = f"{root}/wal"
+        creates.unionByName(updates).unionByName(deletes).write.json(log)
+        t = LakeTable.create(
+            spark, f"{root}/tbl", table_schema, primary_key=["event_id"]
+        )
+        upper = cdc_upper_bound(spark, log)
+        src = read_cdc_log(spark, log, value_schema, upper_bound=upper)
+        merge_into(t, src, cursor_col="_ab_cdc_lsn")
+        rows = (
+            t.scan()
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_scd2_materialize(spark, sf):
     """Persistent SCD2 table built incrementally over two batches,
     ORACLE-CHECKED: end-dating (lag over cursor DESC), active_row, W3
@@ -898,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "merge_mor_upsert": q_merge_mor_upsert,
         "scd2_materialize": q_scd2_materialize,
+        "cdc_log_sync": q_cdc_log_sync,
     }
 
 
@@ -1219,6 +1302,15 @@ def oracle_sql() -> dict[str, str]:
                      AS active_row
             FROM input
             WINDOW w AS (PARTITION BY event_id ORDER BY updated_at DESC, x DESC)
+        """,
+        "cdc_log_sync": """
+            WITH upd AS (
+              SELECT event_id, value + 1000 AS value
+              FROM events WHERE event_id % 5 = 0)
+            SELECT e.event_id, e.event_type,
+                   round(COALESCE(u.value, e.value), 4) AS value
+            FROM events e LEFT JOIN upd u USING (event_id)
+            WHERE e.event_id % 10 != 0
         """,
         # dedup_simhash / images_maintenance / ann_lsh_topk /
         # image_features: non-SQL-expressible (pandas-UDF or lake-table
