@@ -39,6 +39,7 @@ class StreamLoader:
         mode: str = "dedup",  # dedup | append | truncate
         cursor_col: str | None = "updated_at",
         generation_id: int = 0,
+        merge_mode: str = "cow",  # cow | mor (S13 rowDelta path)
     ):
         if mode not in ("dedup", "append", "truncate"):
             raise ValueError(mode)
@@ -46,6 +47,7 @@ class StreamLoader:
         self.mode = mode
         self.cursor_col = cursor_col
         self.generation_id = generation_id
+        self.merge_mode = merge_mode
         self.staging = f"staging-{sync_id}"
         self.ckpt = JobCheckpointer(
             os.path.join(table.root, "checkpoints"), sync_id
@@ -68,6 +70,7 @@ class StreamLoader:
                     cursor_col=self.cursor_col,
                     branch=self.staging,
                     generation_id=self.generation_id,
+                    mode=self.merge_mode,
                 )
                 m = {"snapshot": res.snapshot.snapshot_id,
                      "rows": res.source_rows,

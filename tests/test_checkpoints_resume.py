@@ -135,3 +135,39 @@ def test_maintenance_pipeline_resumes(spark, tmp_table_dir):
         F.count(F.lit(1)).alias("n"),
     ).first()
     assert (chk["n"], chk["h"]) == (chk2["n"], chk2["h"])
+
+
+def test_stream_loader_mor_matches_cow(spark, tmp_table_dir):
+    """A full sync lifecycle in merge_mode='mor' lands the same final main
+    state as 'cow' — delete files live on staging until swap, and readers
+    of main see them applied only after the atomic branch replace."""
+    batches = [
+        generate_update_batch(spark, 100, 40, seed=70 + i, sync_id=20 + i,
+                              num_partitions=2)
+        for i in range(2)
+    ]
+
+    def run(mode, root):
+        t = LakeTable.create(spark, root, IMAGES_SCHEMA, primary_key=["image_id"])
+        t.append(generate_images(spark, 100, num_partitions=4))
+        loader = StreamLoader(t, sync_id=f"sync-{mode}", merge_mode=mode)
+        loader.start()
+        pre_main = t.scan().count()
+        for i, b in enumerate(batches):
+            loader.write(b, i)
+        # snapshot isolation: main unchanged until the swap
+        assert t.scan().count() == pre_main
+        loader.finish()
+        return t
+
+    cow = run("cow", tmp_table_dir + "-cow")
+    mor = run("mor", tmp_table_dir + "-mor")
+    assert mor.delete_files(), "MoR sync must carry delete files"
+
+    def state(tbl):
+        return {
+            r["image_id"]: (r["caption"], r["phash"])
+            for r in tbl.scan().select("image_id", "caption", "phash").collect()
+        }
+
+    assert state(cow) == state(mor)

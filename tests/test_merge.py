@@ -237,3 +237,38 @@ def test_merge_hot_key_skew(spark, tmp_table_dir):
     res = merge_into(t, df, salt_buckets=8)
     assert res.deduped_rows == 1
     assert _state(t)["hotkey"] == ("WINNER", -1)
+
+
+def test_merge_conflict_retry_succeeds(spark, tmp_table_dir):
+    """retry_on_conflict re-plans the merge against the moved branch: the
+    concurrent append's file survives AND the merge lands (Iceberg
+    commit.retry semantics)."""
+    from unittest.mock import patch
+
+    from airbyte_spark.lake.retry import retry_on_conflict
+    from airbyte_spark.lake.table import LakeTable as LT
+
+    t = _target(spark, tmp_table_dir)
+    src = spark.createDataFrame(
+        [("upd", "retry wins", 7, "s1", ts(4), ts(8), None)], SRC_SCHEMA
+    )
+    real_commit = LT.commit
+    raced = {"done": False}
+
+    def racing_commit(self, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            LT.commit = real_commit
+            t.append(
+                spark.createDataFrame([("zz", "concurrent", 1, "rX", ts(1))],
+                                      BASE_SCHEMA)
+            )
+            LT.commit = racing_commit  # type: ignore[method-assign]
+        return real_commit(self, *a, **kw)
+
+    with patch.object(LT, "commit", racing_commit):
+        res = retry_on_conflict(lambda: merge_into(t, src), base_backoff_s=0.01)
+    assert res.snapshot is not None
+    got = _state(t)
+    assert got["upd"] == ("retry wins", 7)
+    assert got["zz"] == ("concurrent", 1)  # concurrent commit not dropped
