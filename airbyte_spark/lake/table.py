@@ -473,6 +473,26 @@ class LakeTable:
         refs["branches"][target] = src_head
         atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
+    def rollback(self, snapshot_id: str, branch: str = MAIN) -> None:
+        """Point `branch` back at one of its own ancestors (Iceberg
+        `rollback_to_snapshot`). The target must be reachable from the
+        current head — rolling back to an unrelated snapshot would orphan
+        the branch's file accounting."""
+        sid = self.current_snapshot_id(branch)
+        while sid is not None:
+            if sid == snapshot_id:
+                refs = self._refs()
+                refs["branches"][branch] = snapshot_id
+                atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+                return
+            p = os.path.join(self.meta_dir, f"snap-{sid}.json")
+            if not os.path.exists(p):
+                break
+            sid = Snapshot.from_json(read_json(p)).parent_id
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of {branch}'s head"
+        )
+
     def drop_branch(self, name: str) -> None:
         refs = self._refs()
         refs["branches"].pop(name, None)

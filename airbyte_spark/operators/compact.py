@@ -49,8 +49,11 @@ def compact(
     target_file_bytes: int | None = None,
     small_file_threshold: float = 0.75,
     branch: str = MAIN,
+    partition_filter: dict | None = None,
 ) -> CompactionResult:
-    """Rewrite small files into ~target-size bins; one atomic commit."""
+    """Rewrite small files into ~target-size bins; one atomic commit.
+    With `partition_filter` only that partition's files are considered —
+    the bounded per-partition job shape for 10^12-row tables."""
     target_file_bytes = target_file_bytes or int(
         table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )
@@ -58,6 +61,12 @@ def compact(
     # planning and commit raises CommitConflict instead of being discarded
     planned_parent = table.current_snapshot_id(branch)
     entries = table.data_files(branch=branch)
+    if partition_filter:
+        entries = [
+            e
+            for e in entries
+            if all(e.partition.get(c) == str(v) for c, v in partition_filter.items())
+        ]
     deletes = table.delete_files(branch=branch)
     # group by (generation, schema, partition) — files may only be packed
     # with peers of the same schema + generation (generation-tagged naming

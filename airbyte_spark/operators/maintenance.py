@@ -133,3 +133,77 @@ def run_maintenance(
     if not report.rows:
         report.rows = sum(e.rows for e in table.data_files())
     return report
+
+
+def run_partitioned_maintenance(
+    table: LakeTable,
+    job_id: str,
+    partitions: list[dict] | None = None,
+    max_concurrent: int = 4,
+    cluster_dims: list[str] | None = None,
+    curve: str = "zorder",
+    target_file_bytes: int | None = None,
+    expire_keep_last: int = 2,
+) -> MaintenanceReport:
+    """Per-partition maintenance, partitions in PARALLEL — the job shape
+    that bounds every rewrite and commit at 10^12 rows: each partition's
+    compact + cluster is an independent job over only that partition's
+    files (scheduled here as driver threads; on a real deployment each is
+    its own spark-submit, see scripts/weak_scaling.py). Commits are
+    optimistic — concurrent partitions race on the refs pointer only and
+    resolve via retry_on_conflict re-planning (Iceberg commit.retry), never
+    on data files (partitions are disjoint by construction).
+
+    `partitions`: list of {col: value} filters; default = every live
+    partition tuple in the manifests. Ends with ONE table-wide expire+GC."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from airbyte_spark.lake.retry import retry_on_conflict
+
+    t0 = time.monotonic()
+    report = MaintenanceReport(job_id=job_id)
+    if partitions is None:
+        seen: dict[tuple, dict] = {}
+        for e in table.data_files():
+            if e.partition:
+                key = tuple(sorted(e.partition.items()))
+                seen.setdefault(key, dict(e.partition))
+        partitions = list(seen.values())
+    if not partitions:
+        raise ValueError("table has no partitions; use run_maintenance")
+
+    def one(pf: dict) -> dict:
+        s0 = time.monotonic()
+        c = retry_on_conflict(
+            lambda: compact(
+                table, target_file_bytes=target_file_bytes, partition_filter=pf
+            )
+        )
+        k = retry_on_conflict(
+            lambda: cluster(
+                table,
+                dims=cluster_dims,
+                curve=curve,
+                target_file_bytes=target_file_bytes,
+                partition_filter=pf,
+            )
+        )
+        return {
+            "partition": pf,
+            "compact_bins": len(c.plan.bins),
+            "cluster_files": k.files_after,
+            "sec": round(time.monotonic() - s0, 3),
+        }
+
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        for m in pool.map(one, partitions):
+            report.stages[f"partition-{m['partition']}"] = m
+    expired = table.expire_snapshots(keep_last=expire_keep_last)
+    orphans = table.remove_orphan_files()
+    report.stages["expire-gc"] = {
+        "expired_snapshots": len(expired),
+        "orphan_files": len(orphans),
+    }
+    report.wall_s = time.monotonic() - t0
+    report.rows = sum(e.rows for e in table.data_files())
+    return report

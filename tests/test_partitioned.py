@@ -112,3 +112,48 @@ def test_partition_pruned_merge_when_immutable(spark, tmp_table_dir):
     assert png_before == png_after, "png partition must be untouched"
     assert t.scan().filter(F.col("caption").endswith(" v2")).count() == 30
     base.unpersist()
+
+
+def test_partitioned_maintenance_parallel(spark, part_table):
+    """run_partitioned_maintenance: per-partition compact+cluster jobs run
+    CONCURRENTLY with optimistic commits + retry; rows, payload checksums
+    and per-partition clustering all hold afterwards."""
+    from airbyte_spark.operators.maintenance import run_partitioned_maintenance
+
+    t = part_table
+    chk = [
+        F.expr("bit_xor(xxhash64(image_id, caption))").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    before = t.scan().select(*chk).first()
+    rep = run_partitioned_maintenance(
+        t, "pm-1", max_concurrent=2, target_file_bytes=2 * 1024 * 1024
+    )
+    part_stages = [k for k in rep.stages if k.startswith("partition-")]
+    assert len(part_stages) == 2  # png + jpeg
+    after = t.scan().select(*chk).first()
+    assert (before["n"], before["h"]) == (after["n"], after["h"])
+    # outputs stay partition-pure and GC left no orphans
+    for e in t.data_files():
+        assert e.partition.get("fmt") in ("png", "jpeg")
+    import glob as _glob
+    import os as _os
+
+    on_disk = set(
+        _glob.glob(_os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert on_disk == t.reachable_files()
+
+
+def test_rollback_to_ancestor(spark, part_table):
+    from pytest import raises
+
+    t = part_table
+    snap0 = t.current_snapshot_id()
+    n0 = t.scan().count()
+    t.append(generate_images(spark, 30, id_offset=9000, num_partitions=2))
+    assert t.scan().count() == n0 + 30
+    t.rollback(snap0)
+    assert t.scan().count() == n0
+    with raises(ValueError):
+        t.rollback("not-a-snapshot")
