@@ -257,6 +257,7 @@ class LakeTable:
         if write_parts:
             w = w.partitionBy(*write_parts)
         w.parquet(commit_dir)
+        _drop_markers(commit_dir)
         paths = sorted(
             glob.glob(os.path.join(commit_dir, "**", "part-*.parquet"), recursive=True)
         )
@@ -288,6 +289,7 @@ class LakeTable:
         pk = self.primary_key
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}-del")
         keys.select(*pk).coalesce(1).write.mode("errorifexists").parquet(commit_dir)
+        _drop_markers(commit_dir)
         paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
         entries = collect_file_entries(
             self.spark, paths, pk, generation_id, schema_id=self.current_schema_id
@@ -658,14 +660,41 @@ class LakeTable:
         if not dry_run:
             for p in orphans:
                 os.unlink(p)
-            # bottom-up empty-dir sweep (deepest first so emptied parents
-            # are caught in the same pass)
-            for d, _dirs, _files in sorted(
+                crc = os.path.join(
+                    os.path.dirname(p), f".{os.path.basename(p)}.crc"
+                )
+                if os.path.exists(crc):  # pre-marker-cleanup writes
+                    os.unlink(crc)
+            # bottom-up sweep (deepest first so emptied parents are caught
+            # in the same pass); dirs holding only _SUCCESS/.crc markers
+            # count as empty — the manifest, not the marker, is the commit
+            # authority
+            for d, _dirs, files in sorted(
                 os.walk(self.data_dir), key=lambda t: -t[0].count(os.sep)
             ):
-                if d != self.data_dir and not os.listdir(d):
+                if d == self.data_dir:
+                    continue
+                entries_left = os.listdir(d)
+                if all(_is_marker(f) for f in entries_left):
+                    for f in entries_left:
+                        os.unlink(os.path.join(d, f))
                     os.rmdir(d)
         return orphans
+
+
+def _is_marker(name: str) -> bool:
+    return name == "_SUCCESS" or (name.startswith(".") and name.endswith(".crc"))
+
+
+def _drop_markers(commit_dir: str) -> None:
+    """Delete Spark's _SUCCESS/.crc markers right after a write: the
+    manifest is the commit authority here, and markers left behind (a)
+    strand otherwise-empty commit dirs past the GC empty-dir sweep and (b)
+    leak one hidden .crc per data file the GC later deletes."""
+    for d, _dirs, files in os.walk(commit_dir):
+        for f in files:
+            if _is_marker(f):
+                os.unlink(os.path.join(d, f))
 
 
 def apply_equality_deletes(

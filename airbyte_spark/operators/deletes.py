@@ -48,7 +48,6 @@ def _ranges_intersect(a: dict | None, b: dict | None) -> bool:
 def rewrite_deletes(
     table: LakeTable,
     branch: str = MAIN,
-    generation_id: int = 0,
 ) -> DeleteFoldResult:
     """Rewrite delete-affected data files with deletes applied; drop all
     delete entries atomically. No-op when the table has no delete files."""
@@ -75,15 +74,15 @@ def rewrite_deletes(
         # size/clustering layout intact (same tail-keyed map literal trick as
         # operators/compact.py — basenames repeat across bucket dirs).
         # Victims are read and written in their PHYSICAL schema and the new
-        # entries keep the victims' schema_id — this is a row-removal
-        # rewrite, not a schema migration.
+        # entries keep the victims' schema_id AND generation_id — this is a
+        # row-removal rewrite, not a schema migration or a refresh.
         def _tail(p: str) -> str:
             return f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
 
-        by_schema: dict[int, list[DataFileEntry]] = {}
+        by_schema: dict[tuple[int, int], list[DataFileEntry]] = {}
         for e in victims:
-            by_schema.setdefault(e.schema_id, []).append(e)
-        for sid, group in sorted(by_schema.items()):
+            by_schema.setdefault((e.schema_id, e.generation_id), []).append(e)
+        for (sid, gen), group in sorted(by_schema.items()):
             kv_bin, kv_seq = [], []
             for i, e in enumerate(group):
                 kv_bin.extend([F.lit(_tail(e.path)), F.lit(i)])
@@ -102,7 +101,7 @@ def rewrite_deletes(
                 max(len(group), spark.sparkContext.defaultParallelism), "_fold_bin"
             )
             ents = table.write_dataframe(
-                out, generation_id=generation_id, partition_by="_fold_bin"
+                out, generation_id=gen, partition_by="_fold_bin"
             )
             if sid != table.current_schema_id:
                 for e in ents:

@@ -129,9 +129,14 @@ def test_gc_collects_nested_maintenance_outputs(spark, tmp_table_dir):
         t.remove_orphan_files()
         assert on_disk(t) == t.reachable_files()  # zero leaked files
         assert t.scan().count() == 80
-        # no empty directories left behind
+        # no empty or marker-only directories left behind, and no stray
+        # _SUCCESS/.crc files for deleted parquet
         for d, _dirs, files in os.walk(t.data_dir):
-            assert os.listdir(d) or d == t.data_dir
+            if d == t.data_dir:
+                continue
+            assert any(
+                not (f == "_SUCCESS" or f.endswith(".crc")) for f in os.listdir(d)
+            ), f"marker-only dir leaked: {d}"
 
 
 def test_schema_evolution_roundtrip(spark, tmp_table_dir):
