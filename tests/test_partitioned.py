@@ -157,3 +157,37 @@ def test_rollback_to_ancestor(spark, part_table):
     assert t.scan().count() == n0
     with raises(ValueError):
         t.rollback("not-a-snapshot")
+
+
+def test_mor_partition_pruning_safe_for_cross_partition_moves(spark, tmp_table_dir):
+    """MoR makes `merge.partition-pruning` safe even when an update MOVES a
+    row across partitions: the equality-delete file is table-global, so the
+    old-partition copy dies at scan time without being rewritten — the
+    failure mode that forces pruning to be opt-in for CoW doesn't exist."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, IMAGES_SCHEMA, primary_key=["image_id"],
+        partition_by=["fmt"],
+        properties={"merge.partition-pruning": "true",
+                    "write.target-file-size-bytes": 2 * 1024 * 1024},
+    )
+    base = generate_images(spark, 120, num_partitions=2).persist()
+    t.append(base)
+    mover = base.filter("fmt = 'png'").limit(5)
+    src = (
+        mover.withColumn("fmt", F.lit("jpeg"))
+        .withColumn("caption", F.concat(F.col("caption"), F.lit(" moved")))
+        .withColumn("updated_at", F.lit("2026-06-01 00:00:00").cast("timestamp"))
+        .withColumn("_airbyte_raw_id",
+                    F.concat(F.col("_airbyte_raw_id"), F.lit("-m")))
+    )
+    moved_ids = [r["image_id"] for r in mover.select("image_id").collect()]
+    res = merge_into(t, src, mode="mor")
+    assert res.rewritten_files == 0
+    got = t.scan().filter(F.col("image_id").isin(moved_ids))
+    rows = got.select("image_id", "fmt", "caption").collect()
+    assert len(rows) == 5  # no stranded old-partition duplicates
+    assert all(r["fmt"] == "jpeg" and r["caption"].endswith(" moved") for r in rows)
+    # and the pruned scan of the OLD partition no longer returns them
+    png = t.scan(partition_filter={"fmt": "png"})
+    assert png.filter(F.col("image_id").isin(moved_ids)).isEmpty()
+    base.unpersist()
