@@ -364,7 +364,9 @@ def q_dedup_minhash_lsh(spark, sf):
     measured), while the fused Python pass is ~0.15 s."""
     from airbyte_spark.functions.dedup import band_hashes, minhash_text_udf
 
-    key = (id(spark), sf)
+    # applicationId (not id(spark)): a recycled object id after a session
+    # restart must not serve a DataFrame bound to a stopped SparkContext
+    key = (spark.sparkContext.applicationId, sf)
     if key in _LSH_CACHE:
         return _LSH_CACHE[key]
     d = _t(spark, sf, "documents")

@@ -131,7 +131,10 @@ _TIME_LOCAL_RE = r"^(\d{1,2}:\d{2}(:\d{2})?(\.\d{1,9})?)"
 def _time_parts(col: Column) -> tuple[Column, Column]:
     """(local time string, offset string) split of a time literal."""
     local = F.regexp_extract(col, _TIME_LOCAL_RE, 1)
-    off = F.regexp_extract(col, r"([+-]\d{2}:?\d{2}|[zZ])$", 1)
+    # ISO-8601 offsets: +05, +0530, +05:30, Z — an hour-only offset that
+    # slipped the regex would silently read as "assume UTC" (wrong value,
+    # no change record)
+    off = F.regexp_extract(col, r"([+-]\d{2}(:?\d{2})?|[zZ])$", 1)
     return local, off
 
 

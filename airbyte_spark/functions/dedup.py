@@ -144,8 +144,12 @@ def _md5_minhash_batch(shingle_lists: pd.Series, num_hashes: int) -> pd.Series:
     taken on the raw 128-bit digests via two-pass `np.minimum.reduceat`
     (hexdigest string order == big-endian digest order)."""
     n = len(shingle_lists)
+    # NULL arrays arrive as None through Arrow — fold them into the
+    # empty-shingle fallback instead of crashing the worker on len(None)
     lists = [
-        np.asarray(v, dtype=object) if len(v) else np.asarray([""], dtype=object)
+        np.asarray(v, dtype=object)
+        if v is not None and len(v)
+        else np.asarray([""], dtype=object)
         for v in shingle_lists
     ]
     lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=n)
@@ -274,9 +278,12 @@ def lsh_candidate_pairs(
             )
             .distinct()
         )
-    # slim projection is reused 3x (size agg + both join sides): persist so
-    # the signature UDF runs once
-    banded = banded.persist()
+    # slim projection is reused 3x (size agg + both join sides):
+    # localCheckpoint materializes it once (the signature UDF never
+    # re-runs) AND its blocks are ContextCleaner-managed — unlike a
+    # CacheManager persist, nothing leaks when the caller drops the
+    # returned DataFrame
+    banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy("band", "bhash").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep")
     )
@@ -434,7 +441,7 @@ def simhash_near_dup_pairs(
         ).alias("bk"),
     ).select(id_col, "_sh", "bk.band", "bk.bh")
     if max_bucket_size is not None:
-        bands = bands.persist()
+        bands = bands.localCheckpoint(eager=True)  # see lsh_candidate_pairs
         sizes = bands.groupBy("band", "bh").agg(
             F.count(F.lit(1)).alias("_bsz"),
             F.min(F.struct(id_col, "_sh")).alias("_rep"),

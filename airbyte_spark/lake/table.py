@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,22 @@ from airbyte_spark.lake.format import (
 from airbyte_spark.lake.stats import collect_file_entries
 
 MAIN = "main"
+
+# One lock per table root: the refs.json read-check-write in _swap_ref /
+# replace_branch must be atomic against concurrent committers in THIS
+# process (run_partitioned_maintenance's thread pool) — without it two
+# threads can both pass the expected_parent check and the second write
+# silently discards the first commit, and no CommitConflict ever fires.
+# Cross-process atomicity comes from the catalog in a real deployment
+# (Iceberg: catalog compare-and-swap); separate processes here operate on
+# separate tables (scripts/weak_scaling.py).
+_REFS_LOCKS: dict[str, threading.Lock] = {}
+_REFS_LOCKS_GUARD = threading.Lock()
+
+
+def _refs_lock(root: str) -> threading.Lock:
+    with _REFS_LOCKS_GUARD:
+        return _REFS_LOCKS.setdefault(os.path.abspath(root), threading.Lock())
 
 
 class CommitConflict(Exception):
@@ -217,14 +234,15 @@ class LakeTable:
         return name
 
     def _swap_ref(self, branch: str, expected_parent: str | None, new_sid: str) -> None:
-        refs = self._refs()
-        cur = refs["branches"].get(branch)
-        if expected_parent is not None and cur != expected_parent:
-            raise CommitConflict(
-                f"branch {branch} moved: expected {expected_parent}, found {cur}"
-            )
-        refs["branches"][branch] = new_sid
-        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+        with _refs_lock(self.root):
+            refs = self._refs()
+            cur = refs["branches"].get(branch)
+            if expected_parent is not None and cur != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch} moved: expected {expected_parent}, found {cur}"
+                )
+            refs["branches"][branch] = new_sid
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
     def write_dataframe(
         self,
@@ -453,6 +471,12 @@ class LakeTable:
         source head, else a commit that landed on the target since the
         source branched off would be silently discarded — raise
         CommitConflict and let the caller rebase/retry instead."""
+        with _refs_lock(self.root):
+            self._replace_branch_locked(target, source, require_ancestor)
+
+    def _replace_branch_locked(
+        self, target: str, source: str, require_ancestor: bool
+    ) -> None:
         refs = self._refs()
         src_head = refs["branches"][source]
         tgt_head = refs["branches"].get(target)
@@ -483,9 +507,12 @@ class LakeTable:
         sid = self.current_snapshot_id(branch)
         while sid is not None:
             if sid == snapshot_id:
-                refs = self._refs()
-                refs["branches"][branch] = snapshot_id
-                atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+                with _refs_lock(self.root):
+                    refs = self._refs()
+                    refs["branches"][branch] = snapshot_id
+                    atomic_write_json(
+                        os.path.join(self.meta_dir, "refs.json"), refs
+                    )
                 return
             p = os.path.join(self.meta_dir, f"snap-{sid}.json")
             if not os.path.exists(p):
@@ -521,11 +548,7 @@ class LakeTable:
         entries = self.data_files(branch=branch, snapshot_id=snapshot_id)
         deletes = self.delete_files(branch=branch, snapshot_id=snapshot_id)
         if partition_filter:
-            entries = [
-                e
-                for e in entries
-                if all(e.partition.get(c) == str(v) for c, v in partition_filter.items())
-            ]
+            entries = [e for e in entries if partition_matches(e, partition_filter)]
         if key_range is not None:
             col, lo, hi = key_range
             entries = [e for e in entries if _intersects(e.stats.get(col), lo, hi)]
@@ -680,6 +703,18 @@ class LakeTable:
                         os.unlink(os.path.join(d, f))
                     os.rmdir(d)
         return orphans
+
+
+def partition_matches(entry: DataFileEntry, partition_filter: dict) -> bool:
+    """Entry-vs-filter comparison that survives NULL partition values
+    (written as __HIVE_DEFAULT_PARTITION__, parsed back to None): a filter
+    value of None matches the NULL partition; everything else compares on
+    its string form (partition dirs are string-typed by construction)."""
+    for c, v in partition_filter.items():
+        want = None if v is None else str(v)
+        if entry.partition.get(c) != want:
+            return False
+    return True
 
 
 def _is_marker(name: str) -> bool:

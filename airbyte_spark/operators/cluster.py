@@ -126,11 +126,9 @@ def cluster(
     planned_parent = table.current_snapshot_id(branch)
     entries = table.data_files(branch=branch)
     if partition_filter:
-        entries = [
-            e
-            for e in entries
-            if all(e.partition.get(c) == str(v) for c, v in partition_filter.items())
-        ]
+        from airbyte_spark.lake.table import partition_matches
+
+        entries = [e for e in entries if partition_matches(e, partition_filter)]
     if not entries:
         raise ValueError("empty table or empty partition")
     bounds = _dim_bounds_entries(entries, table, dims, branch, partition_filter)

@@ -23,10 +23,7 @@ rewrite strategies).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
-
-from pyspark.sql import functions as F
 
 from airbyte_spark.lake.format import Snapshot
 from airbyte_spark.lake.table import MAIN, LakeTable
@@ -62,11 +59,9 @@ def compact(
     planned_parent = table.current_snapshot_id(branch)
     entries = table.data_files(branch=branch)
     if partition_filter:
-        entries = [
-            e
-            for e in entries
-            if all(e.partition.get(c) == str(v) for c, v in partition_filter.items())
-        ]
+        from airbyte_spark.lake.table import partition_matches
+
+        entries = [e for e in entries if partition_matches(e, partition_filter)]
     deletes = table.delete_files(branch=branch)
     # group by (generation, schema, partition) — files may only be packed
     # with peers of the same schema + generation (generation-tagged naming
@@ -130,31 +125,19 @@ def _execute_bins(
     deletes=None,
     seq_by_path: dict | None = None,
 ):
+    from airbyte_spark.operators.fileid import tail_map
+
     spark = table.spark
     physical = table.registered_schema(schema_id)
     victims = [p for b in plan.bins for p in b.paths]
-    # input_file_name() → bin id via a map literal (evaluated JVM-side in
-    # whole-stage codegen — no join, no shuffle for the lookup)
-    # keyed by the trailing "<dir>/<file>" path pair — basenames repeat
-    # across partitionBy bucket dirs, but (commit-or-bucket dir, filename)
-    # is unique — to stay agnostic of the file:// URI normalization
-    # input_file_name() applies. At ~10^6 victim files this map literal
-    # would be replaced by a broadcast join against the plan table.
-    def _tail(p: str) -> str:
-        return f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
-
-    kv = []
-    for b in plan.bins:
-        for p in b.paths:
-            kv.extend([F.lit(_tail(p)), F.lit(b.bin_id)])
-    bin_map = F.create_map(*kv)
-
-    parts = F.split(F.input_file_name(), "/")
-    tail = F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+    # input_file_name() → bin id via a <dir>/<file>-keyed map literal
+    # (operators/fileid.py — codegen'd lookup, no join, no shuffle)
     df = (
         spark.read.schema(physical)
         .parquet(*victims)
-        .withColumn("_bin", bin_map[tail])
+        .withColumn(
+            "_bin", tail_map({p: b.bin_id for b in plan.bins for p in b.paths})
+        )
     )
     # MoR tables: packed output files get a NEW commit sequence, so live
     # equality-deletes would stop applying to them — fold the applicable
@@ -164,10 +147,9 @@ def _execute_bins(
     if applicable:
         from airbyte_spark.lake.table import apply_equality_deletes
 
-        kv_seq = []
-        for p in victims:
-            kv_seq.extend([F.lit(_tail(p)), F.lit(seq_by_path.get(p, 0))])
-        df = df.withColumn("_mor_seq", F.create_map(*kv_seq)[tail])
+        df = df.withColumn(
+            "_mor_seq", tail_map({p: seq_by_path.get(p, 0) for p in victims})
+        )
         df = apply_equality_deletes(spark, df, applicable, table.primary_key)
     n_bins = len(plan.bins)
     out = df.repartition(

@@ -23,13 +23,17 @@ this module is that engine's rewriteDataFiles(delete-compaction) role.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
-from pyspark.sql import functions as F
-
 from airbyte_spark.lake.format import DataFileEntry, Snapshot
-from airbyte_spark.lake.table import MAIN, LakeTable, apply_equality_deletes
+from airbyte_spark.lake.table import (
+    MAIN,
+    LakeTable,
+    _intersects,
+    apply_equality_deletes,
+)
+from airbyte_spark.operators.fileid import tail_map
+
 
 @dataclass
 class DeleteFoldResult:
@@ -39,10 +43,11 @@ class DeleteFoldResult:
 
 
 def _ranges_intersect(a: dict | None, b: dict | None) -> bool:
-    """Conservative: missing stats on either side -> assume intersecting."""
-    if not a or a.get("min") is None or not b or b.get("min") is None:
+    """Conservative: missing stats on either side -> assume intersecting
+    (delegates to the manifest-pruning predicate, lake/table.py)."""
+    if not b or b.get("min") is None:
         return True
-    return not (a["max"] < b["min"] or a["min"] > b["max"])
+    return _intersects(a, b["min"], b["max"])
 
 
 def rewrite_deletes(
@@ -71,30 +76,27 @@ def rewrite_deletes(
     if victims:
         spark = table.spark
         # per-victim-file identity: one output file per input file keeps the
-        # size/clustering layout intact (same tail-keyed map literal trick as
-        # operators/compact.py — basenames repeat across bucket dirs).
-        # Victims are read and written in their PHYSICAL schema and the new
-        # entries keep the victims' schema_id AND generation_id — this is a
-        # row-removal rewrite, not a schema migration or a refresh.
-        def _tail(p: str) -> str:
-            return f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
-
+        # size/clustering layout intact (<dir>/<file>-keyed map literal,
+        # operators/fileid.py). Victims are read and written in their
+        # PHYSICAL schema and the new entries keep the victims' schema_id
+        # AND generation_id — this is a row-removal rewrite, not a schema
+        # migration or a refresh.
         by_schema: dict[tuple[int, int], list[DataFileEntry]] = {}
         for e in victims:
             by_schema.setdefault((e.schema_id, e.generation_id), []).append(e)
         for (sid, gen), group in sorted(by_schema.items()):
-            kv_bin, kv_seq = [], []
-            for i, e in enumerate(group):
-                kv_bin.extend([F.lit(_tail(e.path)), F.lit(i)])
-                kv_seq.extend([F.lit(_tail(e.path)), F.lit(e.sequence or 0)])
-            parts = F.split(F.input_file_name(), "/")
-            tail = F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
             physical = table.registered_schema(sid)
             df = (
                 spark.read.schema(physical)
                 .parquet(*[e.path for e in group])
-                .withColumn("_fold_bin", F.create_map(*kv_bin)[tail])
-                .withColumn("_mor_seq", F.create_map(*kv_seq)[tail])
+                .withColumn(
+                    "_fold_bin",
+                    tail_map({e.path: i for i, e in enumerate(group)}),
+                )
+                .withColumn(
+                    "_mor_seq",
+                    tail_map({e.path: e.sequence or 0 for e in group}),
+                )
             )
             df = apply_equality_deletes(spark, df, deletes, pk)
             out = df.repartition(

@@ -351,7 +351,7 @@ def merge_into(
             table.properties.get("merge.partition-pruning", "")
         ).lower() in ("1", "true"):
             batch_parts = {
-                tuple(str(r[c]) for c in part_cols)
+                tuple(None if r[c] is None else str(r[c]) for c in part_cols)
                 for r in keyed.select(*part_cols).distinct().collect()
             }
             prunable = [

@@ -142,22 +142,29 @@ def scd2_apply(
     props = table.properties
     pk = json.loads(props["scd.source_pk"])
     cursor_col = props["scd.cursor"]
-    source_cols = [
-        f.name for f in table.schema(branch=branch).fields if f.name not in SCD_COLS
-    ]
-    batch_cols = [c for c in source_cols if c in batch.columns]
+    tbl_schema = table.schema(branch=branch)
+    source_fields = [f for f in tbl_schema.fields if f.name not in SCD_COLS]
+    source_cols = [f.name for f in source_fields]
     uk = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in pk]))
     touched = batch.select(uk.alias(UNIQUE_KEY)).distinct()
+    # previous actives keep their FULL stored row: a batch missing a source
+    # column must not null that column on the re-end-dated incumbent — only
+    # the batch's own new versions carry NULL there
     prev_active = (
         table.scan(branch=branch)
         .filter(F.col(ACTIVE_ROW) == 1)
         .join(F.broadcast(touched), on=UNIQUE_KEY, how="left_semi")
-        .select(*batch_cols)
+        .select(*source_cols)
     )
+    have = set(batch.columns)
     aligned = batch.select(
         *[
-            F.col(c).cast(dict(prev_active.dtypes)[c]).alias(c)
-            for c in batch_cols
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in source_fields
         ]
     )
     inp = aligned.unionByName(prev_active)

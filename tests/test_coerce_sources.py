@@ -203,6 +203,14 @@ def test_coerce_type_matrix(spark):
     assert one("s_time_off", "time_ntz") == "12:34:56.000000"  # offset dropped
     assert one("s_time", "time_tz") == "12:34:56.123000+00:00"  # assume UTC
     assert one("s_time_off", "time_tz") == "11:34:56.000000+00:00"  # to UTC
+    # hour-only ISO offset must convert, not silently read as UTC
+    df_h = spark.createDataFrame([("13:00:00+05",)], ["t"])
+    from pyspark.sql.types import StringType as _S
+
+    got_h = df_h.select(
+        coerce_airbyte_value(F.col("t"), _S(), "time_tz").alias("v")
+    ).first()["v"]
+    assert got_h == "08:00:00.000000+00:00"
     assert one("s_bad_time", "time_ntz") is None
     # -- union/object/array rows (:59-75): passthrough as JSON text
     assert one("obj", "union") == '{"a":1,"b":"x"}'

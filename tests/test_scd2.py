@@ -140,3 +140,19 @@ def test_scd2_unique_key_is_stable_surrogate(spark, tmp_table_dir):
     )
     row = t.scan().first()
     assert row[UNIQUE_KEY] == hashlib.md5(b"a").hexdigest()
+
+
+def test_scd2_batch_missing_column_keeps_stored_values(spark, tmp_table_dir):
+    """A batch lacking a source column must not null that column on the
+    re-end-dated previous-active row; only the batch's own versions carry
+    NULL there."""
+    t = scd2_create(spark, tmp_table_dir, SRC, ["id"], "updated_at")
+    scd2_apply(
+        t, spark.createDataFrame([("a", "keep-me", 1, "r1", ts(1), ts(1), None)], SRC)
+    )
+    no_name = StructType([f for f in SRC.fields if f.name != "name"])
+    b2 = spark.createDataFrame([("a", 2, "r2", ts(2), ts(2), None)], no_name)
+    scd2_apply(t, b2)
+    rows = {r["v"]: r["name"] for r in t.scan().filter("id = 'a'").collect()}
+    assert rows[1] == "keep-me"  # incumbent kept its stored column
+    assert rows[2] is None  # the new version genuinely lacks it
