@@ -613,6 +613,84 @@ class LakeTable:
             return df
         return apply_equality_deletes(self.spark, df, deletes, self.primary_key)
 
+    def scan_incremental(
+        self,
+        from_snapshot_id: str,
+        branch: str = MAIN,
+        to_snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Changelog-style incremental read (Iceberg incremental append
+        scan): rows in data files committed AFTER `from_snapshot_id` up to
+        `to_snapshot_id`/head. Selected purely from manifest sequence
+        numbers — no diffing of row contents. Note: CoW rewrites
+        (compact/cluster/merge) re-add rows with a new sequence, so run
+        incremental consumers against append/MoR-merge windows or between
+        maintenance passes, same as Iceberg's append-scan caveat."""
+        from_seq = self.snapshot(from_snapshot_id).sequence
+        to_snap = self.snapshot(to_snapshot_id, branch)
+        entries = [
+            e
+            for e in self.data_files(branch=branch, snapshot_id=to_snap.snapshot_id)
+            if (e.sequence or 0) > from_seq
+        ]
+        deletes = self.delete_files(branch=branch, snapshot_id=to_snap.snapshot_id)
+        schema = self.schema(branch=branch, snapshot_id=to_snap.snapshot_id)
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        return self.read_entries(entries, schema, deletes=deletes)
+
+    # ------------------------------------------------------------------
+    # metadata tables (Iceberg `db.table.snapshots` / `.files` analogs)
+    # ------------------------------------------------------------------
+
+    def snapshots_df(self) -> DataFrame:
+        """All snapshots as a DataFrame (inspection/SQL surface)."""
+        import json as _json
+
+        rows = []
+        for p in sorted(glob.glob(os.path.join(self.meta_dir, "snap-*.json"))):
+            s = Snapshot.from_json(read_json(p))
+            rows.append(
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.sequence,
+                    s.timestamp_ms,
+                    s.operation,
+                    _json.dumps(s.summary),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id string, parent_id string, sequence long, "
+            "timestamp_ms long, operation string, summary string",
+        )
+
+    def files_df(self, branch: str = MAIN, snapshot_id: str | None = None) -> DataFrame:
+        """Live manifest entries as a DataFrame: one row per data/delete
+        file with counts, sizes, identity and partition values."""
+        import json as _json
+
+        rows = [
+            (
+                e.path,
+                e.content,
+                e.rows,
+                e.bytes,
+                e.sequence or 0,
+                e.generation_id,
+                e.schema_id,
+                _json.dumps(e.partition),
+            )
+            for e in self.all_files(branch=branch, snapshot_id=snapshot_id)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, content string, rows long, bytes long, "
+            "sequence long, generation_id long, schema_id long, "
+            "partition string",
+        )
+
     # ------------------------------------------------------------------
     # maintenance: expiry + orphan GC (IcebergTableCleaner semantics)
     # ------------------------------------------------------------------

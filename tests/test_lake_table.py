@@ -216,3 +216,69 @@ def test_concurrent_commits_none_lost(spark, tmp_table_dir):
     # history contains every snapshot (nothing orphaned off the chain)
     hist = {s.snapshot_id for s in t.history()}
     assert {s.snapshot_id for s in snaps} <= hist
+
+
+def test_incremental_scan_between_snapshots(spark, tmp_table_dir):
+    """Changelog read: rows committed after a snapshot, selected from
+    manifest sequences (Iceberg incremental append scan)."""
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    snap0 = t.current_snapshot_id()
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    mid = t.current_snapshot_id()
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    inc = t.scan_incremental(snap0)
+    assert sorted(r["id"] for r in inc.collect()) == ["b", "c"]
+    window = t.scan_incremental(snap0, to_snapshot_id=mid)
+    assert sorted(r["id"] for r in window.collect()) == ["b"]
+    assert t.scan_incremental(t.current_snapshot_id()).count() == 0
+
+
+def test_incremental_scan_applies_mor_deletes(spark, tmp_table_dir):
+    """A MoR merge inside the incremental window: the window's new rows
+    arrive with the window's deletes applied (upserted versions only)."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    from airbyte_spark.operators.merge import merge_into
+
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+        ]
+    )
+    ts0 = dt.datetime(2026, 4, 1)
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", 1, "r1", ts0), ("b", 1, "r2", ts0)], schema))
+    snap0 = t.current_snapshot_id()
+    src_schema = StructType(
+        list(schema.fields)
+        + [StructField("updated_at", TimestampType())]
+    )
+    merge_into(
+        t,
+        spark.createDataFrame([("a", 2, "s1", ts0, ts0)], src_schema),
+        mode="mor",
+    )
+    merge_into(
+        t,
+        spark.createDataFrame([("a", 3, "s2", ts0, ts0.replace(day=2))], src_schema),
+        mode="mor",
+    )
+    inc = t.scan_incremental(snap0)
+    rows = [(r["id"], r["v"]) for r in inc.collect()]
+    assert rows == [("a", 3)]  # only the surviving upserted version
+
+
+def test_metadata_tables(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    snaps = t.snapshots_df()
+    assert snaps.filter("operation = 'append'").count() >= 2
+    assert snaps.filter("operation = 'create'").count() == 1
+    files = t.files_df()
+    assert files.filter("content = 'data'").count() == len(t.data_files())
+    assert files.agg(F.sum("rows")).first()[0] == 2
