@@ -108,3 +108,97 @@ def test_bucket_boundaries_partition_the_keyspace(keys, n_out):
     # monotone: larger key -> same or larger bucket
     s = sorted(zip(keys, assigned))
     assert all(s[i][1] <= s[i + 1][1] for i in range(len(s) - 1))
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_batch_matches_scalar_definition(docs, k):
+    """Property: the batch-vectorized k-min md5 signature equals the
+    scalar min(md5(f'{i}|{s}')) definition on arbitrary unicode shingle
+    sets (incl. empty lists -> the '' fallback)."""
+    import hashlib
+
+    import pandas as pd
+
+    from airbyte_spark.functions.dedup import _md5_minhash_batch
+
+    got = list(_md5_minhash_batch(pd.Series(docs), k))
+    for shingles, sig in zip(docs, got):
+        sh = shingles or [""]
+        expect = [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            for i in range(k)
+        ]
+        assert sig == expect
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_simhash_batch_matches_scalar_definition(texts):
+    """Property: batch-vectorized simhash == the scalar FNV-1a/sign
+    accumulation on arbitrary unicode text (and None)."""
+    import pandas as pd
+
+    from airbyte_spark.functions.dedup import _simhash_batch
+
+    def scalar(t):
+        toks = [w for w in (t or "").lower().split() if w]
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for w in toks:
+            h = 0xCBF29CE484222325
+            for byt in w.encode("utf-8"):
+                h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sh = sum(1 << b for b in range(64) if acc[b] > 0)
+        return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+    got = list(_simhash_batch(pd.Series(texts)))
+    assert got == [scalar(t) for t in texts]
+
+
+@given(
+    name=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=24,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_safe_name_always_valid(name):
+    """Property: to_avro_safe_name output always matches the Avro
+    identifier grammar [A-Za-z_][A-Za-z0-9_]*."""
+    import re
+
+    from airbyte_spark.functions.names import to_avro_safe_name
+
+    out = to_avro_safe_name(name)
+    assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", out), (name, out)
