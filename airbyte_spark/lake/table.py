@@ -593,19 +593,25 @@ class LakeTable:
         # requested file is at least as new as every delete, skip the join
         min_data_seq = min(e.sequence or 0 for e in entries)
         deletes = [d for d in deletes if (d.sequence or 0) > min_data_seq]
-        by_group: dict[tuple[int, int], list[str]] = {}
+        by_schema: dict[int, list[DataFileEntry]] = {}
         for e in entries:
-            # sequence only matters while deletes apply; without them all
-            # files of one schema can share a single multi-path scan
-            seq = (e.sequence or 0) if deletes else 0
-            by_group.setdefault((e.schema_id, seq), []).append(e.path)
+            by_schema.setdefault(e.schema_id, []).append(e)
         parts: list[DataFrame] = []
-        for (sid, seq), paths in sorted(by_group.items()):
+        for sid, group in sorted(by_schema.items()):
             physical = self.registered_schema(sid)
-            part = _align(self.spark.read.schema(physical).parquet(*paths), schema)
+            part = self.spark.read.schema(physical).parquet(*(e.path for e in group))
             if deletes:
-                part = part.withColumn("_mor_seq", F.lit(seq))
-            parts.append(part)
+                # per-row commit sequence via the <dir>/<file>-keyed map
+                # (operators/fileid.py): ONE multi-path scan per schema, not
+                # one scan node per (schema, sequence) — after thousands of
+                # MoR micro-batches a per-sequence union would explode the
+                # plan while this stays a single codegen'd projection
+                from airbyte_spark.operators.fileid import tail_map
+
+                part = part.withColumn(
+                    "_mor_seq", tail_map({e.path: e.sequence or 0 for e in group})
+                )
+            parts.append(_align_keep(part, schema, ["_mor_seq"] if deletes else []))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -820,17 +826,16 @@ def apply_equality_deletes(
     `_mor_seq` column (each row's data-file commit sequence); a delete key
     removes rows whose sequence is strictly smaller than the delete file's.
     One left join against the max delete sequence per key — broadcast for
-    micro-batch-sized delete sets."""
-    by_seq: dict[int, list[str]] = {}
-    for d in deletes:
-        by_seq.setdefault(d.sequence or 0, []).append(d.path)
-    key_parts = [
-        spark.read.parquet(*paths).select(*pk).withColumn("_del_seq", F.lit(seq))
-        for seq, paths in sorted(by_seq.items())
-    ]
-    keys = key_parts[0]
-    for p in key_parts[1:]:
-        keys = keys.unionByName(p)
+    micro-batch-sized delete sets. All delete files are read in ONE
+    multi-path scan with per-file sequences from the tail map (no
+    per-batch union nodes as delete files accumulate)."""
+    from airbyte_spark.operators.fileid import tail_map
+
+    keys = (
+        spark.read.parquet(*(d.path for d in deletes))
+        .withColumn("_del_seq", tail_map({d.path: d.sequence or 0 for d in deletes}))
+        .select(*pk, "_del_seq")
+    )
     newest = keys.groupBy(*pk).agg(F.max("_del_seq").alias("_del_seq"))
     if sum(d.rows for d in deletes) <= 2_000_000:
         newest = F.broadcast(newest)
@@ -870,6 +875,11 @@ def _align(df: DataFrame, target: StructType) -> DataFrame:
     """Project/cast a physically-typed DataFrame to the logical schema:
     missing columns become NULL, widened columns are cast, dropped columns
     are pruned (schema-evolution read path)."""
+    return _align_keep(df, target, [])
+
+
+def _align_keep(df: DataFrame, target: StructType, keep: list[str]) -> DataFrame:
+    """_align plus pass-through of transient bookkeeping columns."""
     cols = []
     have = set(df.columns)
     for f in target.fields:
@@ -877,4 +887,4 @@ def _align(df: DataFrame, target: StructType) -> DataFrame:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(c) for c in keep if c in have])

@@ -11,24 +11,43 @@ per-partition job sharding keeps real jobs far below that.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def file_tail(path: str) -> str:
-    return f"{os.path.basename(os.path.dirname(path))}/{os.path.basename(path)}"
+def _tail_n(path: str, n: int) -> str:
+    return "/".join(path.split("/")[-n:])
 
 
-def input_file_tail() -> Column:
+def _suffix_depth(paths: list[str]) -> int:
+    """Smallest trailing-segment count that keys every path uniquely.
+    2 (`<dir>/<file>`) suffices for singly-nested commit dirs; one write
+    with table partitions AND a bucket column nests twice
+    (`_p_col=v/_pid=N/part-...`), where basenames AND immediate parents
+    repeat across sibling partition dirs — grow until distinct."""
+    n = 2
+    while len({_tail_n(p, n) for p in paths}) != len(paths):
+        n += 1
+        if n > 16:  # paths are bounded by partition-col count; never hit
+            raise ValueError("cannot derive unique file-tail keys")
+    return n
+
+
+def file_tail(path: str, n: int = 2) -> str:
+    return _tail_n(path, n)
+
+
+def input_file_tail(n: int = 2) -> Column:
     parts = F.split(F.input_file_name(), "/")
-    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+    return F.concat_ws(
+        "/", *[F.element_at(parts, -(i + 1)) for i in reversed(range(n))]
+    )
 
 
 def tail_map(path_values: dict[str, object]) -> Column:
     """Column: value assigned to each row by its source file."""
+    n = _suffix_depth(list(path_values))
     kv: list[Column] = []
     for p, v in path_values.items():
-        kv.extend([F.lit(file_tail(p)), F.lit(v)])
-    return F.create_map(*kv)[input_file_tail()]
+        kv.extend([F.lit(_tail_n(p, n)), F.lit(v)])
+    return F.create_map(*kv)[input_file_tail(n)]
