@@ -198,6 +198,18 @@ def run_partitioned_maintenance(
     with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
         for m in pool.map(one, partitions):
             report.stages[f"partition-{m['partition']}"] = m
+    # partition-scoped clusters keep equality-delete files alive (they may
+    # still apply to other partitions); fold + drop them table-wide. Cheap:
+    # the per-partition rewrites already restamped most data files to a
+    # newer sequence, so few victims remain
+    if table.delete_files():
+        from airbyte_spark.operators.deletes import rewrite_deletes
+
+        fold = retry_on_conflict(lambda: rewrite_deletes(table))
+        report.stages["fold-deletes"] = {
+            "rewritten_files": fold.rewritten_files,
+            "dropped_delete_files": fold.dropped_delete_files,
+        }
     expired = table.expire_snapshots(keep_last=expire_keep_last)
     orphans = table.remove_orphan_files()
     report.stages["expire-gc"] = {

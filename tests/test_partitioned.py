@@ -191,3 +191,29 @@ def test_mor_partition_pruning_safe_for_cross_partition_moves(spark, tmp_table_d
     png = t.scan(partition_filter={"fmt": "png"})
     assert png.filter(F.col("image_id").isin(moved_ids)).isEmpty()
     base.unpersist()
+
+
+def test_partitioned_maintenance_folds_mor_deletes(spark, part_table):
+    """MoR merges followed by partition-parallel maintenance: the final
+    fold stage drops every delete file and the post-maintenance state
+    equals the pre-maintenance scan."""
+    from airbyte_spark.operators.maintenance import run_partitioned_maintenance
+
+    t = part_table
+    src = generate_update_batch(spark, 240, 50, num_partitions=2)
+    merge_into(t, src, mode="mor")
+    assert t.delete_files()
+    before = {
+        r["image_id"]: r["caption"]
+        for r in t.scan().select("image_id", "caption").collect()
+    }
+    rep = run_partitioned_maintenance(
+        t, "pm-mor", max_concurrent=2, target_file_bytes=2 * 1024 * 1024
+    )
+    assert "fold-deletes" in rep.stages
+    assert not t.delete_files()
+    after = {
+        r["image_id"]: r["caption"]
+        for r in t.scan().select("image_id", "caption").collect()
+    }
+    assert before == after

@@ -167,3 +167,59 @@ def test_topk_uses_take_ordered(spark):
     df = entry.q_o2_order_topk(spark, SF)
     p = plan_of(df)
     assert "TakeOrderedAndProject" in p
+
+
+def test_mor_many_batches_plan_stays_flat(spark, tmp_table_dir):
+    """Scale guard: after MANY MoR micro-batches the scan plan must remain
+    ONE parquet scan per schema (file->sequence via map literal), not a
+    per-batch union — and exactly one anti-join for all delete files."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+
+    # cursor lives in the base schema: keeps this test single-schema so the
+    # ONLY possible source of plan growth is the MoR batch count
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+            StructField("updated_at", TimestampType()),
+        ]
+    )
+    ts0 = dt.datetime(2026, 5, 1)
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["id"])
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}", 0, f"r{i}", ts0, ts0) for i in range(50)], schema
+        )
+    )
+    for b in range(12):
+        src = spark.createDataFrame(
+            [(f"k{(b * 7 + j) % 50}", b + 1, f"s{b}-{j}",
+              ts0, ts0 + dt.timedelta(days=b + 1)) for j in range(5)],
+            schema,
+        )
+        merge_into(t, src, mode="mor")
+    assert len(t.delete_files()) == 12
+    df = t.scan()
+    p = plan_of(df)
+    # 13 data commits + 12 delete files, but: one schema -> ONE data scan,
+    # one delete-keys scan, one aggregate, one join — independent of the
+    # number of micro-batches
+    assert p.count("Scan parquet") == 2, p[:1200]
+    assert p.count("BroadcastHashJoin") == 1
+    assert "Union" not in p
+    # and it is still correct: latest version per key
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert len(got) == 50 and max(got.values()) == 12
