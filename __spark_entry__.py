@@ -735,6 +735,26 @@ def q_merge_mor_upsert(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_audio_features(spark, sf):
+    """Audio modality plumbing (rows-only; SAUD deterministic codec):
+    waveform features per clip via one Arrow-batched pandas UDF."""
+    from airbyte_spark.datagen import generate_audio
+    from airbyte_spark.functions.multimodal import audio_features
+
+    return audio_features(generate_audio(spark, 120, num_partitions=4))
+
+
+def q_video_frame_features(spark, sf):
+    """Video modality plumbing (rows-only; SVID deterministic codec):
+    frame-sample every 2nd frame via mapInPandas, phash each SPNG frame
+    with the existing image codec."""
+    from airbyte_spark.datagen import generate_videos
+    from airbyte_spark.functions.multimodal import video_frame_features
+
+    return video_frame_features(generate_videos(spark, 40, num_partitions=4),
+                                every_k=2)
+
+
 def q_cdc_log_sync(spark, sf):
     """S4 CDC log scan end-to-end, ORACLE-CHECKED: synthesize a Debezium
     envelope log from the events table (creates + updates + deletes with
@@ -983,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_upsert": q_merge_mor_upsert,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
+        "audio_features": q_audio_features,
+        "video_frame_features": q_video_frame_features,
     }
 
 

@@ -204,3 +204,91 @@ def with_meta_struct(df: DataFrame, sync_id: int = 1) -> DataFrame:
             F.array().cast(ArrayType(META_CHANGE)).alias("changes"),
         ),
     )
+
+
+def generate_audio(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic audio clips (SAUD PCM): sine + noise, value = f(seed, i)."""
+    from airbyte_spark.functions.multimodal import AUDIO_SCHEMA, encode_audio
+
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, 1_000_000 + i])
+                rate = int((8000, 16000, 22050)[i % 3])
+                n_samp = int(rng.integers(rate // 4, rate))  # 0.25-1 s
+                t = np.arange(n_samp) / rate
+                freq = 110.0 * (1 + i % 16)
+                x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(
+                    n_samp
+                )
+                pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+                rows.append(
+                    {
+                        "clip_id": f"aud-{i:012d}",
+                        "bytes": encode_audio(pcm, rate),
+                        "sample_rate": rate,
+                        "n_samples": n_samp,
+                        "fmt": "saud",
+                        "caption": _caption(rng),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def generate_videos(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic short videos (SVID): 4-10 SPNG frames of a drifting
+    pattern, so sampled frames feed the image decode/phash ops directly."""
+    from airbyte_spark.functions.multimodal import VIDEO_SCHEMA, encode_video
+
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, 2_000_000 + i])
+                w = h = int(_SIZES[rng.integers(0, 2)])  # 32 or 64
+                n_frames = int(rng.integers(4, 11))
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for fidx in range(n_frames):
+                    base = 127 + 90 * np.sin(xx / 5 + i + fidx * 0.7)
+                    frame = np.stack(
+                        [base, base * 0.8, base * 0.6], axis=-1
+                    ).clip(0, 255).astype(np.uint8)
+                    frames.append(frame)
+                fps = float((8, 12, 24)[i % 3])
+                rows.append(
+                    {
+                        "video_id": f"vid-{i:012d}",
+                        "bytes": encode_video(frames, fps),
+                        "w": w,
+                        "h": h,
+                        "n_frames": n_frames,
+                        "fps": fps,
+                        "fmt": "svid",
+                        "caption": _caption(rng),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, schema=VIDEO_SCHEMA)
