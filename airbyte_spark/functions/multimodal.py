@@ -41,13 +41,12 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
 )
 
-from airbyte_spark.codecs import decode_image, encode_image, phash64
+from airbyte_spark.codecs import encode_image
 
 MAGIC_AUD = b"SAUD"
 MAGIC_VID = b"SVID"
@@ -205,20 +204,11 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
-@pandas_udf(LongType())
-def frame_phash_udf(frame_bytes: pd.Series) -> pd.Series:
-    out = []
-    for b in frame_bytes:
-        if b is None:
-            out.append(None)
-            continue
-        ph = phash64(decode_image(b))
-        out.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
-    return pd.Series(out, dtype="Int64")
-
-
 def video_frame_features(videos: DataFrame, every_k: int = 2) -> DataFrame:
-    """(video_id, frame_idx, phash) for every sampled frame."""
+    """(video_id, frame_idx, phash) for every sampled frame — the frames
+    are SPNG, so the image module's existing phash UDF applies as-is."""
+    from airbyte_spark.functions.images import phash_udf
+
     return sample_frames(videos, every_k).select(
-        "video_id", "frame_idx", frame_phash_udf(F.col("frame_bytes")).alias("phash")
+        "video_id", "frame_idx", phash_udf(F.col("frame_bytes")).alias("phash")
     )

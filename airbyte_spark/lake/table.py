@@ -617,7 +617,7 @@ class LakeTable:
             df = df.unionByName(p)
         if not deletes:
             return df
-        return apply_equality_deletes(self.spark, df, deletes, self.primary_key)
+        return apply_equality_deletes(self, df, deletes)
 
     def scan_incremental(
         self,
@@ -817,25 +817,45 @@ def _drop_markers(commit_dir: str) -> None:
 
 
 def apply_equality_deletes(
-    spark: SparkSession,
+    table: "LakeTable",
     df: DataFrame,
     deletes: list[DataFileEntry],
-    pk: list[str],
 ) -> DataFrame:
     """Remove rows matched by equality-delete keys. `df` must carry a
     `_mor_seq` column (each row's data-file commit sequence); a delete key
     removes rows whose sequence is strictly smaller than the delete file's.
     One left join against the max delete sequence per key — broadcast for
-    micro-batch-sized delete sets. All delete files are read in ONE
-    multi-path scan with per-file sequences from the tail map (no
-    per-batch union nodes as delete files accumulate)."""
+    micro-batch-sized delete sets. Delete files are read in one multi-path
+    scan PER WRITE-TIME SCHEMA (key columns typed per era, cast to the
+    current pk types — an id int->long evolution must not misread older
+    delete files), with per-file sequences from the tail map (no per-batch
+    union nodes as delete files accumulate)."""
     from airbyte_spark.operators.fileid import tail_map
 
-    keys = (
-        spark.read.parquet(*(d.path for d in deletes))
-        .withColumn("_del_seq", tail_map({d.path: d.sequence or 0 for d in deletes}))
-        .select(*pk, "_del_seq")
-    )
+    spark = table.spark
+    pk = table.primary_key
+    current = {f.name: f.dataType for f in table.schema().fields}
+    by_schema: dict[int, list[DataFileEntry]] = {}
+    for d in deletes:
+        by_schema.setdefault(d.schema_id, []).append(d)
+    key_parts: list[DataFrame] = []
+    for sid, group in sorted(by_schema.items()):
+        era = table.registered_schema(sid)
+        era_pk = StructType([f for f in era.fields if f.name in pk])
+        part = (
+            spark.read.schema(era_pk)
+            .parquet(*(d.path for d in group))
+            .withColumn(
+                "_del_seq", tail_map({d.path: d.sequence or 0 for d in group})
+            )
+            .select(
+                *[F.col(c).cast(current[c]).alias(c) for c in pk], "_del_seq"
+            )
+        )
+        key_parts.append(part)
+    keys = key_parts[0]
+    for p in key_parts[1:]:
+        keys = keys.unionByName(p)
     newest = keys.groupBy(*pk).agg(F.max("_del_seq").alias("_del_seq"))
     if sum(d.rows for d in deletes) <= 2_000_000:
         newest = F.broadcast(newest)

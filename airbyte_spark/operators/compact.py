@@ -150,7 +150,7 @@ def _execute_bins(
         df = df.withColumn(
             "_mor_seq", tail_map({p: seq_by_path.get(p, 0) for p in victims})
         )
-        df = apply_equality_deletes(spark, df, applicable, table.primary_key)
+        df = apply_equality_deletes(table, df, applicable)
     n_bins = len(plan.bins)
     out = df.repartition(
         max(n_bins, spark.sparkContext.defaultParallelism), "_bin"

@@ -98,7 +98,7 @@ def rewrite_deletes(
                     tail_map({e.path: e.sequence or 0 for e in group}),
                 )
             )
-            df = apply_equality_deletes(spark, df, deletes, pk)
+            df = apply_equality_deletes(table, df, deletes)
             out = df.repartition(
                 max(len(group), spark.sparkContext.defaultParallelism), "_fold_bin"
             )

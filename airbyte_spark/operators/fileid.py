@@ -38,7 +38,17 @@ def file_tail(path: str, n: int = 2) -> str:
 
 
 def input_file_tail(n: int = 2) -> Column:
-    parts = F.split(F.input_file_name(), "/")
+    """Trailing n path segments of each row's source file, decoded back to
+    the RAW on-disk name. input_file_name() returns a URI: segments that
+    Spark's escapePathName already percent-escaped on disk (':' -> '%3A')
+    get re-encoded ('%' -> '%25'), and spaces become '%20' — matching
+    against raw path keys silently misses without decoding (every lookup
+    null -> corrupted _mor_seq/_bin). Literal '+' is legal in a URI path
+    and must survive URLDecoder's +-means-space rule, hence the
+    pre-protection."""
+    raw = F.input_file_name()
+    decoded = F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+    parts = F.split(decoded, "/")
     return F.concat_ws(
         "/", *[F.element_at(parts, -(i + 1)) for i in reversed(range(n))]
     )

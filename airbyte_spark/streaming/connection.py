@@ -45,8 +45,11 @@ class ConnectionSync:
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate stream names: {names}")
         # table-name conflict check (S3DataLakeWriter.kt:32-63): two streams
-        # writing one table root would corrupt each other's staging branches
-        roots = [s.table.root for s in streams]
+        # writing one table root would corrupt each other's staging
+        # branches — compare normalized paths so aliases don't slip through
+        import os
+
+        roots = [os.path.abspath(s.table.root) for s in streams]
         if len(set(roots)) != len(roots):
             raise ValueError(f"streams share a table root: {roots}")
         self.sync_id = sync_id
@@ -70,10 +73,18 @@ class ConnectionSync:
 
     def write(self, batches: dict[str, tuple[DataFrame, int]]) -> dict:
         """One round of per-stream micro-batches, streams in parallel:
-        {stream: (batch_df, checkpoint_id)} -> {stream: metrics}."""
+        {stream: (batch_df, checkpoint_id)} -> {stream: metrics}. A stream
+        that failed an earlier checkpoint stops accepting later ones — a
+        committed checkpoint N+1 above an uncommitted N would make the
+        kept-for-resume staging branch out of order."""
+        unknown = set(batches) - set(self.loaders)
+        if unknown:
+            raise KeyError(f"unknown streams: {sorted(unknown)}")
 
         def one(item):
             name, (df, ckpt) = item
+            if name in self._failed:
+                return name, {"skipped": "stream already failed"}
             try:
                 return name, self.loaders[name].write(df, ckpt)
             except Exception as e:  # noqa: BLE001 — recorded, re-raised at finish

@@ -288,3 +288,51 @@ def test_numeric_pk_pruning(spark, tmp_table_dir):
     assert res.rewritten_files == 1
     got = {r["k"]: r["caption"] for r in t.scan().collect()}
     assert got[10] == "ten" and got[100] == "hundred" and got[1] == "c1"
+
+
+def test_mor_with_escaped_partition_values(spark, tmp_table_dir):
+    """Partition values containing ':' and ' ' are percent-escaped in dir
+    names and re-encoded by input_file_name(); the file-tail maps carrying
+    _mor_seq/_del_seq must decode before matching or every row's sequence
+    is NULL and upserted rows silently vanish (round-2 review repro)."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("batch_ts", StringType()),
+            StructField("v", IntegerType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+            StructField("updated_at", TimestampType()),
+        ]
+    )
+    ts0 = dt.datetime(2026, 6, 1)
+    t = LakeTable.create(
+        spark, tmp_table_dir, schema, primary_key=["id"],
+        partition_by=["batch_ts"],
+    )
+    parts = ["2026-04-01 10:00:00", "2026-04-02 11:30:00"]
+    base = [
+        (f"k{i}", parts[i % 2], 0, f"r{i}", ts0, ts0) for i in range(20)
+    ]
+    t.append(spark.createDataFrame(base, schema))
+    # two writes -> same basenames under sibling escaped partition dirs ->
+    # the tail map needs depth >= 3 and URL-decoded matching
+    upd = [
+        (f"k{i}", parts[i % 2], 1, f"s{i}", ts0, ts0 + dt.timedelta(days=1))
+        for i in range(0, 20, 2)
+    ]
+    merge_into(t, spark.createDataFrame(upd, schema), mode="mor")
+    got = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert len(got) == 20, "upserted rows must not vanish"
+    for i in range(20):
+        assert got[f"k{i}"] == (1 if i % 2 == 0 else 0)
+    # fold works over escaped dirs too
+    from airbyte_spark.operators.deletes import rewrite_deletes
+
+    rewrite_deletes(t)
+    assert not t.delete_files()
+    assert {r["id"]: r["v"] for r in t.scan().collect()} == got
