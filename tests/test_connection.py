@@ -71,6 +71,12 @@ def test_stream_failure_keeps_staging_and_fails_sync(spark, tmp_table_dir):
     )
     out = sync.write({"good": (good_batch, 0), "bad": (bad_batch, 0)})
     assert "error" in out["bad"]
+    # a failed stream must not accept LATER checkpoints (resume staging
+    # would otherwise hold ckpt 1 above an uncommitted ckpt 0)
+    out2 = sync.write({"bad": (good_batch, 1)})
+    assert out2["bad"] == {"skipped": "stream already failed"}
+    with pytest.raises(KeyError):
+        sync.write({"nope": (good_batch, 0)})
     pre_b = tb.scan().count()
     with pytest.raises(RuntimeError, match="bad"):
         sync.finish()
