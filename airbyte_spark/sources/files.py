@@ -71,10 +71,21 @@ def write_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def write_avro(df: DataFrame, path: str) -> None:
+def write_avro(df: DataFrame, path: str, allow_fallback: bool = True) -> None:
+    """S8: spark-avro when the jar is present; otherwise the pure-Python
+    OCF writer (sources/avro_py.py — same spec, executor-local part
+    files). `allow_fallback=False` preserves the hard gate for callers
+    that require the JVM writer's codecs."""
     try:
         df.write.mode("overwrite").format("avro").save(path)
     except Exception as e:  # spark-avro jar not on classpath in this container
-        raise ValueError(
-            "avro writer requires the spark-avro package on the classpath"
-        ) from e
+        if not allow_fallback:
+            raise ValueError(
+                "avro writer requires the spark-avro package on the classpath"
+            ) from e
+        from airbyte_spark.sources.avro_py import write_avro_py
+
+        import shutil as _sh
+
+        _sh.rmtree(path, ignore_errors=True)  # mirror mode("overwrite")
+        write_avro_py(df, path)

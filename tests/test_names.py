@@ -51,10 +51,10 @@ def test_azure_trailing_dots():
 
 
 def test_avro_gate_error_path(spark, tmp_table_dir):
-    """S8: without the spark-avro jar the writer must fail with the gated
-    ValueError, not an opaque Py4J stack."""
+    """S8: without the spark-avro jar, the hard-gated mode must fail with
+    the gated ValueError, not an opaque Py4J stack."""
     from airbyte_spark.sources.files import write_avro
 
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(ValueError, match="spark-avro"):
-        write_avro(df, f"{tmp_table_dir}/avro-out")
+        write_avro(df, f"{tmp_table_dir}/avro-out", allow_fallback=False)
