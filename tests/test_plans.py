@@ -223,3 +223,15 @@ def test_mor_many_batches_plan_stays_flat(spark, tmp_table_dir):
     # and it is still correct: latest version per key
     got = {r["id"]: r["v"] for r in df.collect()}
     assert len(got) == 50 and max(got.values()) == 12
+
+
+def test_limit_compiles_to_incremental_collect(spark):
+    """O3 adaptive LIMIT: Spark's CollectLimit executes incrementally (scan
+    1 partition, then grow — SparkPlan.executeTake), which IS the
+    reference's adaptive-LIMIT behavior; assert the plan uses it rather
+    than a global sort/exchange."""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").limit(7)
+    p = plan_of(df)
+    assert "CollectLimit" in p, p[:400]
+    assert "Sort" not in p
+    assert len(df.collect()) == 7
