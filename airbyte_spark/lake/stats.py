@@ -77,7 +77,14 @@ def collect_file_entries(
         raws_json = (
             sc.parallelize(paths, n_slices)
             .mapPartitions(
-                lambda it: (_json.dumps(r) for r in _footer_stats_batch(list(it), cols))
+                # default=str: temporal/decimal footer stats must serialize
+                # exactly like the manifest JSON does (atomic_write_json),
+                # or every >16-file commit with such stats columns dies on
+                # the executors with a TypeError
+                lambda it: (
+                    _json.dumps(r, default=str)
+                    for r in _footer_stats_batch(list(it), cols)
+                )
             )
             .collect()
         )

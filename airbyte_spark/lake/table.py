@@ -392,18 +392,21 @@ class LakeTable:
 
         old_schema = self.schema(branch=branch)
         d = diff_schemas(old_schema, new_schema)
-        refs = self._refs()
-        tbl = refs["table"]
-        new_id_ = max(int(k) for k in tbl["schemas"]) + 1
-        tbl["schemas"][str(new_id_)] = new_schema.json()
-        tbl["current_schema_id"] = new_id_
-        pk_changed = bool(new_primary_key and new_primary_key != tbl["primary_key"])
-        if new_primary_key:
-            tbl["primary_key"] = new_primary_key
-        tbl["stats_columns"] = [
-            c for c in tbl["stats_columns"] if c in new_schema.fieldNames()
-        ] + [c for c in d.added if c != "bytes"]
-        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+        with _refs_lock(self.root):
+            # whole-dict rewrite: must not interleave with a concurrent
+            # commit's branch swap (it would silently revert the swap)
+            refs = self._refs()
+            tbl = refs["table"]
+            new_id_ = max(int(k) for k in tbl["schemas"]) + 1
+            tbl["schemas"][str(new_id_)] = new_schema.json()
+            tbl["current_schema_id"] = new_id_
+            pk_changed = bool(new_primary_key and new_primary_key != tbl["primary_key"])
+            if new_primary_key:
+                tbl["primary_key"] = new_primary_key
+            tbl["stats_columns"] = [
+                c for c in tbl["stats_columns"] if c in new_schema.fieldNames()
+            ] + [c for c in d.added if c != "bytes"]
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
         return self.commit(
             "evolve-schema",
             [],
@@ -456,9 +459,10 @@ class LakeTable:
     # ------------------------------------------------------------------
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
-        refs = self._refs()
-        refs["branches"][name] = refs["branches"][from_branch]
-        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+        with _refs_lock(self.root):
+            refs = self._refs()
+            refs["branches"][name] = refs["branches"][from_branch]
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
     def replace_branch(
         self, target: str, source: str, require_ancestor: bool = True
@@ -523,9 +527,10 @@ class LakeTable:
         )
 
     def drop_branch(self, name: str) -> None:
-        refs = self._refs()
-        refs["branches"].pop(name, None)
-        atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+        with _refs_lock(self.root):
+            refs = self._refs()
+            refs["branches"].pop(name, None)
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
     # ------------------------------------------------------------------
     # scan
@@ -549,13 +554,14 @@ class LakeTable:
         deletes = self.delete_files(branch=branch, snapshot_id=snapshot_id)
         if partition_filter:
             entries = [e for e in entries if partition_matches(e, partition_filter)]
+        schema = self.schema(branch=branch, snapshot_id=snapshot_id)
         if key_range is not None:
             col, lo, hi = key_range
-            entries = [e for e in entries if _intersects(e.stats.get(col), lo, hi)]
+            dt = schema[col].dataType
+            entries = [e for e in entries if _intersects(e.stats.get(col), lo, hi, dt)]
             # a delete file whose key range misses [lo,hi] cannot affect the
             # surviving rows — prune it from the anti-join too
-            deletes = [d for d in deletes if _intersects(d.stats.get(col), lo, hi)]
-        schema = self.schema(branch=branch, snapshot_id=snapshot_id)
+            deletes = [d for d in deletes if _intersects(d.stats.get(col), lo, hi, dt)]
         if not entries:
             return self.spark.createDataFrame([], schema)
         df = self.read_entries(entries, schema, deletes=deletes)
@@ -704,7 +710,16 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> list[str]:
         """Delete snapshot+manifest metadata unreachable within the retention
         window. Keeps, per branch: the head and its `keep_last-1` nearest
-        ancestors (and anything newer than older_than_ms)."""
+        ancestors (and anything newer than older_than_ms). Holds the refs
+        lock for the whole sweep: a commit landing between the keep-set
+        computation and the unlinks would otherwise have its brand-new
+        snapshot+manifests deleted, leaving the branch head dangling."""
+        with _refs_lock(self.root):
+            return self._expire_snapshots_locked(keep_last, older_than_ms)
+
+    def _expire_snapshots_locked(
+        self, keep_last: int, older_than_ms: int | None
+    ) -> list[str]:
         refs = self._refs()
         keep: set[str] = set()
         for head in refs["branches"].values():
@@ -749,11 +764,25 @@ class LakeTable:
                     out.update(e["path"] for e in read_json(mp)["entries"])
         return out
 
-    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+    def remove_orphan_files(
+        self, dry_run: bool = False, grace_period_ms: int = 0
+    ) -> list[str]:
         """Delete physical files under data/ not reachable from any live
         snapshot (run AFTER expire_snapshots). Prefix-scoped like Airbyte's
-        `deletePrefix` GC (IcebergTableCleaner.kt:33-43)."""
-        reachable = self.reachable_files()
+        `deletePrefix` GC (IcebergTableCleaner.kt:33-43).
+
+        Paths are compared through os.path.realpath so loading the table
+        under a different root spelling (relative vs absolute, symlink)
+        cannot misclassify every live file as an orphan.
+
+        `grace_period_ms` skips files younger than now-grace (Iceberg's
+        remove_orphan_files `older_than`, default 3 days there): a writer
+        mid-commit has data files on disk that no manifest references YET —
+        concurrent GC must not reap them. 0 (default) is for tests and
+        exclusive maintenance windows; set a real grace when syncs and GC
+        overlap."""
+        reachable = {os.path.realpath(p) for p in self.reachable_files()}
+        cutoff = (now_ms() - grace_period_ms) / 1000.0
         # recursive: merge/compact/cluster outputs are written NESTED under
         # `_pid=N/` and `_p_<col>=<v>/` partitionBy levels — a one-level glob
         # would leak every CoW-replaced file forever
@@ -762,7 +791,8 @@ class LakeTable:
             for p in glob.glob(
                 os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
             )
-            if p not in reachable
+            if os.path.realpath(p) not in reachable
+            and (grace_period_ms == 0 or os.path.getmtime(p) < cutoff)
         ]
         if not dry_run:
             for p in orphans:
@@ -789,14 +819,25 @@ class LakeTable:
         return orphans
 
 
+def partition_str(v) -> str | None:
+    """Canonical string form of a partition value — matches Spark's
+    cast-to-string used at write time (booleans render 'true'/'false',
+    never Python's 'True'/'False')."""
+    if v is None:
+        return None
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    return str(v)
+
+
 def partition_matches(entry: DataFileEntry, partition_filter: dict) -> bool:
     """Entry-vs-filter comparison that survives NULL partition values
-    (written as __HIVE_DEFAULT_PARTITION__, parsed back to None): a filter
-    value of None matches the NULL partition; everything else compares on
-    its string form (partition dirs are string-typed by construction)."""
+    (written as __HIVE_DEFAULT_PARTITION__, parsed back to None) and
+    python-vs-Spark boolean rendering."""
     for c, v in partition_filter.items():
-        want = None if v is None else str(v)
-        if entry.partition.get(c) != want:
+        if entry.partition.get(c) != partition_str(v):
             return False
     return True
 
@@ -885,10 +926,61 @@ def _partition_values(path: str, part_cols: list[str]) -> dict:
     return out
 
 
-def _intersects(stat: dict | None, lo, hi) -> bool:
+def coerce_stat_value(v, dt):
+    """Manifest stat (JSON-typed: numbers survive, temporals/decimals come
+    back as strings via atomic_write_json's default=str) -> python value of
+    the column's Spark type. Raises on anything unconvertible — callers
+    treat that as unprunable rather than risking a mistyped comparison."""
+    import datetime
+    import decimal
+
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if v is None:
+        raise ValueError("null stat")
+    if isinstance(dt, StringType):
+        return str(v)
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return int(v)
+    if isinstance(dt, (FloatType, DoubleType)):
+        return float(v)
+    if isinstance(dt, DecimalType):
+        return decimal.Decimal(str(v))
+    if isinstance(dt, DateType):
+        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        if isinstance(v, datetime.datetime):
+            return v
+        return datetime.datetime.fromisoformat(str(v))
+    raise ValueError(f"unprunable type {dt}")
+
+
+def _intersects(stat: dict | None, lo, hi, dt=None) -> bool:
+    """Range-overlap predicate over manifest stats. With `dt`, stat bounds
+    are coerced to the column's type first (temporal/decimal stats are
+    strings after the JSON round-trip — comparing those against typed
+    bounds would raise or mis-prune); coercion failure -> unprunable."""
     if not stat or stat.get("min") is None:
         return True  # no stats -> cannot prune
-    return not (stat["max"] < lo or stat["min"] > hi)
+    mn, mx = stat["min"], stat["max"]
+    if dt is not None:
+        try:
+            mn, mx = coerce_stat_value(mn, dt), coerce_stat_value(mx, dt)
+        except (ValueError, TypeError, ArithmeticError):
+            return True
+    return not (mx < lo or mn > hi)
 
 
 def _align(df: DataFrame, target: StructType) -> DataFrame:

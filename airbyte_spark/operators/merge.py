@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from airbyte_spark.lake.format import DataFileEntry, Snapshot
-from airbyte_spark.lake.table import MAIN, LakeTable
+from airbyte_spark.lake.table import (
+    MAIN,
+    LakeTable,
+    _align as _align_to,
+    coerce_stat_value,
+    partition_str,
+)
 from airbyte_spark.operators.skew import salted_dedup_rank
 
 EXTRACTED_COL = "_airbyte_extracted_at"
@@ -105,59 +111,27 @@ def dedup_batch(
     )
 
 
-def _cursor_newer(t_pfx: str, s_pfx: str, cursor_col: str | None) -> Column:
-    """src-wins predicate (SnowflakeDirectLoadSqlGenerator.kt:160-179)."""
-    t_ex, s_ex = F.col(f"{t_pfx}.{EXTRACTED_COL}"), F.col(f"{s_pfx}.{EXTRACTED_COL}")
+def _cursor_newer(
+    t_pfx: str, s_pfx: str, cursor_col: str | None, has_extracted: bool = True
+) -> Column:
+    """src-wins predicate (SnowflakeDirectLoadSqlGenerator.kt:160-179).
+
+    `has_extracted=False` (table without Airbyte meta columns — the same
+    sources dedup_order tolerates): ties resolve to the SOURCE, never to a
+    NULL comparison that would silently keep the target."""
+    if has_extracted:
+        tie = F.col(f"{t_pfx}.{EXTRACTED_COL}") <= F.col(f"{s_pfx}.{EXTRACTED_COL}")
+    else:
+        tie = F.lit(True)
     if not cursor_col:
-        return t_ex <= s_ex
+        return tie
     t_c, s_c = F.col(f"{t_pfx}.{cursor_col}"), F.col(f"{s_pfx}.{cursor_col}")
     return (
         (t_c.isNull() & s_c.isNotNull())
-        | (t_c.isNull() & s_c.isNull() & (t_ex <= s_ex))
+        | (t_c.isNull() & s_c.isNull() & tie)
         | (t_c < s_c)
-        | ((t_c == s_c) & (t_ex <= s_ex))
+        | ((t_c == s_c) & tie)
     )
-
-
-def _coerce_stat(v, dt):
-    """Manifest stat (JSON-typed) -> python value of the PK's Spark type.
-    Raises on anything unconvertible — the caller treats that file as
-    unprunable rather than risking a lexicographic mis-prune ('10' < '9')
-    that would resurrect duplicate PKs."""
-    import datetime
-    import decimal
-
-    from pyspark.sql.types import (
-        ByteType,
-        DateType,
-        DecimalType,
-        DoubleType,
-        FloatType,
-        IntegerType,
-        LongType,
-        ShortType,
-        StringType,
-        TimestampNTZType,
-        TimestampType,
-    )
-
-    if v is None:
-        raise ValueError("null stat")
-    if isinstance(dt, StringType):
-        return str(v)
-    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-        return int(v)
-    if isinstance(dt, (FloatType, DoubleType)):
-        return float(v)
-    if isinstance(dt, DecimalType):
-        return decimal.Decimal(str(v))
-    if isinstance(dt, DateType):
-        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
-    if isinstance(dt, (TimestampType, TimestampNTZType)):
-        if isinstance(v, datetime.datetime):
-            return v
-        return datetime.datetime.fromisoformat(str(v))
-    raise ValueError(f"unprunable PK type {dt}")
 
 
 def _candidate_entries(
@@ -165,31 +139,34 @@ def _candidate_entries(
     src_keys: DataFrame,
     entries: list[DataFileEntry],
     pk0: str,
+    pk_type=None,
 ) -> list[DataFileEntry]:
     """Manifest-level pruning: keep only target files whose [min,max] range
     of the leading PK column intersects the batch key set. The files list is
     metadata-sized → broadcast to a range-join against the distinct keys;
     only matching paths come back to the driver (S5 planFiles semantics,
-    IcebergTableCleaner.kt:45-72). Bounds are compared in the PK's OWN type
-    (numeric/temporal PKs prune numerically, never lexicographically)."""
+    IcebergTableCleaner.kt:45-72). Bounds are compared in the TABLE's PK
+    type, and the batch key is cast to it — a source that carries the PK as
+    a different type (string-typed JSON sources) must not flip the compare
+    to lexicographic ('10' < '9' would resurrect duplicate PKs)."""
+    from pyspark.sql.types import StringType as _Str
     from pyspark.sql.types import StructField as _SF
     from pyspark.sql.types import StructType as _ST
 
     spark = table.spark
-    pk_type = src_keys.schema[pk0].dataType
+    if pk_type is None:
+        pk_type = table.schema()[pk0].dataType
     with_stats, no_stats = [], []
     for e in entries:
         st = e.stats.get(pk0, {})
         try:
-            lo = _coerce_stat(st.get("min"), pk_type)
-            hi = _coerce_stat(st.get("max"), pk_type)
+            lo = coerce_stat_value(st.get("min"), pk_type)
+            hi = coerce_stat_value(st.get("max"), pk_type)
             with_stats.append((e.path, lo, hi))
         except (ValueError, TypeError, ArithmeticError):
             no_stats.append(e)
     hit_paths: set[str] = set()
     if with_stats:
-        from pyspark.sql.types import StringType as _Str
-
         files_df = spark.createDataFrame(
             with_stats,
             schema=_ST(
@@ -200,7 +177,9 @@ def _candidate_entries(
                 ]
             ),
         )
-        k = F.col(pk0)
+        # try_cast: an unparseable key simply matches no file range (the
+        # row would fail alignment later anyway); never a runtime error
+        k = F.col(pk0).try_cast(pk_type)
         hits = (
             src_keys.join(
                 F.broadcast(files_df),
@@ -276,59 +255,61 @@ def merge_into(
         + part_cols
     ))
     slim = source.select(*slim_cols).persist()
-
-    # -- P7 null-PK guard + source size, one cheap action on the slim side
-    null_pk = F.lit(False)
-    for c in pk:
-        null_pk = null_pk | F.col(c).isNull()
-    counts = slim.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(null_pk.cast("long")).alias("bad"),
-    ).first()
-    _tick("guard")
-    if counts["bad"]:
-        slim.unpersist()
-        raise NullPrimaryKeyError(
-            f"{counts['bad']} source rows have NULL in primary key {pk}"
-        )
-
-    # -- schema evolution: source may carry new columns (cursor, cdc, ...)
-    target_schema = table.schema(branch=branch)
-    existing = {f.name for f in target_schema.fields}
-    src_schema = {f.name: f for f in source.schema.fields}
-    new_cols = [n for n in source.columns if n not in existing]
-    if new_cols:
-        evolved = StructType(
-            list(target_schema.fields)
-            + [StructField(n, src_schema[n].dataType, True) for n in new_cols]
-        )
-        table.evolve_schema(evolved, branch=branch)
-        target_schema = table.schema(branch=branch)
-    _tick("evolve")
-
-    # -- W1 salted window dedup on the slim keys, then fetch the winning
-    # payload rows with one join on the unique raw id (AQE turns it into a
-    # broadcast when the winner set is small)
-    if RAW_ID_COL in source.columns:
-        winners = dedup_batch(slim, pk, cursor_col, salt_buckets).persist()
-        # the count runs on the slim/cached side only — the payload-side
-        # semi join below stays lazy until the single output write
-        deduped_rows = winners.count()
-        # dropDuplicates guards against replayed raw_ids (at-least-once
-        # delivery) re-entering through the semi join
-        src = source.join(
-            F.broadcast(winners.select(*pk, RAW_ID_COL))
-            if deduped_rows <= 2_000_000
-            else winners.select(*pk, RAW_ID_COL),
-            on=pk + [RAW_ID_COL],
-            how="left_semi",
-        ).dropDuplicates(pk + [RAW_ID_COL])
-    else:
-        winners = None
-        src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
-        deduped_rows = src.count()
-    _tick("dedup")
+    winners = None
+    src = None
+    # the whole body runs under try so a failure at ANY phase (guard,
+    # evolve conflict, dedup count) unpersists the cached frames — retried
+    # merges must not accumulate cached copies
     try:
+        # -- P7 null-PK guard + source size, one cheap action on the slim side
+        null_pk = F.lit(False)
+        for c in pk:
+            null_pk = null_pk | F.col(c).isNull()
+        counts = slim.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(null_pk.cast("long")).alias("bad"),
+        ).first()
+        _tick("guard")
+        if counts["bad"]:
+            raise NullPrimaryKeyError(
+                f"{counts['bad']} source rows have NULL in primary key {pk}"
+            )
+
+        # -- schema evolution: source may carry new columns (cursor, cdc, ...)
+        target_schema = table.schema(branch=branch)
+        existing = {f.name for f in target_schema.fields}
+        src_schema = {f.name: f for f in source.schema.fields}
+        new_cols = [n for n in source.columns if n not in existing]
+        if new_cols:
+            evolved = StructType(
+                list(target_schema.fields)
+                + [StructField(n, src_schema[n].dataType, True) for n in new_cols]
+            )
+            table.evolve_schema(evolved, branch=branch)
+            target_schema = table.schema(branch=branch)
+        _tick("evolve")
+
+        # -- W1 salted window dedup on the slim keys, then fetch the winning
+        # payload rows with one join on the unique raw id (AQE turns it into a
+        # broadcast when the winner set is small)
+        if RAW_ID_COL in source.columns:
+            winners = dedup_batch(slim, pk, cursor_col, salt_buckets).persist()
+            # the count runs on the slim/cached side only — the payload-side
+            # semi join below stays lazy until the single output write
+            deduped_rows = winners.count()
+            # dropDuplicates guards against replayed raw_ids (at-least-once
+            # delivery) re-entering through the semi join
+            src = source.join(
+                F.broadcast(winners.select(*pk, RAW_ID_COL))
+                if deduped_rows <= 2_000_000
+                else winners.select(*pk, RAW_ID_COL),
+                on=pk + [RAW_ID_COL],
+                how="left_semi",
+            ).dropDuplicates(pk + [RAW_ID_COL])
+        else:
+            src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
+            deduped_rows = src.count()
+        _tick("dedup")
 
         # -- manifest-pruned candidate file set (key set comes from the
         # cached slim winners, not the payload side). The snapshot we plan
@@ -351,7 +332,7 @@ def merge_into(
             table.properties.get("merge.partition-pruning", "")
         ).lower() in ("1", "true"):
             batch_parts = {
-                tuple(None if r[c] is None else str(r[c]) for c in part_cols)
+                tuple(partition_str(r[c]) for c in part_cols)
                 for r in keyed.select(*part_cols).distinct().collect()
             }
             prunable = [
@@ -361,7 +342,10 @@ def merge_into(
                 or not e.partition
             ]
         key_set = keyed.select(*pk).distinct()
-        candidates = _candidate_entries(table, key_set, prunable, pk[0])
+        candidates = _candidate_entries(
+            table, key_set, prunable, pk[0],
+            pk_type=target_schema[pk[0]].dataType,
+        )
         live_deletes = table.delete_files(branch=branch)
         _tick("candidates")
 
@@ -416,7 +400,10 @@ def merge_into(
         for c in pk:
             cond = cond & (F.col(f"t.{c}") == F.col(f"s.{c}"))
         src_present = F.col(f"s.{pk[0]}").isNotNull()
-        newer = _cursor_newer("t", "s", cursor_col)
+        newer = _cursor_newer(
+            "t", "s", cursor_col,
+            has_extracted=EXTRACTED_COL in target_schema.fieldNames(),
+        )
         src_is_delete = (
             F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
         )
@@ -511,7 +498,7 @@ def merge_into(
     finally:
         if winners is not None:
             winners.unpersist()
-        else:
+        elif src is not None:
             src.unpersist()
         slim.unpersist()
 
@@ -570,7 +557,10 @@ def _merge_mor(
         "left",
     )
     tgt_present = F.col(f"t.{pk[0]}").isNotNull()
-    win = (~tgt_present) | _cursor_newer("t", "s", cursor_col)
+    win = (~tgt_present) | _cursor_newer(
+        "t", "s", cursor_col,
+        has_extracted=EXTRACTED_COL in target_schema.fieldNames(),
+    )
     src_is_delete = F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
     winners = (
         j.filter(win)
@@ -647,14 +637,3 @@ def _merge_mor(
         )
     finally:
         winners.unpersist()
-
-
-def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
-    cols = []
-    have = set(df.columns)
-    for f in schema.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return df.select(*cols)

@@ -336,3 +336,69 @@ def test_mor_with_escaped_partition_values(spark, tmp_table_dir):
     rewrite_deletes(t)
     assert not t.delete_files()
     assert {r["id"]: r["v"] for r in t.scan().collect()} == got
+
+
+def test_string_typed_source_pk_against_long_table(spark, tmp_table_dir):
+    """A source carrying the PK as STRING against a long-keyed table must
+    prune in the table's type ('10' < '9' lexicographic trap) and must not
+    duplicate PKs (third-review finding)."""
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("caption", StringType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(i, f"c{i}", f"r{i}", ts(1)) for i in range(1, 13)], schema
+        )
+    )
+    src_schema = StructType(
+        [
+            StructField("k", StringType(), False),  # string-typed source!
+            StructField("caption", StringType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+            StructField("updated_at", TimestampType()),
+        ]
+    )
+    src = [("10", "TEN-updated", "s1", ts(2), ts(2))]
+    for mode in ("cow", "mor"):
+        merge_into(t, spark.createDataFrame(src, src_schema), mode=mode)
+        got = {r["k"]: r["caption"] for r in t.scan().collect()}
+        assert len(got) == 12, "string-keyed source must not duplicate PKs"
+        assert got[10] == "TEN-updated"
+
+
+def test_merge_table_without_airbyte_meta(spark, tmp_table_dir):
+    """A plain table (no _airbyte_* columns at all) merges on its cursor in
+    both modes; equal cursors resolve to the source (third-review finding:
+    previously CoW crashed on the unresolved meta column and MoR silently
+    kept the target)."""
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField("updated_at", TimestampType()),
+        ]
+    )
+    for mode in ("cow", "mor"):
+        root = os.path.join(tmp_table_dir, mode)
+        t = LakeTable.create(spark, root, schema, primary_key=["k"])
+        t.append(
+            spark.createDataFrame(
+                [("a", 1, ts(1)), ("b", 1, ts(5)), ("c", 1, ts(1))], schema
+            )
+        )
+        src = [
+            ("a", 2, ts(2)),  # newer cursor -> wins
+            ("b", 9, ts(4)),  # older cursor -> target kept
+            ("c", 3, ts(1)),  # EQUAL cursor -> source wins (tie rule)
+            ("d", 7, ts(2)),  # insert
+        ]
+        merge_into(t, spark.createDataFrame(src, schema), mode=mode)
+        got = {r["k"]: r["v"] for r in t.scan().collect()}
+        assert got == {"a": 2, "b": 1, "c": 3, "d": 7}, mode
