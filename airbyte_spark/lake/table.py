@@ -961,9 +961,17 @@ def coerce_stat_value(v, dt):
     if isinstance(dt, DateType):
         return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
     if isinstance(dt, (TimestampType, TimestampNTZType)):
-        if isinstance(v, datetime.datetime):
-            return v
-        return datetime.datetime.fromisoformat(str(v))
+        ts = (
+            v
+            if isinstance(v, datetime.datetime)
+            else datetime.datetime.fromisoformat(str(v))
+        )
+        # parquet micros stats are tz-AWARE (UTC); Spark collects/compares
+        # naive session-local (= UTC here) — normalize so aware stats and
+        # naive caller bounds compare instead of raising
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ts
     raise ValueError(f"unprunable type {dt}")
 
 
@@ -978,9 +986,13 @@ def _intersects(stat: dict | None, lo, hi, dt=None) -> bool:
     if dt is not None:
         try:
             mn, mx = coerce_stat_value(mn, dt), coerce_stat_value(mx, dt)
+            lo, hi = coerce_stat_value(lo, dt), coerce_stat_value(hi, dt)
         except (ValueError, TypeError, ArithmeticError):
             return True
-    return not (mx < lo or mn > hi)
+    try:
+        return not (mx < lo or mn > hi)
+    except TypeError:
+        return True  # incomparable -> never prune on a guess
 
 
 def _align(df: DataFrame, target: StructType) -> DataFrame:

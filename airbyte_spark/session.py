@@ -59,6 +59,10 @@ def get_spark(
         # so a 512MB parquet file still splits across tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # silently disabling manifest/row-group pruning on every timestamp
+        # column (cursor scans!); micros is the modern standard
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         # RocksDB state store: the default HDFS-backed provider's checksum
         # file manager EOFs on local-FS commits under applyInPandasWithState

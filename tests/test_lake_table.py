@@ -302,9 +302,16 @@ def test_temporal_key_range_scan_prunes(spark, tmp_table_dir):
     t.append(spark.createDataFrame(jun, schema))
     df = t.scan(key_range=("ts", dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)))
     assert sorted(r["id"] for r in df.collect()) == [f"j{i}" for i in range(5)]
-    opened = {p.replace("file:", "") for p in df.inputFiles()}
-    june_files = {e.path for e in t.data_files() if "u0" in str(e.stats["id"])}
-    assert not opened & june_files, "june file must be pruned via coerced stats"
+    # manifests must actually CARRY ts stats (TIMESTAMP_MICROS; INT96 had
+    # none) and the pruned plan must not open any june file
+    assert all("ts" in e.stats for e in t.data_files())
+    opened = {os.path.basename(p) for p in df.inputFiles()}
+    june_files = {
+        os.path.basename(e.path)
+        for e in t.data_files()
+        if str(e.stats["id"]["min"]).startswith("u")
+    }
+    assert june_files and not opened & june_files, (opened, june_files)
 
 
 def test_gc_with_relative_root_spelling(spark, tmp_table_dir):
