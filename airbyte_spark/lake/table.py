@@ -175,6 +175,22 @@ class LakeTable:
         sid = snapshot_id or self.current_snapshot_id(branch)
         return Snapshot.from_json(read_json(os.path.join(self.meta_dir, f"snap-{sid}.json")))
 
+    def snapshot_as_of(self, timestamp_ms: int, branch: str = MAIN) -> Snapshot:
+        """Time travel (Iceberg `FOR SYSTEM_TIME AS OF`): the newest
+        snapshot on `branch` committed at or before `timestamp_ms`. Walks
+        the branch ancestry, so it respects rollbacks and never returns a
+        snapshot from another branch's history."""
+        sid = self.current_snapshot_id(branch)
+        while sid is not None:
+            s = self.snapshot(sid)
+            if s.timestamp_ms <= timestamp_ms:
+                return s
+            sid = s.parent_id
+        raise ValueError(
+            f"no snapshot on {branch} at or before {timestamp_ms} "
+            "(history may have been expired)"
+        )
+
     def schema(self, branch: str = MAIN, snapshot_id: str | None = None) -> StructType:
         return StructType.fromJson(
             __import__("json").loads(self.snapshot(snapshot_id, branch).schema_json)

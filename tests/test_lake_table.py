@@ -347,3 +347,29 @@ def test_boolean_partition_filter(spark, tmp_table_dir):
     )
     got = t.scan(partition_filter={"flag": True})
     assert sorted(r["id"] for r in got.collect()) == ["a", "c"]
+
+
+def test_time_travel_as_of(spark, tmp_table_dir):
+    """snapshot_as_of: newest snapshot at-or-before a timestamp, walking
+    ONLY the branch ancestry; plus time-based expire retention."""
+    import time
+
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    s1 = t.snapshot()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    s2 = t.snapshot()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    # as-of between s1 and s2 -> s1's state
+    got = t.snapshot_as_of(s1.timestamp_ms)
+    assert got.snapshot_id == s1.snapshot_id
+    assert t.scan(snapshot_id=got.snapshot_id).count() == 1
+    mid = t.snapshot_as_of(s2.timestamp_ms)
+    assert mid.snapshot_id == s2.snapshot_id
+    with __import__("pytest").raises(ValueError):
+        t.snapshot_as_of(0)
+    # time-based retention: expire strictly-older-than s2 keeps s2+head
+    t.expire_snapshots(keep_last=1, older_than_ms=s2.timestamp_ms)
+    assert t.snapshot_as_of(s2.timestamp_ms).snapshot_id == s2.snapshot_id
+    assert t.scan().count() == 3
