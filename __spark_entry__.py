@@ -455,7 +455,11 @@ def q_embedding_norms(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (pandas-UDF path — rows-only check)."""
+    """SimHash near-dup pairs (pandas-UDF path — rows-only check). Band
+    count derives from the radius (9 disjoint bands for hamming<=8), so
+    candidate generation is pigeonhole-complete at this distance
+    (simhash_band_layout; completeness property-tested in
+    tests/test_text_dedup_similarity.py)."""
     from airbyte_spark.functions.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf, "documents")

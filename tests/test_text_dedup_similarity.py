@@ -121,6 +121,55 @@ def test_simhash_near_dups(docs):
     assert (0, 200000) in found  # near dup within hamming ball
 
 
+def test_simhash_band_layout():
+    from airbyte_spark.functions.dedup import simhash_band_layout
+
+    # r2 default layout preserved: hamming<=3 -> 4 disjoint 16-bit bands
+    assert simhash_band_layout(3) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    for h in range(0, 16):
+        layout = simhash_band_layout(h)
+        assert len(layout) == h + 1  # pigeonhole: bands > max_hamming bits
+        assert sum(w for _, w in layout) == 64
+        # disjoint + contiguous coverage of all 64 bits
+        off = 0
+        for o, w in layout:
+            assert o == off and w > 0
+            off += w
+
+
+def test_simhash_banding_complete_at_radius(spark):
+    """Completeness property (VERDICT r2 #1): every pair of 64-bit hashes
+    at exact hamming distance d <= max_hamming MUST be found — including
+    distances 4..8 that the old fixed 4x16 layout silently dropped — and
+    pairs beyond the radius must be filtered out by the exact verify."""
+    from airbyte_spark.functions.dedup import simhash_pairs_from_hashes
+
+    rng = np.random.default_rng(42)
+    max_h = 8
+    rows, expected = [], {}
+    nid = 0
+    for d in range(0, max_h + 3):  # includes d = max_h+1, max_h+2 (excluded)
+        for _ in range(6):
+            base = int(rng.integers(0, 2**63, dtype=np.int64))
+            flip = rng.choice(64, size=d, replace=False)
+            other = base
+            for b in flip:
+                other ^= 1 << int(b)
+            other = np.int64(np.uint64(other))  # wrap bit-63 flips to int64
+            rows.append((nid, int(np.int64(base))))
+            rows.append((nid + 1, int(other)))
+            if d <= max_h:
+                expected[(nid, nid + 1)] = d
+            nid += 10  # keep pair ids adjacent, classes far apart
+    df = spark.createDataFrame(rows, "doc_id long, _sh long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_hashes(df, max_hamming=max_h).collect()
+        if r["id_b"] == r["id_a"] + 1  # ignore incidental cross-pair hits
+    }
+    assert got == expected
+
+
 def test_minhash_signature_matches_python_reference(spark, docs):
     """Regression: Spark 4.1 corrupts sibling array_min(transform(...))
     expressions sharing one projection (lambda-variable slots). The nested
