@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StructField, StructType, TimestampType
 
 from airbyte_spark.lake.format import DataFileEntry, Snapshot
 from airbyte_spark.lake.table import (
@@ -541,10 +541,15 @@ def _merge_mor(
     # resolve join and the delete file compare in table types
     s = keyed
     for c in resolve_cols + ([cdc_col] if cdc_col else []):
+        # backfill type comes from the TABLE schema: a non-timestamp cursor
+        # on a meta-less source must not become a mistyped timestamp null
+        # (falls back to timestamp only for _airbyte_* bookkeeping columns
+        # absent from a meta-less table's schema)
+        typ = cast_map.get(c, TimestampType())
         if c not in s.columns:
-            s = s.withColumn(c, F.lit(None).cast("timestamp"))
+            s = s.withColumn(c, F.lit(None).cast(typ))
         if c not in tgt.columns:
-            tgt = tgt.withColumn(c, F.lit(None).cast("timestamp"))
+            tgt = tgt.withColumn(c, F.lit(None).cast(typ))
     s = s.select(
         *[
             F.col(c).cast(cast_map[c]).alias(c) if c in cast_map else F.col(c)

@@ -402,3 +402,40 @@ def test_merge_table_without_airbyte_meta(spark, tmp_table_dir):
         merge_into(t, spark.createDataFrame(src, schema), mode=mode)
         got = {r["k"]: r["v"] for r in t.scan().collect()}
         assert got == {"a": 2, "b": 1, "c": 3, "d": 7}, mode
+
+
+def test_merge_meta_less_source_with_long_cursor(spark, tmp_table_dir):
+    """MoR/CoW parity for a meta-less source whose cursor is LONG-typed
+    (r2 verdict "What's wrong #2": the MoR missing-column backfill cast
+    every absent resolve column to timestamp; the null backfill must take
+    the TABLE's column type instead)."""
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField("ver", LongType()),  # non-timestamp cursor
+        ]
+    )
+    for mode in ("cow", "mor"):
+        root = os.path.join(tmp_table_dir, f"longcur-{mode}")
+        t = LakeTable.create(spark, root, schema, primary_key=["k"])
+        t.append(
+            spark.createDataFrame([("a", 1, 10), ("b", 1, 50), ("c", 1, 10)], schema)
+        )
+        src = [
+            ("a", 2, 20),  # newer cursor -> wins
+            ("b", 9, 40),  # older cursor -> target kept
+            ("c", 3, 10),  # equal cursor -> source wins (tie rule)
+            ("d", 7, 20),  # insert
+        ]
+        merge_into(t, spark.createDataFrame(src, schema), cursor_col="ver", mode=mode)
+        # second MoR batch exercises the live-delete read path on the
+        # long-cursor table too
+        merge_into(
+            t,
+            spark.createDataFrame([("d", 8, 30)], schema),
+            cursor_col="ver",
+            mode=mode,
+        )
+        got = {r["k"]: r["v"] for r in t.scan().collect()}
+        assert got == {"a": 2, "b": 1, "c": 3, "d": 8}, mode
