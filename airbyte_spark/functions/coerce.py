@@ -69,16 +69,36 @@ def coerce_columns(
     passthrough = [
         F.col(c) for c in df.columns if c.startswith("_airbyte") and c != meta_col
     ]
-    changes = (
+    meta = _merged_meta(df, change_cols, sync_id, meta_col)
+    return df.select(*out_cols, *passthrough, meta)
+
+
+def _merged_meta(
+    df: DataFrame, change_cols: list[Column], sync_id: int, meta_col: str
+) -> Column:
+    """The output `_airbyte_meta` struct: new coercion changes APPENDED to
+    any changes the record already carries (a two-hop pipeline — source
+    nulled a field, destination nulls another — must keep both
+    generations' lineage; IcebergUtil.kt:216-268 builds meta from
+    `record.rawData.meta` changes + new entries). sync_id is the CURRENT
+    sync's, same as the reference."""
+    new_changes = (
         F.filter(F.array(*change_cols), lambda c: c.isNotNull())
         if change_cols
-        else F.array().cast(ArrayType(META_CHANGE))
-    )
-    meta = F.struct(
+        else F.array()
+    ).cast(ArrayType(META_CHANGE))
+    if meta_col in df.columns:
+        prior = F.coalesce(
+            F.col(f"{meta_col}.changes").cast(ArrayType(META_CHANGE)),
+            F.array().cast(ArrayType(META_CHANGE)),
+        )
+        changes = F.concat(prior, new_changes)
+    else:
+        changes = new_changes
+    return F.struct(
         F.lit(sync_id).cast("long").alias("sync_id"),
-        changes.cast(ArrayType(META_CHANGE)).alias("changes"),
+        changes.alias("changes"),
     ).alias(meta_col)
-    return df.select(*out_cols, *passthrough, meta)
 
 
 def stringify_schemaless(col: Column) -> Column:
@@ -256,13 +276,5 @@ def coerce_airbyte_record(
     passthrough = [
         F.col(c) for c in df.columns if c.startswith("_airbyte") and c != meta_col
     ]
-    changes = (
-        F.filter(F.array(*change_cols), lambda c: c.isNotNull())
-        if change_cols
-        else F.array().cast(ArrayType(META_CHANGE))
-    )
-    meta = F.struct(
-        F.lit(sync_id).cast("long").alias("sync_id"),
-        changes.cast(ArrayType(META_CHANGE)).alias("changes"),
-    ).alias(meta_col)
+    meta = _merged_meta(df, change_cols, sync_id, meta_col)
     return df.select(*out_cols, *passthrough, meta)

@@ -55,6 +55,54 @@ def test_coerce_with_change_capture(spark):
     )
 
 
+def test_coerce_merges_preexisting_meta_changes(spark):
+    """Two-hop lineage (r2 verdict missing #2): a record arriving with
+    `_airbyte_meta.changes` already populated (a source-side coercion)
+    must keep those entries when destination coercion appends its own
+    (IcebergUtil.kt:216-268). sync_id becomes the current hop's."""
+    from airbyte_spark.functions.coerce import coerce_airbyte_record
+
+    df = spark.createDataFrame(
+        [("k1", "not-a-number"), ("k2", "7")], ["k", "amount"]
+    ).withColumn(
+        "_airbyte_meta",
+        F.struct(
+            F.lit(3).cast("long").alias("sync_id"),
+            F.array(
+                F.struct(
+                    F.lit("upstream_col").alias("field"),
+                    F.lit("NULLED").alias("change"),
+                    F.lit("SOURCE_SERIALIZATION_ERROR").alias("reason"),
+                )
+            ).alias("changes"),
+        ),
+    )
+    out = {
+        r["k"]: r["_airbyte_meta"]
+        for r in coerce_airbyte_record(
+            df, {"k": "string", "amount": "integer"}, sync_id=9
+        ).collect()
+    }
+    # both hops' changes survive, source hop first
+    assert [c["field"] for c in out["k1"]["changes"]] == ["upstream_col", "amount"]
+    assert [c["reason"] for c in out["k1"]["changes"]] == [
+        "SOURCE_SERIALIZATION_ERROR",
+        "DESTINATION_SERIALIZATION_ERROR",
+    ]
+    assert out["k1"]["sync_id"] == 9
+    # clean row keeps only the inherited change
+    assert [c["field"] for c in out["k2"]["changes"]] == ["upstream_col"]
+    # coerce_columns path merges identically
+    target = StructType(
+        [StructField("k", StringType()), StructField("amount", LongType())]
+    )
+    out2 = {
+        r["k"]: [c["field"] for c in r["_airbyte_meta"]["changes"]]
+        for r in coerce_columns(df, target, sync_id=9).collect()
+    }
+    assert out2 == {"k1": ["upstream_col", "amount"], "k2": ["upstream_col"]}
+
+
 def test_cursor_bounded_scan(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     lo = ev.selectExpr("percentile_approx(ts, 0.5)").first()[0]
