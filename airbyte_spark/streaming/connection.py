@@ -10,15 +10,30 @@ ConnectionSync owns N StreamLoaders; stream writes run on driver threads
 them; commits are thread-safe via the per-table refs lock) and teardown
 finishes every stream, failing loudly if any stream failed (the
 lifecycle's fail-the-sync contract).
+
+State modes (airbyte-protocol.md:516, CheckpointMessage.kt:29-91):
+
+- ``per-stream`` (default): each stream checkpoints independently — the
+  STREAM state type; streams flush and resume on their own cursors.
+- ``global``: ONE ordered checkpoint ledger covers every stream (the
+  GLOBAL state type CDC sources emit — a single log position spans all
+  tables). A global checkpoint commits only after EVERY stream's batch
+  for it landed; stream DATA still flushes in parallel, but state cannot
+  be split per stream. Resume replays from the global cursor: a
+  committed global checkpoint is skipped wholesale; a half-finished one
+  re-runs, with each stream's own ledger skipping the sub-batches that
+  already committed (no dup, no loss).
 """
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from airbyte_spark.checkpoints import JobCheckpointer
 from airbyte_spark.lake.table import LakeTable
 from airbyte_spark.streaming.loader import StreamLoader
 
@@ -40,23 +55,34 @@ class ConnectionReport:
 
 class ConnectionSync:
     def __init__(self, sync_id: str, streams: list[StreamSpec],
-                 max_concurrent: int = 4):
+                 max_concurrent: int = 4, state_mode: str = "per-stream",
+                 checkpoint_dir: str | None = None):
         names = [s.name for s in streams]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate stream names: {names}")
+        if state_mode not in ("per-stream", "global"):
+            raise ValueError(f"state_mode must be per-stream|global: {state_mode!r}")
         # table-name conflict check (S3DataLakeWriter.kt:32-63): two streams
         # writing one table root would corrupt each other's staging
         # branches — compare normalized paths so aliases don't slip through
-        import os
-
         roots = [os.path.abspath(s.table.root) for s in streams]
         if len(set(roots)) != len(roots):
             raise ValueError(f"streams share a table root: {roots}")
         self.sync_id = sync_id
         self.specs = {s.name: s for s in streams}
         self.max_concurrent = max_concurrent
+        self.state_mode = state_mode
         self.loaders: dict[str, StreamLoader] = {}
         self._failed: dict[str, Exception] = {}
+        self._global_ckpt: JobCheckpointer | None = None
+        if state_mode == "global":
+            # the global ledger needs ONE durable home; default to the
+            # first stream's table root (callers spanning storage systems
+            # pass an explicit checkpoint_dir)
+            self._global_ckpt = JobCheckpointer(
+                checkpoint_dir or os.path.join(streams[0].table.root, "checkpoints"),
+                f"global-{sync_id}",
+            )
 
     def start(self) -> None:
         for name, s in self.specs.items():
@@ -94,10 +120,61 @@ class ConnectionSync:
         with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
             return dict(pool.map(one, batches.items()))
 
+    def write_global(
+        self, batches: dict[str, DataFrame], checkpoint_id: int
+    ) -> dict:
+        """One GLOBAL checkpoint (state_mode="global"): every stream's
+        batch for `checkpoint_id` flushes (in parallel), then the single
+        connection-wide ledger entry commits. Ordering is strict across
+        checkpoints (a global state message cannot be reordered or split);
+        an already-committed checkpoint returns its recorded metrics
+        without touching any table (idempotent resume)."""
+        if self._global_ckpt is None:
+            raise RuntimeError("write_global requires state_mode='global'")
+
+        out: dict = {}
+
+        def _do() -> dict:
+            res = self.write({n: (df, checkpoint_id) for n, df in batches.items()})
+            bad = sorted(n for n, m in res.items() if "error" in m or "skipped" in m)
+            if bad:
+                # global state is all-or-nothing: one failed stream holds
+                # back the WHOLE checkpoint (no per-stream progress record)
+                raise RuntimeError(
+                    f"global checkpoint {checkpoint_id} incomplete — failed "
+                    f"streams {bad}: { {n: res[n] for n in bad} }"
+                )
+            out.update(res)
+            return {
+                "streams": {
+                    n: {"rows": int(m.get("rows", 0))} for n, m in res.items()
+                }
+            }
+
+        metrics, ran = self._global_ckpt.run_step(
+            checkpoint_id, f"global-{checkpoint_id}", _do
+        )
+        if not ran:  # replayed, skipped wholesale
+            return {
+                n: {"skipped": "global checkpoint already committed", **m}
+                for n, m in metrics.get("streams", {}).items()
+            }
+        return out
+
     def finish(self) -> ConnectionReport:
         """Teardown: every HEALTHY stream swaps main <- staging; a failed
-        stream keeps its staging branch for resume and fails the sync."""
+        stream keeps its staging branch for resume and fails the sync.
+
+        In global state mode teardown is ALL-or-nothing: one failed stream
+        keeps EVERY staging branch (no stream may publish past the last
+        committed global checkpoint — the streams share one state)."""
         report = ConnectionReport()
+        if self._failed and self.state_mode == "global":
+            raise RuntimeError(
+                f"sync {self.sync_id} failed for streams "
+                f"{sorted(self._failed)} — global state: all staging "
+                f"branches kept for resume: {self._failed}"
+            )
         for name, loader in self.loaders.items():
             if name in self._failed:
                 continue

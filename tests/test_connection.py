@@ -86,6 +86,57 @@ def test_stream_failure_keeps_staging_and_fails_sync(spark, tmp_table_dir):
     assert any(b.startswith("staging-conn-2-bad") for b in tb.branches())
 
 
+def test_global_state_kill_resume_no_dup_no_loss(spark, tmp_table_dir):
+    """GLOBAL state (airbyte-protocol.md:516): one ordered checkpoint
+    covers all streams. Kill mid-checkpoint (stream a committed its batch,
+    stream b failed), resume in a fresh ConnectionSync: the half-finished
+    global checkpoint re-runs — a's sub-batch skips via its own ledger,
+    b's applies — and committed checkpoints replay as pure no-ops."""
+
+    def specs():
+        return [StreamSpec("sa", ta), StreamSpec("sb", tb, merge_mode="mor")]
+
+    ta = _mk_table(spark, os.path.join(tmp_table_dir, "a"))
+    tb = _mk_table(spark, os.path.join(tmp_table_dir, "b"))
+    sync = ConnectionSync("gc-1", specs(), state_mode="global")
+    sync.start()
+    b_a0 = generate_update_batch(spark, 60, 15, seed=10, num_partitions=2)
+    b_b0 = generate_update_batch(spark, 60, 15, seed=20, num_partitions=2)
+    out0 = sync.write_global({"sa": b_a0, "sb": b_b0}, 0)
+    assert all("error" not in m for m in out0.values())
+    # checkpoint 1: stream b's batch is poisoned -> the WHOLE global
+    # checkpoint must not commit, and teardown keeps every staging branch
+    b_a1 = generate_update_batch(spark, 60, 15, seed=11, num_partitions=2)
+    b_b1_bad = generate_update_batch(spark, 60, 15, seed=21, num_partitions=2)
+    b_b1_bad = b_b1_bad.withColumn("image_id", F.lit(None).cast("string"))
+    with pytest.raises(RuntimeError, match="global checkpoint 1 incomplete"):
+        sync.write_global({"sa": b_a1, "sb": b_b1_bad}, 1)
+    with pytest.raises(RuntimeError, match="all staging branches kept"):
+        sync.finish()
+    assert any(b.startswith("staging-gc-1") for b in ta.branches())
+    pre_a, pre_b = ta.scan().count(), tb.scan().count()
+
+    # resume: fresh process (new ConnectionSync, same sync id + ledgers)
+    resumed = ConnectionSync("gc-1", specs(), state_mode="global")
+    resumed.start()
+    # replaying committed checkpoint 0 is a wholesale no-op
+    re0 = resumed.write_global({"sa": b_a0, "sb": b_b0}, 0)
+    assert all("skipped" in m for m in re0.values())
+    # replaying checkpoint 1 with the fixed batch: sa's already-committed
+    # sub-batch skips via its stream ledger, sb's applies
+    b_b1 = generate_update_batch(spark, 60, 15, seed=21, num_partitions=2)
+    out1 = resumed.write_global({"sa": b_a1, "sb": b_b1}, 1)
+    assert all("error" not in m for m in out1.values())
+    report = resumed.finish()
+    assert set(report.streams) == {"sa", "sb"}
+    # no dup (unique PKs), no loss (mains advanced past the kill point)
+    for t in (ta, tb):
+        assert t.scan().groupBy("image_id").count().filter("count > 1").isEmpty()
+    assert ta.scan().count() >= pre_a and tb.scan().count() >= pre_b
+    # ledgers agree: two committed global checkpoints
+    assert resumed._global_ckpt.last_seq() == 1
+
+
 def test_conflicting_specs_rejected(spark, tmp_table_dir):
     ta = _mk_table(spark, os.path.join(tmp_table_dir, "a"))
     with pytest.raises(ValueError, match="duplicate"):
