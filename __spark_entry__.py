@@ -580,17 +580,69 @@ def q_training_data_filter(spark, sf):
     )
 
 
+_LSH_TABLES, _LSH_NBITS, _LSH_DIM, _LSH_SEED = 4, 6, 64, 777
+
+
+def _lsh_planes():
+    from airbyte_spark.functions.similarity import signed_planes
+
+    return signed_planes(_LSH_TABLES, _LSH_NBITS, _LSH_DIM, seed=_LSH_SEED)
+
+
 def q_ann_lsh_topk(spark, sf):
-    """Approximate ANN: hyperplane-LSH buckets + exact re-rank (pandas-UDF
-    bucketing -> rows-only check; exactness is cross-checked against
-    ann_topk in tests)."""
-    from airbyte_spark.functions.similarity import lsh_topk
+    """Approximate ANN: hyperplane-LSH buckets (±1 planes, deterministic
+    fixture shared with the oracle) + exact cosine re-rank of candidates.
+    The Gaussian-plane pandas-UDF variant (`lsh_topk`) stays the library
+    path and is recall-tested against exact ANN in pytest."""
+    from airbyte_spark.functions.similarity import lsh_topk_fixed_planes
 
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries_df, k=10, nbits=4, n_tables=8)
+    return lsh_topk_fixed_planes(emb, queries_df, _lsh_planes(), k=10)
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB replica of q_ann_lsh_topk: the SAME ±1 plane values inlined
+    as list literals; `list_dot_product` accumulates left-to-right in
+    doubles, matching the UDF's explicit sequential accumulation, so the
+    sign bits — and hence buckets, candidates and ranks — agree exactly."""
+    planes = _lsh_planes()
+
+    def dot(p):
+        return "list_dot_product(v, [" + ", ".join(f"{v:.1f}" for v in p) + "])"
+
+    bkt_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {dot(planes[t, b])} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(_LSH_NBITS)
+        )
+        + f") AS bkt{t}"
+        for t in range(_LSH_TABLES)
+    )
+    q_cols = ", ".join(f"bkt{t} AS qb{t}" for t in range(_LSH_TABLES))
+    collide = " OR ".join(f"c.bkt{t} = q.qb{t}" for t in range(_LSH_TABLES))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {bkt_cols} FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, {q_cols}
+              FROM b WHERE vec_id < 5),
+        cand AS (SELECT DISTINCT q.query_id, c.vec_id, c.v, q.qv
+                 FROM b c JOIN q ON {collide}),
+        scored AS (SELECT query_id, vec_id,
+                          list_dot_product(v, qv)
+                            / (sqrt(list_dot_product(v, v))
+                             * sqrt(list_dot_product(qv, qv))) AS cos
+                   FROM cand)
+        SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= 10
+    """
 
 
 def q_image_features(spark, sf):
@@ -921,9 +973,13 @@ def q_scd2_materialize(spark, sf):
 
 def q_schema_evolution_roundtrip(spark, sf):
     """Schema evolution in isolation (rows-only): add column + widen
-    int->long, then scan both generations under the new schema."""
+    int->long at top level, THEN add a struct column and evolve INSIDE it
+    (nested int->long widen + nested field add, the
+    IcebergTableSynchronizer.kt:79-294 recursive path) — all three file
+    generations scan together under the final schema."""
     import shutil
 
+    from pyspark.sql.types import IntegerType as IT
     from pyspark.sql.types import LongType as LT
     from pyspark.sql.types import StringType as ST
     from pyspark.sql.types import StructField as SF_
@@ -939,6 +995,8 @@ def q_schema_evolution_roundtrip(spark, sf):
             else:
                 new_fields.append(f)
         new_fields.append(SF_("alt_text", ST(), True))
+        # v2: top-level add + widen, plus a NEW struct column exif{iso:int}
+        new_fields.append(SF_("exif", STt([SF_("iso", IT(), True)]), True))
         t.evolve_schema(STt(new_fields))
         from airbyte_spark.datagen import generate_images
 
@@ -948,18 +1006,50 @@ def q_schema_evolution_roundtrip(spark, sf):
         t.append(
             v2.withColumn("w", F2.col("w").cast("long"))
             .withColumn("alt_text", F2.lit("v2"))
+            .withColumn(
+                "exif", F2.struct(F2.lit(100).cast("int").alias("iso"))
+            )
+        )
+        # v3: evolve INSIDE the struct — widen exif.iso int->long, add
+        # exif.fnum — old generations must read iso as long / fnum as NULL
+        v3_fields = [
+            SF_("exif", STt([SF_("iso", LT(), True), SF_("fnum", ST(), True)]), True)
+            if f.name == "exif"
+            else f
+            for f in t.schema().fields
+        ]
+        t.evolve_schema(STt(v3_fields))
+        v3 = generate_images(spark, 5, id_offset=2000, num_partitions=1)
+        t.append(
+            v3.withColumn("w", F2.col("w").cast("long"))
+            .withColumn("alt_text", F2.lit("v3"))
+            .withColumn(
+                "exif",
+                F2.struct(
+                    F2.lit(200).cast("long").alias("iso"),
+                    F2.lit("f2.8").alias("fnum"),
+                ),
+            )
         )
         rows = (
             t.scan()
             .groupBy("alt_text")
-            .count()
+            .agg(
+                F2.count(F2.lit(1)).alias("cnt"),
+                F2.count("exif.iso").alias("with_iso"),
+                F2.count("exif.fnum").alias("with_fnum"),
+            )
             .select(
                 F2.coalesce("alt_text", F2.lit("v1")).alias("generation"),
-                F2.col("count").alias("rows"),
+                F2.col("cnt").alias("rows"),
+                "with_iso",
+                "with_fnum",
             )
             .collect()  # materialize before the table dir is removed
         )
-        return spark.createDataFrame(rows, "generation string, rows long")
+        return spark.createDataFrame(
+            rows, "generation string, rows long, with_iso long, with_fnum long"
+        )
     finally:
         shutil.rmtree(t.root, ignore_errors=True)
 
@@ -1340,7 +1430,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN upd u USING (event_id)
             WHERE e.event_id % 10 != 0
         """,
-        # dedup_simhash / images_maintenance / ann_lsh_topk /
-        # image_features: non-SQL-expressible (pandas-UDF or lake-table
-        # paths) -> rows-only check
+        "ann_lsh_topk": _lsh_oracle_sql(),
+        # dedup_simhash / images_maintenance / image_features:
+        # non-SQL-expressible (pandas-UDF or lake-table paths) ->
+        # rows-only check
     }

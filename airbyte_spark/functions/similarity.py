@@ -139,6 +139,85 @@ def lsh_topk(
     )
 
 
+def signed_planes(n_tables: int, nbits: int, dim: int, seed: int = 777) -> np.ndarray:
+    """Deterministic ±1 hyperplanes, shape (n_tables, nbits, dim). Sign
+    hyperplanes are a valid random-projection family for cosine LSH
+    (Charikar 2002 uses Gaussians; Achlioptas-style ±1 projections share
+    the JL guarantees) AND are exactly reproducible as SQL literals — the
+    property the DuckDB oracle needs."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, (n_tables, nbits, dim)) * 2 - 1).astype(np.float64)
+
+
+def fixed_plane_bucket_udf(planes_t: np.ndarray):
+    """Bucket id for ONE table of ±1 planes, shape (nbits, dim): bit b =
+    sign of the plane-b dot product, accumulated STRICTLY left to right in
+    doubles — `acc += M[:, j] * plane[j]` per dimension — so any engine
+    that evaluates `sum_j v[j]*p[j]` sequentially (DuckDB list_dot_product,
+    Spark F.aggregate) reproduces the exact float and therefore the exact
+    bucket. (numpy's own .sum() is pairwise-with-8-accumulators — NOT
+    order-equivalent — hence the explicit loop, still vectorized across
+    rows.)"""
+    planes = np.asarray(planes_t, dtype=np.float64)
+    nbits, dim = planes.shape
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.zeros(len(M), dtype=np.int64)
+        for b in range(nbits):
+            acc = np.zeros(len(M), dtype=np.float64)
+            for j in range(dim):
+                acc += M[:, j] * planes[b, j]
+            out |= (acc > 0).astype(np.int64) << b
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_topk_fixed_planes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """`lsh_topk` with explicit ±1 planes (shape (n_tables, nbits, dim)):
+    candidate = collision in >= 1 table's bucket, exact cosine re-rank of
+    candidates only. Engine-portable end to end — see
+    `__spark_entry__.q_ann_lsh_topk` for the equivalent SQL the DuckDB
+    oracle runs on the same plane literals."""
+    cands = None
+    for t in range(planes.shape[0]):
+        b = fixed_plane_bucket_udf(planes[t])
+        c_b = corpus.select(
+            F.col(id_col), F.col(vec_col), b(F.col(vec_col)).alias("_bkt")
+        )
+        q_b = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            b(F.col(vec_col)).alias("_bkt"),
+        )
+        hits = c_b.join(F.broadcast(q_b), on="_bkt").select(
+            query_id_col, id_col, F.col(vec_col), F.col("_qvec")
+        )
+        cands = hits if cands is None else cands.unionByName(hits)
+    cands = cands.dropDuplicates([query_id_col, id_col])
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
+
+
 def _centroids(dim: int, k: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((k, dim))

@@ -25,9 +25,9 @@ import glob
 import os
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from airbyte_spark.lake.format import (
     DataFileEntry,
@@ -421,7 +421,7 @@ class LakeTable:
                 tbl["primary_key"] = new_primary_key
             tbl["stats_columns"] = [
                 c for c in tbl["stats_columns"] if c in new_schema.fieldNames()
-            ] + [c for c in d.added if c != "bytes"]
+            ] + [c for c in d.added_top_level if c != "bytes"]
             atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
         return self.commit(
             "evolve-schema",
@@ -780,12 +780,68 @@ class LakeTable:
                     out.update(e["path"] for e in read_json(mp)["entries"])
         return out
 
+    #: above this many physical files, orphan listing runs as a Spark job
+    #: instead of a driver glob (mirrors the >16-file distributed
+    #: footer-stat reads in lake/stats.py)
+    DISTRIBUTED_LISTING_THRESHOLD = 4096
+
+    def _data_file_count_exceeds(self, limit: int) -> bool:
+        """Early-exit physical file count: stop walking the moment the
+        limit is crossed — the 10^6-file table never pays a full driver
+        walk just to LEARN it should not have walked."""
+        n = 0
+        for _root, _dirs, files in os.walk(self.data_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+            if n > limit:
+                return True
+        return False
+
+    def _list_data_files_driver(self) -> list[tuple[str, float | None]]:
+        """(path, mtime_sec) via driver glob — fine up to a few thousand
+        files. Recursive: merge/compact/cluster outputs are written NESTED
+        under `_pid=N/` and `_p_<col>=<v>/` partitionBy levels — a
+        one-level glob would leak every CoW-replaced file forever."""
+        return [
+            (p, None)  # mtime fetched lazily only when a grace period is set
+            for p in glob.glob(
+                os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+            )
+        ]
+
+    def _list_data_files_distributed(self) -> list[tuple[str, float | None]]:
+        """(path, mtime_sec) via a Spark `binaryFile` scan that selects
+        ONLY (path, modificationTime) — content is pruned out of the read,
+        and directory discovery parallelizes across the cluster
+        (spark.sql.sources.parallelPartitionDiscovery). This is the
+        10^5–10^6-file path real Iceberg's remove_orphan_files takes (its
+        orphan listing is itself a Spark action); only the final path list
+        returns to the driver (~100 B/file)."""
+        from urllib.parse import unquote, urlparse
+
+        rows = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .load(self.data_dir)
+            .select("path", "modificationTime")
+            .collect()
+        )
+        return [
+            (unquote(urlparse(r["path"]).path), r["modificationTime"].timestamp())
+            for r in rows
+        ]
+
     def remove_orphan_files(
         self, dry_run: bool = False, grace_period_ms: int = 0
     ) -> list[str]:
         """Delete physical files under data/ not reachable from any live
         snapshot (run AFTER expire_snapshots). Prefix-scoped like Airbyte's
         `deletePrefix` GC (IcebergTableCleaner.kt:33-43).
+
+        Listing strategy: a driver walk below DISTRIBUTED_LISTING_THRESHOLD
+        physical files, a distributed Spark listing above it (an early-exit
+        count picks the side) — a 100 TB table with 10^6 files must not
+        serialize its LIST calls through the driver.
 
         Paths are compared through os.path.realpath so loading the table
         under a different root spelling (relative vs absolute, symlink)
@@ -799,16 +855,19 @@ class LakeTable:
         overlap."""
         reachable = {os.path.realpath(p) for p in self.reachable_files()}
         cutoff = (now_ms() - grace_period_ms) / 1000.0
-        # recursive: merge/compact/cluster outputs are written NESTED under
-        # `_pid=N/` and `_p_<col>=<v>/` partitionBy levels — a one-level glob
-        # would leak every CoW-replaced file forever
+        listing = (
+            self._list_data_files_distributed()
+            if self._data_file_count_exceeds(self.DISTRIBUTED_LISTING_THRESHOLD)
+            else self._list_data_files_driver()
+        )
         orphans = [
             p
-            for p in glob.glob(
-                os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
-            )
+            for p, mtime in listing
             if os.path.realpath(p) not in reachable
-            and (grace_period_ms == 0 or os.path.getmtime(p) < cutoff)
+            and (
+                grace_period_ms == 0
+                or (mtime if mtime is not None else os.path.getmtime(p)) < cutoff
+            )
         ]
         if not dry_run:
             for p in orphans:
@@ -1014,17 +1073,60 @@ def _intersects(stat: dict | None, lo, hi, dt=None) -> bool:
 def _align(df: DataFrame, target: StructType) -> DataFrame:
     """Project/cast a physically-typed DataFrame to the logical schema:
     missing columns become NULL, widened columns are cast, dropped columns
-    are pruned (schema-evolution read path)."""
+    are pruned — recursively through nested struct/array/map columns
+    (schema-evolution read path)."""
     return _align_keep(df, target, [])
+
+
+def align_expr(col: Column, src: DataType, dst: DataType) -> Column:
+    """One column of physical type `src` re-expressed in logical type
+    `dst`. A plain Spark cast cannot change a struct's field COUNT, so
+    struct evolution (nested add/drop — the most common real-world change:
+    a field appears inside a JSON object column) rebuilds the struct field
+    by field: present subfields recurse, missing ones become typed NULLs,
+    dropped ones are omitted; NULL structs stay NULL. Arrays/maps recurse
+    through transform/transform_values only when the element/value type
+    actually changed — unchanged branches stay a no-op passthrough."""
+    if src == dst:
+        return col
+    if isinstance(src, StructType) and isinstance(dst, StructType):
+        have = {f.name: f for f in src.fields}
+        rebuilt = F.struct(
+            *[
+                align_expr(col[f.name], have[f.name].dataType, f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in dst.fields
+            ]
+        )
+        # F.struct() of nulls is a non-null struct — preserve row-level null
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(rebuilt)
+    if isinstance(src, ArrayType) and isinstance(dst, ArrayType):
+        if src.elementType == dst.elementType:
+            return col.cast(dst)
+        return F.transform(
+            col, lambda x: align_expr(x, src.elementType, dst.elementType)
+        )
+    if isinstance(src, MapType) and isinstance(dst, MapType):
+        if src.valueType == dst.valueType:
+            return col.cast(dst)
+        return F.transform_values(
+            col, lambda _k, v: align_expr(v, src.valueType, dst.valueType)
+        )
+    return col.cast(dst)
 
 
 def _align_keep(df: DataFrame, target: StructType, keep: list[str]) -> DataFrame:
     """_align plus pass-through of transient bookkeeping columns."""
     cols = []
-    have = set(df.columns)
+    have = {f.name: f for f in df.schema.fields}
     for f in target.fields:
         if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            cols.append(
+                align_expr(F.col(f.name), have[f.name].dataType, f.dataType).alias(
+                    f.name
+                )
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols, *[F.col(c) for c in keep if c in have])

@@ -32,8 +32,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType, TimestampType
+from pyspark.sql.types import StructType, TimestampType
 
+from airbyte_spark.lake.evolve import merge_supertype
 from airbyte_spark.lake.format import DataFileEntry, Snapshot
 from airbyte_spark.lake.table import (
     MAIN,
@@ -275,16 +276,13 @@ def merge_into(
                 f"{counts['bad']} source rows have NULL in primary key {pk}"
             )
 
-        # -- schema evolution: source may carry new columns (cursor, cdc, ...)
+        # -- schema evolution: source may carry new columns (cursor, cdc,
+        # ...), new NESTED fields inside struct columns, or wider leaf
+        # types — evolve the table to the union supertype before writing
+        # (IcebergSuperTypeFinder.kt:89-121 semantics; nothing is dropped)
         target_schema = table.schema(branch=branch)
-        existing = {f.name for f in target_schema.fields}
-        src_schema = {f.name: f for f in source.schema.fields}
-        new_cols = [n for n in source.columns if n not in existing]
-        if new_cols:
-            evolved = StructType(
-                list(target_schema.fields)
-                + [StructField(n, src_schema[n].dataType, True) for n in new_cols]
-            )
+        evolved = merge_supertype(target_schema, source.schema)
+        if evolved != target_schema:
             table.evolve_schema(evolved, branch=branch)
             target_schema = table.schema(branch=branch)
         _tick("evolve")
@@ -630,6 +628,21 @@ def _merge_mor(
                 "delete_files": len(del_entries),
             },
         )
+        # -- delete-debt policy (Iceberg's rewrite_data_files
+        # delete-threshold analog): every MoR batch adds one delete era the
+        # scan-side anti-join must fold in; past `merge.mor.max-delete-eras`
+        # live eras the debt is folded into the data files HERE, so
+        # unattended micro-batch loops keep bounded read plans without a
+        # manual maintenance call. 0 disables (caller owns maintenance).
+        max_eras = int(table.properties.get("merge.mor.max-delete-eras", 8) or 0)
+        if max_eras:
+            eras = {d.sequence or 0 for d in table.delete_files(branch=branch)}
+            if len(eras) > max_eras:
+                from airbyte_spark.operators.deletes import rewrite_deletes
+
+                fold = rewrite_deletes(table, branch=branch)
+                tick("mor_delete_fold")
+                snap = fold.snapshot or snap
         return MergeResult(
             snapshot=snap,
             source_rows=source_rows,

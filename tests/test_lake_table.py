@@ -139,6 +139,41 @@ def test_gc_collects_nested_maintenance_outputs(spark, tmp_table_dir):
             ), f"marker-only dir leaked: {d}"
 
 
+def test_gc_distributed_listing_many_files(spark, tmp_table_dir, monkeypatch):
+    """Above DISTRIBUTED_LISTING_THRESHOLD physical files, orphan listing
+    must run as a Spark job, never the driver glob (r2 verdict missing #4
+    — a 10^6-file table's LIST calls cannot serialize through the driver).
+    Plants a forest of orphan files, poisons the driver-glob path, and
+    asserts exact reclamation with live files and grace period honored."""
+    t = _mk(spark, tmp_table_dir, [(f"k{i}", i) for i in range(20)])
+    live = {os.path.realpath(e.path) for e in t.data_files()}
+    # nested fake orphans: committed-then-expired leftovers of prior jobs
+    n_orphans = 120
+    for i in range(n_orphans):
+        d = os.path.join(t.data_dir, f"commit-old{i % 7}", f"_pid={i % 4}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"part-{i:05d}.parquet"), "wb") as f:
+            f.write(b"x")
+    monkeypatch.setattr(LakeTable, "DISTRIBUTED_LISTING_THRESHOLD", 50)
+
+    def _no_driver_glob(self):
+        raise AssertionError("driver glob used above the distributed threshold")
+
+    monkeypatch.setattr(LakeTable, "_list_data_files_driver", _no_driver_glob)
+    # grace period: everything is younger than the cutoff -> nothing reaped
+    assert t.remove_orphan_files(grace_period_ms=3_600_000) == []
+    orphans = t.remove_orphan_files()
+    assert len(orphans) == n_orphans
+    on_disk = {
+        os.path.realpath(os.path.join(r, f))
+        for r, _d, fs in os.walk(t.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+    assert t.scan().count() == 20  # table intact
+
+
 def test_schema_evolution_roundtrip(spark, tmp_table_dir):
     """v1 write -> evolve (add col, widen int->long) -> v2 write -> both
     generations scan under v2 schema (testAppendSchemaEvolution analog,

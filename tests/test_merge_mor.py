@@ -404,6 +404,55 @@ def test_merge_table_without_airbyte_meta(spark, tmp_table_dir):
         assert got == {"a": 2, "b": 1, "c": 3, "d": 7}, mode
 
 
+def test_mor_delete_debt_auto_fold(spark, tmp_table_dir):
+    """Delete-debt policy: past `merge.mor.max-delete-eras` live delete
+    eras, the MoR merge folds the debt itself (rewrite_deletes) — an
+    unattended micro-batch loop keeps a bounded number of delete eras in
+    every scan plan without a manual maintenance call."""
+    import datetime as dtm
+
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField("updated_at", TimestampType()),
+        ]
+    )
+    ts0 = dtm.datetime(2026, 5, 1)
+    t = LakeTable.create(
+        spark, tmp_table_dir, schema, primary_key=["id"],
+        properties={"merge.mor.max-delete-eras": "3"},
+    )
+    t.append(
+        spark.createDataFrame([(f"k{i}", 0, ts0) for i in range(30)], schema)
+    )
+    for b in range(9):
+        src = spark.createDataFrame(
+            [(f"k{(b * 5 + j) % 30}", b + 1, ts0 + dtm.timedelta(days=b + 1))
+             for j in range(4)],
+            schema,
+        )
+        merge_into(t, src, mode="mor")
+        eras = {d.sequence for d in t.delete_files()}
+        assert len(eras) <= 3, f"batch {b}: {len(eras)} delete eras live"
+    # folds never lost an update: latest version per key
+    got = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert len(got) == 30 and max(got.values()) == 9
+    # debt was actually folded at least once (9 batches, cap 3)
+    assert any(
+        s.operation == "rewrite-deletes"
+        for s in (t.snapshot(sid) for sid in _ancestry(t))
+    )
+
+
+def _ancestry(t):
+    sid = t.current_snapshot_id()
+    while sid is not None:
+        yield sid
+        snap = t.snapshot(sid)
+        sid = snap.parent_id
+
+
 def test_merge_meta_less_source_with_long_cursor(spark, tmp_table_dir):
     """MoR/CoW parity for a meta-less source whose cursor is LONG-typed
     (r2 verdict "What's wrong #2": the MoR missing-column backfill cast

@@ -198,7 +198,13 @@ def test_mor_many_batches_plan_stays_flat(spark, tmp_table_dir):
         ]
     )
     ts0 = dt.datetime(2026, 5, 1)
-    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["id"])
+    # delete-debt auto-fold OFF: this test pins the worst-case plan shape
+    # when every delete era stays live (the policy-bounded case is
+    # test_merge_mor.py::test_mor_delete_debt_auto_fold)
+    t = LakeTable.create(
+        spark, tmp_table_dir, schema, primary_key=["id"],
+        properties={"merge.mor.max-delete-eras": "0"},
+    )
     t.append(
         spark.createDataFrame(
             [(f"k{i}", 0, f"r{i}", ts0, ts0) for i in range(50)], schema

@@ -1,0 +1,269 @@
+"""Nested-struct schema evolution (r2 verdict missing #1).
+
+Mirrors the reference's recursive schema synchronizer
+(IcebergTableSynchronizer.kt:79-294, IcebergTypesComparator.kt,
+IcebergSuperTypeFinder.kt:89-121; exercised by
+IcebergTypesComparatorTest.kt and the retroactive-schema cases in
+IcebergWriteTest.kt:35-90): add/drop/widen INSIDE struct columns, array
+elements and map values, with pre-evolution files aligned at read time.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.lake.evolve import (
+    SchemaEvolutionError,
+    diff_schemas,
+    merge_supertype,
+)
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.merge import merge_into
+
+
+def _struct(*fields):
+    return StructType(list(fields))
+
+
+V1 = _struct(
+    StructField("id", StringType(), False),
+    StructField(
+        "profile",
+        _struct(
+            StructField("name", StringType()),
+            StructField("age", IntegerType()),
+        ),
+    ),
+)
+
+# add profile.zip, widen profile.age int->long
+V2 = _struct(
+    StructField("id", StringType(), False),
+    StructField(
+        "profile",
+        _struct(
+            StructField("name", StringType()),
+            StructField("age", LongType()),
+            StructField("zip", StringType()),
+        ),
+    ),
+)
+
+
+def test_diff_reports_dotted_nested_paths():
+    d = diff_schemas(V1, V2)
+    assert d.added == ["profile.zip"]
+    assert d.widened == [("profile.age", "int", "bigint")]
+    assert d.added_top_level == []
+    # drop direction reports the nested path too (narrowing stays illegal,
+    # so the drop-only comparison keeps age at long)
+    v2_minus_zip = _struct(
+        StructField("id", StringType(), False),
+        StructField(
+            "profile",
+            _struct(
+                StructField("name", StringType()),
+                StructField("age", LongType()),
+            ),
+        ),
+    )
+    d2 = diff_schemas(V2, v2_minus_zip)
+    assert d2.dropped == ["profile.zip"]
+
+
+def test_diff_nested_illegal_changes():
+    bad_type = _struct(
+        StructField("id", StringType(), False),
+        StructField("profile", _struct(StructField("name", LongType()))),
+    )
+    with pytest.raises(SchemaEvolutionError, match="profile.name"):
+        diff_schemas(V1, bad_type)
+    required_add = _struct(
+        StructField("id", StringType(), False),
+        StructField(
+            "profile",
+            _struct(
+                StructField("name", StringType()),
+                StructField("age", IntegerType()),
+                StructField("zip", StringType(), False),
+            ),
+        ),
+    )
+    with pytest.raises(SchemaEvolutionError, match="profile.zip"):
+        diff_schemas(V1, required_add)
+
+
+def test_diff_array_element_and_map_value():
+    a1 = _struct(
+        StructField("tags", ArrayType(_struct(StructField("w", IntegerType()))))
+    )
+    a2 = _struct(
+        StructField(
+            "tags",
+            ArrayType(
+                _struct(StructField("w", LongType()), StructField("k", StringType()))
+            ),
+        )
+    )
+    d = diff_schemas(a1, a2)
+    assert d.added == ["tags.element.k"]
+    assert d.widened == [("tags.element.w", "int", "bigint")]
+    m1 = _struct(StructField("attrs", MapType(StringType(), IntegerType())))
+    m2 = _struct(StructField("attrs", MapType(StringType(), LongType())))
+    assert diff_schemas(m1, m2).widened == [("attrs.value", "int", "bigint")]
+    m3 = _struct(StructField("attrs", MapType(LongType(), LongType())))
+    with pytest.raises(SchemaEvolutionError, match="map key"):
+        diff_schemas(m1, m3)
+
+
+def test_nested_add_widen_roundtrip(spark, tmp_table_dir):
+    """v1 files + v2 files scan together under v2: old rows get NULL for
+    the added nested field and their int age reads back as long."""
+    t = LakeTable.create(spark, tmp_table_dir, V1, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", ("ann", 30)), ("b", (None, None))], V1))
+    t.evolve_schema(V2)
+    t.append(spark.createDataFrame([("c", ("cid", 40, "94110"))], V2))
+    got = {r["id"]: r["profile"] for r in t.scan().collect()}
+    assert got["a"]["name"] == "ann" and got["a"]["age"] == 30
+    assert got["a"]["zip"] is None
+    assert got["b"]["name"] is None and got["b"]["zip"] is None
+    assert got["c"]["zip"] == "94110" and got["c"]["age"] == 40
+    assert dict(t.scan().select("profile.age").dtypes)["age"] == "bigint"
+
+
+def test_nested_null_struct_stays_null(spark, tmp_table_dir):
+    """A row whose whole struct is NULL must stay NULL after the rebuild
+    (F.struct of nulls would otherwise fabricate a non-null struct)."""
+    t = LakeTable.create(spark, tmp_table_dir, V1, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", None), ("b", ("bo", 2))], V1))
+    t.evolve_schema(V2)
+    got = {r["id"]: r["profile"] for r in t.scan().collect()}
+    assert got["a"] is None
+    assert got["b"]["name"] == "bo" and got["b"]["zip"] is None
+
+
+def test_nested_drop_field(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, V2, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", ("ann", 30, "z1"))], V2))
+    t.evolve_schema(V1_widened := _struct(
+        StructField("id", StringType(), False),
+        StructField(
+            "profile",
+            _struct(
+                StructField("name", StringType()),
+                StructField("age", LongType()),
+            ),
+        ),
+    ))
+    rows = t.scan().collect()
+    assert rows[0]["profile"].asDict() == {"name": "ann", "age": 30}
+    assert "zip" not in t.schema()["profile"].dataType.fieldNames()
+    assert V1_widened == t.schema()
+
+
+def test_array_of_struct_alignment_two_columns(spark, tmp_table_dir):
+    """Two array<struct> columns evolved in ONE projection — guards the
+    Spark 4.1 sibling-HOF lambda-slot corruption (CLAUDE.md gotcha #4)
+    against the transform-based array alignment path."""
+    s1 = _struct(
+        StructField("id", StringType(), False),
+        StructField("xs", ArrayType(_struct(StructField("a", IntegerType())))),
+        StructField("ys", ArrayType(_struct(StructField("b", IntegerType())))),
+    )
+    s2 = _struct(
+        StructField("id", StringType(), False),
+        StructField(
+            "xs",
+            ArrayType(
+                _struct(StructField("a", LongType()), StructField("a2", StringType()))
+            ),
+        ),
+        StructField(
+            "ys",
+            ArrayType(
+                _struct(StructField("b", LongType()), StructField("b2", StringType()))
+            ),
+        ),
+    )
+    t = LakeTable.create(spark, tmp_table_dir, s1, primary_key=["id"])
+    t.append(
+        spark.createDataFrame([("a", [(1,), (2,)], [(10,), (20,)])], s1)
+    )
+    t.evolve_schema(s2)
+    r = t.scan().first()
+    assert [x["a"] for x in r["xs"]] == [1, 2]
+    assert [x["a2"] for x in r["xs"]] == [None, None]
+    assert [y["b"] for y in r["ys"]] == [10, 20]
+    assert [y["b2"] for y in r["ys"]] == [None, None]
+
+
+def test_merge_supertype_rules():
+    # union: table-only kept, source-only appended nullable
+    s = merge_supertype(V1, _struct(StructField("id", StringType(), False)))
+    assert s == V1  # nothing new -> identical (no spurious evolution)
+    src = _struct(
+        StructField("id", StringType()),
+        StructField(
+            "profile",
+            _struct(
+                StructField("age", LongType()),  # widen
+                StructField("zip", StringType()),  # new nested
+            ),
+        ),
+    )
+    merged = merge_supertype(V1, src)
+    prof = merged["profile"].dataType
+    assert prof.fieldNames() == ["name", "age", "zip"]  # name kept, zip appended
+    assert prof["age"].dataType == LongType()
+    # incompatible leaf: table wins
+    clash = _struct(StructField("id", LongType(), True))
+    assert merge_supertype(V1, clash) == V1
+    # nullability of shared fields stays the table's
+    assert merged["id"].nullable is False
+
+
+def test_merge_into_evolves_nested_source(spark, tmp_table_dir):
+    """A MERGE whose batch carries a new nested field auto-evolves the
+    table to the supertype and lands the value; pre-evolution rows read
+    back with NULL in the new nested slot (retroactive-schema analog,
+    IcebergWriteTest.kt:35-90)."""
+    base = _struct(
+        StructField("k", StringType(), False),
+        StructField("v", IntegerType()),
+        StructField("profile", _struct(StructField("name", StringType()))),
+    )
+    for mode in ("cow", "mor"):
+        root = os.path.join(tmp_table_dir, mode)
+        t = LakeTable.create(spark, root, base, primary_key=["k"])
+        t.append(spark.createDataFrame([("a", 1, ("ann",)), ("b", 1, ("bob",))], base))
+        src_schema = _struct(
+            StructField("k", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField(
+                "profile",
+                _struct(
+                    StructField("name", StringType()),
+                    StructField("zip", StringType()),
+                ),
+            ),
+        )
+        merge_into(
+            t,
+            spark.createDataFrame([("b", 2, ("bo2", "94110")), ("c", 3, ("cid", "10001"))], src_schema),
+            cursor_col="v",
+            mode=mode,
+        )
+        got = {r["k"]: r["profile"] for r in t.scan().collect()}
+        assert got["a"]["zip"] is None and got["a"]["name"] == "ann", mode
+        assert got["b"]["zip"] == "94110" and got["b"]["name"] == "bo2", mode
+        assert got["c"]["zip"] == "10001", mode

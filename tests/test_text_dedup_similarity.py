@@ -321,6 +321,42 @@ def test_lsh_topk_recall(spark, emb):
     }
 
 
+def test_fixed_plane_lsh_buckets_and_topk(spark, emb):
+    """The oracle-portable ±1-plane LSH: bucket bits must equal an
+    independent per-row scalar recomputation (guards the UDF's sign /
+    bit-packing and its left-to-right accumulation), and the re-rank must
+    always find each query itself at rank 1."""
+    from airbyte_spark.functions.similarity import (
+        fixed_plane_bucket_udf,
+        lsh_topk_fixed_planes,
+        signed_planes,
+    )
+
+    planes = signed_planes(2, 6, 64, seed=777)
+    sample = emb.limit(50).select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in sample.select(
+            "vec_id", fixed_plane_bucket_udf(planes[0])(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    for r in sample.collect():
+        v = [float(x) for x in r["embedding"]]
+        want = 0
+        for b in range(6):
+            acc = 0.0
+            for j in range(64):
+                acc += v[j] * float(planes[0, b, j])  # python float = double
+            want |= (1 if acc > 0 else 0) << b
+        assert got[r["vec_id"]] == want, r["vec_id"]
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = lsh_topk_fixed_planes(emb, queries, planes, k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in res.filter("rank=1").collect()}
+    assert top1 == {q: q for q in top1} and len(top1) == 4
+
+
 def test_ivf_topk_recall(spark, emb):
     from airbyte_spark.functions.similarity import ivf_topk
 
