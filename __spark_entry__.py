@@ -350,19 +350,20 @@ def q_dedup_minhash_lsh(spark, sf):
     trigram shingle sets (oracle-checked; the generic n-gram version is
     functions/dedup.py::lsh_candidate_pairs).
 
-    Scale path (round-2 rework): the signature is computed in ONE
-    Arrow-vectorized pandas UDF (dedup.py::_md5_minhash_batch) — shingles
-    never leave the worker. The round-1 explode+groupBy-min plan (kept as a
-    documented workaround for the Spark 4.1 sibling-HOF corruption,
-    regression-tested in test_text_dedup_similarity.py) pushed ~30x the
-    corpus row volume through a shuffle; the UDF needs no HOF siblings and
-    no shuffle until the slim (doc_id, band, bhash) self-join. Candidate
-    pairs are persisted + memoized per (session, sf) so q_dedup_jaccard
-    reuses them instead of recomputing the pipeline. Shingling happens
-    inside the same UDF: the JVM HOF shingle expression re-evaluates its
-    split() subexpression per shingle position (~5 s alone at sf0.1 —
-    measured), while the fused Python pass is ~0.15 s."""
-    from airbyte_spark.functions.dedup import band_hashes, minhash_text_udf
+    Scale path (round-3 rework): the signature is computed in ONE
+    Arrow-vectorized pandas UDF — shingles never leave the worker — and
+    each unique shingle is md5'd ONCE, with the 8 seed hashes derived by
+    a bijective multiply-xor on the 64-bit digest half
+    (dedup.py::_minhash64_batch; DuckDB reproduces it via
+    md5_number_lower + HUGEINT arithmetic). Round 2 paid 8 md5 calls per
+    unique shingle — the dominant remaining cost of this query (r2
+    verdict #3); round 1's explode+groupBy-min plan pushed ~30x the
+    corpus row volume through a shuffle. Band join keys are the raw
+    signature longs (band b joins on sig[2b], sig[2b+1]) — 16-byte slim
+    keys, no band-level md5. Candidate pairs are persisted + memoized per
+    (session, sf) so q_dedup_jaccard reuses them instead of recomputing
+    the pipeline."""
+    from airbyte_spark.functions.dedup import minhash64_text_udf
 
     # applicationId (not id(spark)): a recycled object id after a session
     # restart must not serve a DataFrame bound to a stopped SparkContext
@@ -370,26 +371,31 @@ def q_dedup_minhash_lsh(spark, sf):
     if key in _LSH_CACHE:
         return _LSH_CACHE[key]
     d = _t(spark, sf, "documents")
-    sig_udf = minhash_text_udf(8, 3)
+    sig_udf = minhash64_text_udf(8, 3)
     sig = d.select("doc_id", sig_udf(F.col("text")).alias("sig"))
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), bh.alias("bh"))
-                    for b, bh in enumerate(band_hashes(F.col("sig"), 8, 4))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("sig")[2 * b].alias("k0"),
+                        F.col("sig")[2 * b + 1].alias("k1"),
+                    )
+                    for b in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
-    # persist the slim (doc_id, band, bh) projection: the self-join reads it
-    # twice, and without the cache each branch re-runs the signature UDF
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1")
+    # persist the slim (doc_id, band, k0, k1) projection: the self-join
+    # reads it twice, and without the cache each branch re-runs the
+    # signature UDF
     banded = banded.persist()
-    l = banded.select("band", "bh", F.col("doc_id").alias("id_a"))
-    r = banded.select("band", "bh", F.col("doc_id").alias("id_b"))
+    l = banded.select("band", "k0", "k1", F.col("doc_id").alias("id_a"))
+    r = banded.select("band", "k0", "k1", F.col("doc_id").alias("id_b"))
     pairs = (
-        l.join(r, ["band", "bh"])
+        l.join(r, ["band", "k0", "k1"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1119,6 +1125,31 @@ _SHINGLES_SQL = (
 )
 
 
+def _minhash64_sig_sql() -> str:
+    """h0..h7 columns of the 64-bit MinHash signature over shingle list
+    `ws` — the exact DuckDB replica of dedup.py::_minhash64_batch:
+    md5_number_lower == uint64(md5 digest bytes 8..16, little-endian),
+    then (h ^ C_i) * PRIME mod 2^64 in HUGEINT, min over shingles
+    (unsigned, same order as numpy's uint64 minimum)."""
+    from airbyte_spark.functions.dedup import MINHASH64_PRIME, minhash64_constants
+
+    cs = minhash64_constants(8)
+    return ", ".join(
+        f"list_min(list_transform(ws, s -> "
+        f"(CAST(xor(md5_number_lower(s), {cs[i]}::UBIGINT) AS HUGEINT)"
+        f" * {MINHASH64_PRIME}) % 18446744073709551616)) AS h{i}"
+        for i in range(8)
+    )
+
+
+_MINHASH64_CAND_SQL = " UNION ALL ".join(
+    f"SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM sig l "
+    f"JOIN sig r ON l.h{2 * b} = r.h{2 * b} AND l.h{2 * b + 1} = r.h{2 * b + 1} "
+    f"AND l.doc_id < r.doc_id"
+    for b in range(4)
+)
+
+
 def _in_list(items: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in items)
 
@@ -1287,18 +1318,9 @@ def oracle_sql() -> dict[str, str]:
             sh AS (
               SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok),
             sig AS (
-              SELECT doc_id,
-                     {', '.join(f"list_min(list_transform(ws, s -> md5('{i}|' || s))) AS h{i}" for i in range(8))}
-              FROM sh),
-            bands AS (
-              SELECT doc_id,
-                     {', '.join(f"md5(h{2*b} || '#' || h{2*b+1}) AS b{b}" for b in range(4))}
-              FROM sig)
-            SELECT DISTINCT id_a, id_b FROM (
-              {' UNION ALL '.join(
-                  f"SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM bands l "
-                  f"JOIN bands r ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
-                  for b in range(4))})
+              SELECT doc_id, {_minhash64_sig_sql()}
+              FROM sh)
+            SELECT DISTINCT id_a, id_b FROM ({_MINHASH64_CAND_SQL})
         """,
         "dedup_jaccard": f"""
             WITH tok AS (
@@ -1306,19 +1328,10 @@ def oracle_sql() -> dict[str, str]:
             shw AS (
               SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok),
             sig AS (
-              SELECT doc_id,
-                     {', '.join(f"list_min(list_transform(ws, s -> md5('{i}|' || s))) AS h{i}" for i in range(8))}
+              SELECT doc_id, {_minhash64_sig_sql()}
               FROM shw),
-            bands AS (
-              SELECT doc_id,
-                     {', '.join(f"md5(h{2*b} || '#' || h{2*b+1}) AS b{b}" for b in range(4))}
-              FROM sig),
             cand AS (
-              SELECT DISTINCT id_a, id_b FROM (
-                {' UNION ALL '.join(
-                    f"SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM bands l "
-                    f"JOIN bands r ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
-                    for b in range(4))})),
+              SELECT DISTINCT id_a, id_b FROM ({_MINHASH64_CAND_SQL})),
             sets AS (
               SELECT doc_id, ws FROM shw)
             SELECT c.id_a, c.id_b,

@@ -218,6 +218,77 @@ def minhash_text_udf(num_hashes: int = 16, shingle_n: int = 3):
     return sig
 
 
+# ---------------------------------------------------------------------------
+# 64-bit MinHash (one md5 per unique shingle + multiply-xor derived seeds)
+# ---------------------------------------------------------------------------
+
+#: odd multiplier -> bijective on uint64 (mod 2^64), so the derived family
+#: stays exactly uniform. 32-bit (Knuth's golden-ratio constant) on
+#: purpose: the DuckDB oracle computes `(h ^ C) * PRIME % 2^64` in signed
+#: INT128 (HUGEINT), and a 64-bit multiplier would overflow 2^127 there.
+MINHASH64_PRIME = 0x9E3779B1
+
+
+def minhash64_constants(num_hashes: int) -> list[int]:
+    """Per-seed xor constants — deterministic, and plain integers so a SQL
+    oracle can inline them."""
+    rng = np.random.default_rng(0xA1B2)
+    return [int(x) for x in rng.integers(0, 2**64, num_hashes, dtype=np.uint64)]
+
+
+def _minhash64_batch(shingle_lists: pd.Series, num_hashes: int) -> pd.Series:
+    """k-min 64-bit signature per row. The r2 md5-string path
+    (`_md5_minhash_batch`) pays k md5 calls per unique shingle — the
+    dominant cost of the LSH pipeline (r2 verdict "What's wrong #3"). Here
+    each unique shingle is md5'd ONCE; h = uint64(digest[8:16], little) —
+    bit-identical to DuckDB's `md5_number_lower(s)` — and the k derived
+    hashes are `(h ^ C_i) * PRIME mod 2^64`, a bijective multiply-xor
+    family computed as two whole-array numpy ops. Mins are taken in
+    UNSIGNED space (reduceat on uint64); the returned longs are the int64
+    bit patterns (band-key equality is representation-independent)."""
+    n = len(shingle_lists)
+    lists = [
+        np.asarray(v, dtype=object)
+        if v is not None and len(v)
+        else np.asarray([""], dtype=object)
+        for v in shingle_lists
+    ]
+    lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=n)
+    flat = np.concatenate(lists) if n else np.empty(0, dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(s).encode("utf-8")).digest()[8:16], "little")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    C = np.asarray(minhash64_constants(num_hashes), dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the point
+        G = (hs[:, None] ^ C[None, :]) * np.uint64(MINHASH64_PRIME)  # (u, k)
+    rowG = G[inv]  # (n_flat, k)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    mins = np.minimum.reduceat(rowG, offs, axis=0).astype(np.int64)  # (n, k)
+    return pd.Series(list(mins))
+
+
+def minhash64_text_udf(num_hashes: int = 8, shingle_n: int = 3):
+    """Fused raw-text -> 64-bit MinHash signature (array<long>) in ONE
+    Arrow pass: tokenize + shingle (`_shingle_set`) + `_minhash64_batch`.
+    The scale default: ~k× fewer md5 calls than `minhash_text_udf` and the
+    band join keys shrink from 32-char hex strings to longs."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        return _minhash64_batch(
+            pd.Series([_shingle_set(t, shingle_n) for t in text]), num_hashes
+        )
+
+    return sig
+
+
 def band_hashes(sig_col: Column, num_hashes: int, bands: int) -> list[Column]:
     """md5 of the '#'-joined signature rows for each LSH band."""
     rows = num_hashes // bands
@@ -249,16 +320,32 @@ def lsh_candidate_pairs(
     only — O(bucket) pairs that keep the duplicate class connected (what
     dedup consumes) while dropping the other intra-bucket pairs. Capped
     buckets are counted and logged — never silently. Pass
-    `max_bucket_size=None` for exact all-pairs output."""
-    sig_udf = minhash_text_udf(num_hashes, shingle_n)
+    `max_bucket_size=None` for exact all-pairs output.
+
+    Signatures are the 64-bit multiply-xor family (`minhash64_text_udf`,
+    one md5 per unique shingle); a band's key is xxhash64 over its r
+    signature longs — an 8-byte join key instead of a 32-char hex digest
+    (a spurious xxhash64 band collision only ADDS a candidate pair, which
+    the verify stage discards)."""
+    sig_udf = minhash64_text_udf(num_hashes, shingle_n)
     sig = docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("_sig"))
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), bh.alias("bhash"))
-                    for b, bh in enumerate(band_hashes(F.col("_sig"), num_hashes, bands))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("_sig")[b * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),

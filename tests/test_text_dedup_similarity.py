@@ -238,6 +238,46 @@ def test_shingles_udf_matches_sql_expression(spark, docs):
         assert sorted(r["sql_sh"]) == sorted(r["py_sh"]), r["doc_id"]
 
 
+def test_minhash64_batch_matches_scalar_reference():
+    """Pinned definition: the vectorized 64-bit signature must equal a
+    per-shingle scalar recomputation — uint64(md5[8:16] little-endian)
+    (== DuckDB md5_number_lower), xor seed constant, times the 32-bit odd
+    multiplier mod 2^64, min per seed in UNSIGNED order."""
+    import hashlib
+
+    import pandas as pd
+
+    from airbyte_spark.functions.dedup import (
+        MINHASH64_PRIME,
+        _minhash64_batch,
+        _shingle_set,
+        minhash64_constants,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "a b",
+        "unicode tökens should häsh identically müller here too",
+    ]
+    cs = minhash64_constants(8)
+    sh = [_shingle_set(t, 3) for t in texts]
+    got = list(_minhash64_batch(pd.Series(sh), 8))
+    for row, shingles in zip(got, sh):
+        shingles = shingles or [""]
+        for i in range(8):
+            vals = []
+            for s in shingles:
+                h = int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[8:16], "little"
+                )
+                vals.append(((h ^ cs[i]) * MINHASH64_PRIME) % 2**64)
+            want = min(vals)  # unsigned min
+            have = int(row[i]) % 2**64  # back from int64 bit pattern
+            assert have == want
+
+
 def test_simhash_batch_matches_scalar_reference():
     """Pinned values: the batch-vectorized simhash must equal the scalar
     FNV-1a/sign-accumulate definition (the round-1 per-row loop)."""
