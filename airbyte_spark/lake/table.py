@@ -815,9 +815,13 @@ class LakeTable:
         (spark.sql.sources.parallelPartitionDiscovery). This is the
         10^5–10^6-file path real Iceberg's remove_orphan_files takes (its
         orphan listing is itself a Spark action); only the final path list
-        returns to the driver (~100 B/file)."""
-        from urllib.parse import unquote, urlparse
+        returns to the driver (~100 B/file).
 
+        NOTE: unlike `input_file_name()` (percent-RE-encoded, CLAUDE.md
+        gotcha #13), binaryFile's `path` column is the raw filesystem path
+        with only a `file:` scheme prefix — spaces, '%', unicode all
+        literal. Stripping the prefix is the whole decode; running
+        unquote() here would corrupt names containing literal '%'."""
         rows = (
             self.spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.parquet")
@@ -827,7 +831,10 @@ class LakeTable:
             .collect()
         )
         return [
-            (unquote(urlparse(r["path"]).path), r["modificationTime"].timestamp())
+            (
+                r["path"].removeprefix("file:"),
+                r["modificationTime"].timestamp(),
+            )
             for r in rows
         ]
 

@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: repeats per headline query; min is reported (box noise is up to 2.3x
+#: run-to-run — single runs are anecdotes, CLAUDE.md gotcha #8)
+QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "3"))
+#: maintenance input multiplier over the 60k*sf base: the 8k-image r2
+#: default was orchestration-floor-bound and under-reported the engine
+#: (r3 verdict item); 8x -> 64k images at the driver's sf0.1
+MAINT_SCALE = int(os.environ.get("SPARK_GRAFT_MAINT_SCALE", "8"))
+MAINT_RUNS = int(os.environ.get("SPARK_GRAFT_MAINT_RUNS", "2"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -58,45 +66,55 @@ def run_maintenance_bench(spark, sf: float) -> dict:
     from airbyte_spark.lake.table import LakeTable
     from airbyte_spark.operators.maintenance import run_maintenance
 
-    n_base = max(500, int(60_000 * sf))
-    n_updates = max(200, int(20_000 * sf))
-    root = tempfile.mkdtemp(prefix="bench-images-")
-    try:
-        t = LakeTable.create(
-            spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
-            properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
-        )
-        # several small commits -> a compactable long tail of files
-        chunks = 6
-        per = n_base // chunks
-        for i in range(chunks):
-            t.append(
-                generate_images(spark, per, id_offset=i * per,
-                                num_partitions=max(4, CPUS))
+    n_base = max(500, int(60_000 * sf * MAINT_SCALE))
+    n_updates = max(200, int(20_000 * sf * MAINT_SCALE))
+    best = None
+    for run in range(max(1, MAINT_RUNS)):
+        root = tempfile.mkdtemp(prefix="bench-images-")
+        try:
+            t = LakeTable.create(
+                spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
+                properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
             )
-        # persist = the staged batch a real sync reads from object storage
-        # (generation cost is not part of the maintenance metric)
-        src = generate_update_batch(
-            spark, n_base, n_updates, hot_key_fraction=0.05,
-            num_partitions=max(4, CPUS),
-        ).persist()
-        src.count()
-        t0 = time.monotonic()
-        rep = run_maintenance(
-            t, f"bench-{time.time_ns()}", merge_source=src, curve="zorder",
-        )
-        wall = time.monotonic() - t0
-        total_rows = sum(e.rows for e in t.data_files())
-        images_processed = n_base + n_updates
-        return {
-            "sec": round(wall, 3),
-            "images": images_processed,
-            "table_rows": total_rows,
-            "images_per_sec": round(images_processed / wall, 1),
-            "stages": {k: v.get("resumed", False) for k, v in rep.stages.items()},
-        }
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+            # several small commits -> a compactable long tail of files
+            chunks = 6
+            per = n_base // chunks
+            for i in range(chunks):
+                t.append(
+                    generate_images(spark, per, id_offset=i * per,
+                                    num_partitions=max(4, CPUS))
+                )
+            # persist = the staged batch a real sync reads from object
+            # storage (generation cost is not part of the maintenance
+            # metric)
+            src = generate_update_batch(
+                spark, n_base, n_updates, hot_key_fraction=0.05,
+                num_partitions=max(4, CPUS),
+            ).persist()
+            src.count()
+            t0 = time.monotonic()
+            rep = run_maintenance(
+                t, f"bench-{time.time_ns()}", merge_source=src, curve="zorder",
+            )
+            wall = time.monotonic() - t0
+            src.unpersist()
+            total_rows = sum(e.rows for e in t.data_files())
+            images_processed = n_base + n_updates
+            res = {
+                "sec": round(wall, 3),
+                "images": images_processed,
+                "table_rows": total_rows,
+                "images_per_sec": round(images_processed / wall, 1),
+                "runs": max(1, MAINT_RUNS),
+                "stages": {
+                    k: v.get("resumed", False) for k, v in rep.stages.items()
+                },
+            }
+            if best is None or res["sec"] < best["sec"]:
+                best = res
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return best
 
 
 def run_merge_mode_bench(spark, sf: float) -> dict:
@@ -190,11 +208,24 @@ def main() -> None:
     _warm_cache = spark.range(1000).persist()
     _warm_cache.count()
     _warm_cache.unpersist()
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.monotonic() - t0, 3)
+    # min-of-N per query: co-tenant load on this box varies identical runs
+    # up to 2.3x — the min is the engine, the rest is the neighborhood
+    for run in range(max(1, QUERY_RUNS)):
+        # the LSH candidate pipeline memoizes per session — clear it so
+        # every repeat pays the full query, not a cache hit
+        for cached in entry_mod._LSH_CACHE.values():
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        entry_mod._LSH_CACHE.clear()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            el = round(time.monotonic() - t0, 3)
+            if name not in times or el < times[name]:
+                times[name] = el
 
     maint = run_maintenance_bench(spark, sf)
     times["maintenance_pipeline"] = maint["sec"]
@@ -208,12 +239,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "query_runs": max(1, QUERY_RUNS),
                 "sf": sf,
                 "cpus": CPUS,
                 "maintenance": {
                     "images": maint["images"],
                     "images_per_sec": maint["images_per_sec"],
                     "table_rows": maint["table_rows"],
+                    "runs": maint["runs"],
                 },
                 "merge_modes": merge_modes,
             }

@@ -150,7 +150,14 @@ def test_gc_distributed_listing_many_files(spark, tmp_table_dir, monkeypatch):
     # nested fake orphans: committed-then-expired leftovers of prior jobs
     n_orphans = 120
     for i in range(n_orphans):
-        d = os.path.join(t.data_dir, f"commit-old{i % 7}", f"_pid={i % 4}")
+        # every 5th orphan sits under a dir with URI-hostile characters
+        # (space, colon, percent) — the binaryFile listing returns
+        # percent-encoded URIs that must decode back to the on-disk name
+        leaf = (
+            f"_p_ts=2024-01-01 00:15:{i % 60:02d}%00" if i % 5 == 0
+            else f"_pid={i % 4}"
+        )
+        d = os.path.join(t.data_dir, f"commit-old{i % 7}", leaf)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, f"part-{i:05d}.parquet"), "wb") as f:
             f.write(b"x")
