@@ -1060,6 +1060,67 @@ def q_schema_evolution_roundtrip(spark, sf):
         shutil.rmtree(t.root, ignore_errors=True)
 
 
+def q_connection_sync_global(spark, sf):
+    """Multi-stream sync under GLOBAL state (rows-only): two lake tables,
+    two ordered connection-wide checkpoints (one ledger covers both
+    streams — the protocol's GLOBAL state type, airbyte-protocol.md:516),
+    atomic teardown; returns per-stream final counts. Kill/resume
+    semantics are pinned in tests/test_connection.py."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images, generate_update_batch
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.streaming.connection import ConnectionSync, StreamSpec
+
+    root = tempfile.mkdtemp(prefix="conn-global-")
+    try:
+        tables = {}
+        for name in ("sa", "sb"):
+            t = LakeTable.create(
+                spark, _os.path.join(root, name), IMAGES_SCHEMA,
+                primary_key=["image_id"],
+            )
+            t.append(generate_images(spark, 40, num_partitions=2))
+            tables[name] = t
+        sync = ConnectionSync(
+            "entry-global",
+            [
+                StreamSpec("sa", tables["sa"]),
+                StreamSpec("sb", tables["sb"], merge_mode="mor"),
+            ],
+            state_mode="global",
+        )
+        sync.start()
+        for ck in range(2):
+            sync.write_global(
+                {
+                    "sa": generate_update_batch(
+                        spark, 40, 10, seed=50 + ck, num_partitions=2
+                    ),
+                    "sb": generate_update_batch(
+                        spark, 40, 10, seed=60 + ck, num_partitions=2
+                    ),
+                },
+                ck,
+            )
+        report = sync.finish()
+        rows = [
+            (
+                name,
+                tables[name].scan().count(),
+                int(report.streams[name]["steps"]),
+            )
+            for name in ("sa", "sb")
+        ]
+        return spark.createDataFrame(
+            rows, "stream string, rows long, checkpoints long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -1105,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_log_sync": q_cdc_log_sync,
         "audio_features": q_audio_features,
         "video_frame_features": q_video_frame_features,
+        "connection_sync_global": q_connection_sync_global,
     }
 
 
