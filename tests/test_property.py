@@ -202,3 +202,60 @@ def test_avro_safe_name_always_valid(name):
 
     out = to_avro_safe_name(name)
     assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", out), (name, out)
+
+
+# ---------------------------------------------------------------------------
+# nested schema evolution invariants (pure driver-side logic)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_leaf_types = st.sampled_from(
+    [IntegerType(), LongType(), FloatType(), DoubleType(), StringType()]
+)
+_field_names = st.sampled_from(list("abcdef"))
+_nested_types = st.recursive(
+    _leaf_types,
+    lambda t: st.one_of(
+        st.builds(ArrayType, t),
+        t.map(lambda v: MapType(StringType(), v)),
+        st.dictionaries(_field_names, t, min_size=1, max_size=4).map(
+            lambda d: StructType(
+                [StructField(k, v, True) for k, v in sorted(d.items())]
+            )
+        ),
+    ),
+    max_leaves=8,
+)
+_schemas = st.dictionaries(_field_names, _nested_types, min_size=1, max_size=5).map(
+    lambda d: StructType([StructField(k, v, True) for k, v in sorted(d.items())])
+)
+
+
+@given(t=_schemas, s=_schemas)
+@settings(max_examples=150, deadline=None)
+def test_merge_supertype_invariants(t, s):
+    """Properties of the merge-path union supertype over ARBITRARY nested
+    schemas: identity, legal-evolution (diff_schemas never raises on
+    table -> supertype — the invariant the write path relies on), table
+    field order preserved with source-only fields appended, idempotence."""
+    from airbyte_spark.lake.evolve import diff_schemas, merge_supertype
+
+    assert merge_supertype(t, t) == t
+    m = merge_supertype(t, s)
+    diff_schemas(t, m)  # must be a legal evolution of the table
+    assert [f.name for f in m.fields][: len(t.fields)] == [
+        f.name for f in t.fields
+    ]
+    assert set(m.fieldNames()) == set(t.fieldNames()) | set(s.fieldNames())
+    assert merge_supertype(m, s) == m  # re-merging the same batch: no-op
