@@ -68,6 +68,19 @@ def run_maintenance_bench(spark, sf: float) -> dict:
 
     n_base = max(500, int(60_000 * sf * MAINT_SCALE))
     n_updates = max(200, int(20_000 * sf * MAINT_SCALE))
+    chunks = 6
+    per = n_base // chunks
+    # generate the synthetic input ONCE (outside the measured window and
+    # shared across repeat runs — repeats measure the ENGINE, not datagen)
+    gen_dir = tempfile.mkdtemp(prefix="bench-gen-")
+    for i in range(chunks):
+        generate_images(
+            spark, per, id_offset=i * per, num_partitions=max(4, CPUS)
+        ).write.parquet(f"{gen_dir}/chunk{i}")
+    generate_update_batch(
+        spark, n_base, n_updates, hot_key_fraction=0.05,
+        num_partitions=max(4, CPUS),
+    ).write.parquet(f"{gen_dir}/updates")
     best = None
     for run in range(max(1, MAINT_RUNS)):
         root = tempfile.mkdtemp(prefix="bench-images-")
@@ -77,20 +90,11 @@ def run_maintenance_bench(spark, sf: float) -> dict:
                 properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
             )
             # several small commits -> a compactable long tail of files
-            chunks = 6
-            per = n_base // chunks
             for i in range(chunks):
-                t.append(
-                    generate_images(spark, per, id_offset=i * per,
-                                    num_partitions=max(4, CPUS))
-                )
+                t.append(spark.read.parquet(f"{gen_dir}/chunk{i}"))
             # persist = the staged batch a real sync reads from object
-            # storage (generation cost is not part of the maintenance
-            # metric)
-            src = generate_update_batch(
-                spark, n_base, n_updates, hot_key_fraction=0.05,
-                num_partitions=max(4, CPUS),
-            ).persist()
+            # storage
+            src = spark.read.parquet(f"{gen_dir}/updates").persist()
             src.count()
             t0 = time.monotonic()
             rep = run_maintenance(
@@ -114,6 +118,7 @@ def run_maintenance_bench(spark, sf: float) -> dict:
                 best = res
         finally:
             shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(gen_dir, ignore_errors=True)
     return best
 
 
