@@ -32,9 +32,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(parallelism * 2, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    # under spark-submit the python process is launched BY the JVM gateway
+    # (PYSPARK_GATEWAY_PORT set) and the master comes from the submit
+    # command — forcing local[N] there would override the cluster master.
+    # Standalone (tests, bench, scripts) builds its own local context.
+    if os.environ.get("PYSPARK_GATEWAY_PORT") is None:
+        builder = builder.master(f"local[{parallelism}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{parallelism}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(parallelism))
         # AQE: runtime re-plan, partition coalescing, skew-join backstop.

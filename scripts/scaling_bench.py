@@ -48,6 +48,7 @@ WORKER = r"""
 import sys, time, tempfile, shutil, json
 sys.path.insert(0, "/root/repo")
 cores = int(sys.argv[1]); base_dir = sys.argv[2]
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from airbyte_spark.session import get_spark
 from airbyte_spark.datagen import IMAGES_SCHEMA
@@ -64,7 +65,11 @@ try:
                          properties={"write.target-file-size-bytes": 64 * 1024 * 1024})
     for i in range(6):
         t.append(spark.read.parquet(f"{base_dir}/chunk{i}"))
-    src = spark.read.parquet(f"{base_dir}/updates").persist()
+    # DISK_ONLY on tmpfs: the staged batch is GBs of binary payload at the
+    # 256k+ shapes — keeping it in the JVM memory-store alongside 32
+    # concurrent binary scan vectors OOMs an 8g heap; serialized-to-tmpfs
+    # is still RAM-speed but off-heap
+    src = spark.read.parquet(f"{base_dir}/updates").persist(StorageLevel.DISK_ONLY)
     n_src = src.count()
     n_base = sum(e.rows for e in t.data_files())
     best = None
