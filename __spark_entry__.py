@@ -1121,6 +1121,34 @@ def q_connection_sync_global(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_mappers_pipeline(spark, sf):
+    """Stream mappers — the reference's user-facing Mappings feature
+    (docs/platform/using-airbyte/mappings.md): hash (SHA-256 + MD5),
+    rename-field, and filter-rows applied in sequence before the write.
+    Hash/rename/filter compile to pure Catalyst expressions (JVM
+    codegen, no Python); the RSA encrypt mapper is covered by
+    tests/test_mappers.py (random padding is inherently un-oracle-able)."""
+    from airbyte_spark.functions.mappers import (
+        FieldRenamingMapper,
+        HashingMapper,
+        RowFilteringMapper,
+        apply_mappers,
+        equal,
+        not_,
+    )
+
+    return apply_mappers(
+        _t(spark, sf, "customer"),
+        [
+            HashingMapper("c_name", method="SHA-256"),
+            HashingMapper("c_nationkey", method="MD5"),
+            FieldRenamingMapper("c_mktsegment", "segment"),
+            RowFilteringMapper(not_(equal("segment", "BUILDING"))),
+        ],
+        protected_fields=["c_custkey"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -1167,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frame_features": q_video_frame_features,
         "connection_sync_global": q_connection_sync_global,
+        "mappers_pipeline": q_mappers_pipeline,
     }
 
 
@@ -1506,6 +1535,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_id % 10 != 0
         """,
         "ann_lsh_topk": _lsh_oracle_sql(),
+        "mappers_pipeline": """
+            SELECT c_custkey,
+                   sha256(c_name) AS c_name_hashed,
+                   md5(CAST(c_nationkey AS VARCHAR)) AS c_nationkey_hashed,
+                   c_acctbal,
+                   c_mktsegment AS segment
+            FROM customer
+            WHERE NOT (c_mktsegment = 'BUILDING')
+        """,
         # dedup_simhash / images_maintenance / image_features:
         # non-SQL-expressible (pandas-UDF or lake-table paths) ->
         # rows-only check
