@@ -1149,6 +1149,32 @@ def q_mappers_pipeline(spark, sf):
     )
 
 
+def q_resumable_full_refresh(spark, sf):
+    """Resumable full refresh (resumability.md): artificial-cursor (PK)
+    range chunks, resumed from a committed state that already delivered
+    chunk 0 — the remaining chunks are re-scanned as pure pushed-down
+    range predicates (the CTID >= X AND < Y shape), tagged with their
+    chunk index. Boundaries are frozen fixture values here (the sampling
+    planner is plan_range_partitions, tested separately) so the oracle
+    can reproduce them."""
+    from airbyte_spark.sources.full_refresh import FullRefreshState, chunks
+
+    ev = _t(spark, sf, "events")
+    committed = FullRefreshState(
+        pk_cols=("event_id",),
+        boundaries=((2500,), (5000,), (7500,)),
+        next_chunk=1,  # chunk 0 delivered before the "crash"
+    )
+    out = None
+    for chunk_df, nxt in chunks(ev, committed):
+        part = chunk_df.select(
+            "event_id", "user_id",
+            F.lit(nxt.next_chunk - 1).cast("int").alias("chunk_id"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -1196,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_features": q_video_frame_features,
         "connection_sync_global": q_connection_sync_global,
         "mappers_pipeline": q_mappers_pipeline,
+        "resumable_full_refresh": q_resumable_full_refresh,
     }
 
 
@@ -1543,6 +1570,13 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment AS segment
             FROM customer
             WHERE NOT (c_mktsegment = 'BUILDING')
+        """,
+        "resumable_full_refresh": """
+            SELECT event_id, user_id,
+                   CAST(CASE WHEN event_id < 5000 THEN 1
+                             WHEN event_id < 7500 THEN 2
+                             ELSE 3 END AS INTEGER) AS chunk_id
+            FROM events WHERE event_id >= 2500
         """,
         # dedup_simhash / images_maintenance / image_features:
         # non-SQL-expressible (pandas-UDF or lake-table paths) ->
