@@ -28,6 +28,7 @@ State modes (airbyte-protocol.md:516, CheckpointMessage.kt:29-91):
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -46,11 +47,19 @@ class StreamSpec:
     cursor_col: str | None = "updated_at"
     generation_id: int = 0
     merge_mode: str = "cow"
+    #: catalog field selection (fieldselect.py) applied per batch
+    selected_fields: tuple | None = None
+    #: stream mapper list (functions/mappers.py) applied per batch
+    mappers: tuple = ()
 
 
 @dataclass
 class ConnectionReport:
     streams: dict = field(default_factory=dict)  # name -> loader stats
+    #: STREAM_STATUS trace events in emission order
+    #: (AirbyteStreamStatusTraceMessage: STARTED -> RUNNING on first
+    #: record -> COMPLETE / INCOMPLETE)
+    status_events: list = field(default_factory=list)
 
 
 class ConnectionSync:
@@ -74,6 +83,11 @@ class ConnectionSync:
         self.state_mode = state_mode
         self.loaders: dict[str, StreamLoader] = {}
         self._failed: dict[str, Exception] = {}
+        #: STREAM_STATUS trace ledger (StreamStatusUtils.kt semantics:
+        #: STARTED at open, RUNNING once on first record, then
+        #: COMPLETE/INCOMPLETE at teardown)
+        self.status_events: list[dict] = []
+        self._running: set[str] = set()
         self._global_ckpt: JobCheckpointer | None = None
         if state_mode == "global":
             # the global ledger needs ONE durable home; default to the
@@ -84,6 +98,11 @@ class ConnectionSync:
                 f"global-{sync_id}",
             )
 
+    def _emit_status(self, name: str, status: str) -> None:
+        self.status_events.append(
+            {"stream": name, "status": status, "ts": time.time()}
+        )
+
     def start(self) -> None:
         for name, s in self.specs.items():
             loader = StreamLoader(
@@ -93,9 +112,12 @@ class ConnectionSync:
                 cursor_col=s.cursor_col,
                 generation_id=s.generation_id,
                 merge_mode=s.merge_mode,
+                selected_fields=s.selected_fields,
+                mappers=s.mappers,
             )
             loader.start()
             self.loaders[name] = loader
+            self._emit_status(name, "STARTED")
 
     def write(self, batches: dict[str, tuple[DataFrame, int]]) -> dict:
         """One round of per-stream micro-batches, streams in parallel:
@@ -118,7 +140,14 @@ class ConnectionSync:
                 return name, {"error": str(e)}
 
         with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
-            return dict(pool.map(one, batches.items()))
+            res = dict(pool.map(one, batches.items()))
+        for name, m in res.items():
+            # RUNNING once, on the first delivered record
+            # (StreamStatusUtils.kt "emit running" semantics)
+            if "error" not in m and "skipped" not in m and name not in self._running:
+                self._running.add(name)
+                self._emit_status(name, "RUNNING")
+        return res
 
     def write_global(
         self, batches: dict[str, DataFrame], checkpoint_id: int
@@ -168,8 +197,10 @@ class ConnectionSync:
         In global state mode teardown is ALL-or-nothing: one failed stream
         keeps EVERY staging branch (no stream may publish past the last
         committed global checkpoint — the streams share one state)."""
-        report = ConnectionReport()
+        report = ConnectionReport(status_events=self.status_events)
         if self._failed and self.state_mode == "global":
+            for name in self.loaders:
+                self._emit_status(name, "INCOMPLETE")
             raise RuntimeError(
                 f"sync {self.sync_id} failed for streams "
                 f"{sorted(self._failed)} — global state: all staging "
@@ -177,8 +208,10 @@ class ConnectionSync:
             )
         for name, loader in self.loaders.items():
             if name in self._failed:
+                self._emit_status(name, "INCOMPLETE")
                 continue
             report.streams[name] = loader.finish()
+            self._emit_status(name, "COMPLETE")
         if self._failed:
             raise RuntimeError(
                 f"sync {self.sync_id} failed for streams "

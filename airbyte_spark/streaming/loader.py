@@ -18,17 +18,27 @@
 Airbyte triggers a flush at 100k records / 50 MB (AggregatePublishingConfig
 .kt:36-38); here the caller owns batch boundaries and this class owns
 ordering + idempotency + lineage metrics.
+
+Catalog-configured record transforms run INSIDE the lifecycle, per batch,
+in the reference's order: field selection first (the catalog prunes the
+stream schema — CatalogClientConverters.kt:45-100), then the stream's
+mapper list (mappings.md). The PK + cursor are protected from both
+(de-select guards / protected-field refusal) because this loader's dedup
+mode depends on them.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 
 from airbyte_spark.checkpoints import JobCheckpointer, histogram_metrics
+from airbyte_spark.functions.mappers import apply_mappers
 from airbyte_spark.lake.table import MAIN, LakeTable
 from airbyte_spark.operators.merge import merge_into
+from airbyte_spark.sources.fieldselect import select_fields
 
 
 class StreamLoader:
@@ -40,6 +50,8 @@ class StreamLoader:
         cursor_col: str | None = "updated_at",
         generation_id: int = 0,
         merge_mode: str = "cow",  # cow | mor (S13 rowDelta path)
+        selected_fields: Sequence[Sequence[str]] | None = None,
+        mappers: Sequence = (),
     ):
         if mode not in ("dedup", "append", "truncate"):
             raise ValueError(mode)
@@ -48,10 +60,30 @@ class StreamLoader:
         self.cursor_col = cursor_col
         self.generation_id = generation_id
         self.merge_mode = merge_mode
+        self.selected_fields = selected_fields
+        self.mappers = tuple(mappers)
         self.staging = f"staging-{sync_id}"
         self.ckpt = JobCheckpointer(
             os.path.join(table.root, "checkpoints"), sync_id
         )
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        """Field selection + mappers, with the PK/cursor protected."""
+        if self.selected_fields is not None:
+            batch = select_fields(
+                batch,
+                self.selected_fields,
+                sync_mode="incremental" if self.cursor_col else "full_refresh",
+                cursor_field=[self.cursor_col] if self.cursor_col else (),
+                primary_key=[[c] for c in self.table.primary_key],
+                dedup=self.mode == "dedup",
+            )
+        if self.mappers:
+            protected = list(self.table.primary_key)
+            if self.cursor_col:
+                protected.append(self.cursor_col)
+            batch = apply_mappers(batch, self.mappers, protected_fields=protected)
+        return batch
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -59,10 +91,11 @@ class StreamLoader:
         if self.staging not in self.table.branches():
             self.table.create_branch(self.staging, from_branch=MAIN)
 
-    def write(self, batch: DataFrame, checkpoint_id: int) -> dict:
+    def write(self, raw_batch: DataFrame, checkpoint_id: int) -> dict:
         """Write one micro-batch to staging, exactly-once by checkpoint id."""
 
         def _do() -> dict:
+            batch = self._transform(raw_batch)
             if self.mode == "dedup":
                 res = merge_into(
                     self.table,

@@ -56,8 +56,16 @@ from airbyte_spark.lake.table import LakeTable
 from airbyte_spark.operators.maintenance import run_maintenance
 from airbyte_spark.functions.images import phash_udf
 
+# big-shape feasibility settings (CLAUDE.md gotcha 3, same at BOTH core
+# levels so the efficiency ratio compares identical configs): >=256k
+# images means multi-GB persisted batches + many concurrent 26KB-binary
+# scan vectors — 12g heap and 512-row columnar batches keep run 3 of 3
+# from OOMing at 32 threads
+import os as _os
+_os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
 spark = get_spark(parallelism=cores,
-                  extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
+                  extra_conf={"spark.local.dir": "/dev/shm/spark-local",
+                              "spark.sql.parquet.columnarReaderBatchSize": "512"})
 spark.sparkContext.setLogLevel("ERROR")
 root = tempfile.mkdtemp(prefix=f"scale-{cores}-", dir="/dev/shm/tmp")
 try:

@@ -143,3 +143,83 @@ def test_conflicting_specs_rejected(spark, tmp_table_dir):
         ConnectionSync("c", [StreamSpec("x", ta), StreamSpec("x", ta)])
     with pytest.raises(ValueError, match="share a table root"):
         ConnectionSync("c", [StreamSpec("x", ta), StreamSpec("y", ta)])
+
+
+def test_stream_status_trace_events(spark, tmp_table_dir):
+    """STREAM_STATUS lifecycle (StreamStatusUtils.kt): STARTED ->
+    RUNNING on first record -> COMPLETE; failed stream -> INCOMPLETE."""
+    ta = _mk_table(spark, os.path.join(tmp_table_dir, "a"))
+    tb = _mk_table(spark, os.path.join(tmp_table_dir, "b"))
+    sync = ConnectionSync("st-1", [StreamSpec("ok", ta), StreamSpec("bad", tb)])
+    sync.start()
+    good = generate_update_batch(spark, 60, 10, num_partitions=2)
+    bad = good.withColumn("image_id", F.lit(None).cast("string"))
+    sync.write({"ok": (good, 0), "bad": (bad, 0)})
+    sync.write({"ok": (good, 1)})  # RUNNING must not repeat
+    with pytest.raises(RuntimeError):
+        sync.finish()
+    seq = [(e["stream"], e["status"]) for e in sync.status_events]
+    assert seq.count(("ok", "RUNNING")) == 1
+    assert [s for st, s in seq if st == "ok"] == ["STARTED", "RUNNING", "COMPLETE"]
+    assert [s for st, s in seq if st == "bad"] == ["STARTED", "INCOMPLETE"]
+
+
+def test_sync_applies_field_selection_and_mappers(spark, tmp_table_dir):
+    """Catalog transforms run inside the lifecycle: selection prunes,
+    mappers hash/filter, PK+cursor are protected."""
+    from pyspark.sql import types as T
+
+    from airbyte_spark.functions.mappers import (
+        HashingMapper, RowFilteringMapper, equal, not_,
+    )
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("email_hashed", T.StringType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("updated_at", T.TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "m"), schema, primary_key=["image_id"]
+    )
+    batch = spark.createDataFrame(
+        [("i1", "a@x.io", "free", "junk1"), ("i2", "b@x.io", "paid", "junk2")],
+        "image_id string, email string, tier string, secret string",
+    ).withColumn("updated_at", F.current_timestamp())
+
+    sync = ConnectionSync(
+        "map-1",
+        [StreamSpec(
+            "users", t, mode="append", cursor_col="updated_at",
+            selected_fields=(("image_id",), ("email",), ("tier",), ("updated_at",)),
+            mappers=(
+                HashingMapper("email", method="SHA-256"),
+                RowFilteringMapper(not_(equal("tier", "free"))),
+            ),
+        )],
+    )
+    sync.start()
+    out = sync.write({"users": (batch, 0)})
+    assert "error" not in out["users"]
+    sync.finish()
+    rows = t.scan().collect()
+    assert [r["image_id"] for r in rows] == ["i2"]  # free-tier filtered
+    import hashlib
+    assert rows[0]["email_hashed"] == hashlib.sha256(b"b@x.io").hexdigest()
+    assert "secret" not in t.scan().columns  # de-selected, never written
+
+    # a mapper on the PK fails the stream (protected)
+    sync2 = ConnectionSync(
+        "map-2",
+        [StreamSpec(
+            "users", LakeTable.create(
+                spark, os.path.join(tmp_table_dir, "m2"), schema,
+                primary_key=["image_id"],
+            ),
+            mode="append",
+            mappers=(HashingMapper("image_id", method="MD5"),),
+        )],
+    )
+    sync2.start()
+    out2 = sync2.write({"users": (batch, 0)})
+    assert "protected" in out2["users"]["error"]

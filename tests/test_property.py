@@ -259,3 +259,27 @@ def test_merge_supertype_invariants(t, s):
     ]
     assert set(m.fieldNames()) == set(t.fieldNames()) | set(s.fieldNames())
     assert merge_supertype(m, s) == m  # re-merging the same batch: no-op
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    msg=st.binary(min_size=0, max_size=53),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_rsa_pkcs1_roundtrip_any_message(msg, seed):
+    """RSAES-PKCS1-v1_5 (RFC 8017 §7.2): encrypt with the public key,
+    decrypt with the private — identity for every message within the
+    k-11 bound, under arbitrary padding randomness."""
+    import random
+
+    from airbyte_spark.functions.mappers import (
+        rsa_decrypt_pkcs1_v15,
+        rsa_encrypt_pkcs1_v15,
+    )
+    from tests.test_mappers import _gen_keypair
+
+    n, e, d = _gen_keypair()  # fixed 512-bit test keypair (cached gen)
+    rng = random.Random(seed)
+    ct = rsa_encrypt_pkcs1_v15(msg, n, e, rng=lambda k: rng.randbytes(k))
+    assert len(ct) == (n.bit_length() + 7) // 8
+    assert rsa_decrypt_pkcs1_v15(ct, n, d) == msg
