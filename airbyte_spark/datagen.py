@@ -183,6 +183,14 @@ def generate_update_batch(
                 row["_airbyte_extracted_at"] = pd.Timestamp(
                     "2026-02-01", tz="UTC"
                 ) + pd.Timedelta(seconds=j)
+                # raw_id is unique PER RECORD (the protocol contract): two
+                # updates hitting the same target image in one batch are
+                # distinct records and must not share _make_row's
+                # target-derived id (a shared id previously let the merge
+                # payload fetch pick the wrong twin)
+                row["_airbyte_raw_id"] = str(
+                    uuid.uuid5(_NS, f"upd|{seed}|{sync_id}|{j}")
+                )
                 row["updated_at"] = pd.Timestamp("2026-02-01", tz="UTC") + pd.Timedelta(
                     seconds=int(rng.integers(0, 86400))
                 )

@@ -295,15 +295,46 @@ def merge_into(
             # the count runs on the slim/cached side only — the payload-side
             # semi join below stays lazy until the single output write
             deduped_rows = winners.count()
-            # dropDuplicates guards against replayed raw_ids (at-least-once
-            # delivery) re-entering through the semi join
-            src = source.join(
-                F.broadcast(winners.select(*pk, RAW_ID_COL))
-                if deduped_rows <= 2_000_000
-                else winners.select(*pk, RAW_ID_COL),
-                on=pk + [RAW_ID_COL],
-                how="left_semi",
-            ).dropDuplicates(pk + [RAW_ID_COL])
+            # fetch keys = the FULL dedup-order key set, not just
+            # (pk, raw_id): a source that reuses one raw_id for different
+            # records (two updates to the same PK in one batch) would
+            # otherwise match BOTH payload rows and dropDuplicates would
+            # keep an arbitrary one — the payload row could then disagree
+            # with the slim winner (observed: the stale CDC-delete row's
+            # payload landing while the winner was the newer upsert).
+            # Joining on cursor/extracted/cdc too pins the winner's exact
+            # row; rows identical on every key are interchangeable, so the
+            # remaining dropDuplicates only absorbs true at-least-once
+            # replays.
+            extra = [
+                c for c in (cursor_col, EXTRACTED_COL, cdc_col)
+                if c and c in source.columns and c not in pk
+            ]
+            # the extra keys are nullable (an upsert's deleted_at, a
+            # meta-less cursor); a plain equi-join would never match the
+            # null rows, so both sides join on a null-free string
+            # surrogate instead (name-based `on` keeps the self-derived
+            # join unambiguous)
+            sur = {c: f"__fetch_{c}" for c in extra}
+            src_side, win_side = source, winners.select(*pk, RAW_ID_COL, *extra)
+            for c, sc in sur.items():
+                k = F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                src_side = src_side.withColumn(sc, k)
+                win_side = win_side.withColumn(sc, k).drop(c)
+            join_keys = pk + [RAW_ID_COL] + list(sur.values())
+            src = (
+                src_side.join(
+                    F.broadcast(win_side)
+                    if deduped_rows <= 2_000_000
+                    else win_side,
+                    on=join_keys,
+                    how="left_semi",
+                )
+                .drop(*sur.values())
+                # absorbs true at-least-once replays (identical rows);
+                # dropDuplicates treats nulls as equal, unlike the join
+                .dropDuplicates(pk + [RAW_ID_COL] + extra)
+            )
         else:
             src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
             deduped_rows = src.count()

@@ -488,3 +488,28 @@ def test_merge_meta_less_source_with_long_cursor(spark, tmp_table_dir):
         )
         got = {r["k"]: r["v"] for r in t.scan().collect()}
         assert got == {"a": 2, "b": 1, "c": 3, "d": 8}, mode
+
+
+def test_colliding_raw_ids_resolve_to_the_slim_winner(spark, tmp_table_dir):
+    """Two DIFFERENT records sharing one _airbyte_raw_id (a source
+    violating the raw-id-per-record contract): the payload fetch must
+    return exactly the dedup winner's row, not an arbitrary twin —
+    regression for the CoW/MoR divergence seen at 96k scale (the stale
+    CDC-delete twin's payload could land instead of the newer upsert)."""
+    for mode in ("cow", "mor"):
+        root = os.path.join(tmp_table_dir, f"collide-{mode}")
+        t = LakeTable.create(spark, root, BASE_SCHEMA, primary_key=["image_id"])
+        t.append(spark.createDataFrame(
+            [("a", "base", 0, "r0", ts(1)), ("b", "base", 0, "r0b", ts(1))],
+            BASE_SCHEMA,
+        ))
+        batch = [
+            # key a: delete twin OLDER, upsert twin NEWER -> upsert wins
+            ("a", None, 0, "SHARED-a", ts(2), ts(3), ts(9)),
+            ("a", "winner", 1, "SHARED-a", ts(2, 1), ts(4), None),
+            # key b: upsert twin OLDER, delete twin NEWER -> delete wins
+            ("b", "loser", 1, "SHARED-b", ts(2), ts(3), None),
+            ("b", None, 0, "SHARED-b", ts(2, 1), ts(4), ts(9)),
+        ]
+        merge_into(t, spark.createDataFrame(batch, SRC_SCHEMA), mode=mode)
+        assert _state(t) == {"a": ("winner", 1)}, f"mode={mode}"
