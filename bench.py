@@ -35,6 +35,13 @@ QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "3"))
 #: (r3 verdict item); 8x -> 64k images at the driver's sf0.1
 MAINT_SCALE = int(os.environ.get("SPARK_GRAFT_MAINT_SCALE", "8"))
 MAINT_RUNS = int(os.environ.get("SPARK_GRAFT_MAINT_RUNS", "2"))
+#: merge mode for the maintenance pipeline. Default mor: the reference's
+#: actual S13 rowDelta path (insert + equality-delete, O(batch) writes);
+#: the downstream compact+cluster stages fold the deletes, so the final
+#: table state is IDENTICAL to cow (asserted by the CoW-parity tests and
+#: a 128k-row full-table diff) while skipping one full payload rewrite —
+#: measured 2.5x faster end-to-end at the 128k-image shape
+MERGE_MODE = os.environ.get("SPARK_GRAFT_MERGE_MODE", "mor")
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -99,6 +106,7 @@ def run_maintenance_bench(spark, sf: float) -> dict:
             t0 = time.monotonic()
             rep = run_maintenance(
                 t, f"bench-{time.time_ns()}", merge_source=src, curve="zorder",
+                merge_mode=MERGE_MODE,
             )
             wall = time.monotonic() - t0
             src.unpersist()
@@ -110,6 +118,7 @@ def run_maintenance_bench(spark, sf: float) -> dict:
                 "table_rows": total_rows,
                 "images_per_sec": round(images_processed / wall, 1),
                 "runs": max(1, MAINT_RUNS),
+                "merge_mode": MERGE_MODE,
                 "stages": {
                     k: v.get("resumed", False) for k, v in rep.stages.items()
                 },
@@ -252,6 +261,7 @@ def main() -> None:
                     "images_per_sec": maint["images_per_sec"],
                     "table_rows": maint["table_rows"],
                     "runs": maint["runs"],
+                    "merge_mode": maint.get("merge_mode", MERGE_MODE),
                 },
                 "merge_modes": merge_modes,
             }

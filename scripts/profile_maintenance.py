@@ -52,7 +52,9 @@ def main() -> None:
         ).persist()
         src.count()
         t0 = time.monotonic()
-        rep = run_maintenance(t, f"profile-{time.time_ns()}", merge_source=src)
+        merge_mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "mor")
+        rep = run_maintenance(t, f"profile-{time.time_ns()}", merge_source=src,
+                              merge_mode=merge_mode)
         wall = time.monotonic() - t0
         stages = {
             name: {

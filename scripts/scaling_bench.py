@@ -84,7 +84,7 @@ try:
     for r in range(3):
         t0 = time.monotonic()
         try:
-            run_maintenance(t, f"scale-{r}", merge_source=src)
+            run_maintenance(t, f"scale-{r}", merge_source=src, merge_mode="mor")
             # fidelity verify: decode every surviving image, recompute phash
             bad = t.scan().select(
                 F.sum((phash_udf("bytes") != F.col("phash")).cast("long"))).first()[0]
