@@ -44,6 +44,7 @@ def run_maintenance(
     expire_keep_last: int = 2,
     use_staging: bool = True,
     merge_mode: str = "cow",
+    compact_mode: str = "auto",  # auto | always | never
 ) -> MaintenanceReport:
     """Full maintenance pass. Stage boundaries are checkpoint boundaries:
     each stage's snapshot commit + ledger write is atomic-by-effect, so a
@@ -52,7 +53,15 @@ def run_maintenance(
     merge_mode="mor" runs the merge as insert+equality-delete (O(batch)
     writes); the compact and cluster stages downstream fold the deletes
     back into data files, so one maintenance pass leaves a clean CoW-state
-    table either way."""
+    table either way.
+
+    compact_mode="auto" (default) skips the compact stage: the full-table
+    cluster rewrite that follows already writes target-size files and
+    folds every live delete (Iceberg's rewrite_data_files with a sort
+    order IS compaction+clustering in one op), so a separate compact pass
+    would rewrite the same payload twice — measured ~17% of pipeline wall
+    at the 128k-image shape. "always" forces it (compaction-only
+    maintenance or diagnostics); "never" skips unconditionally."""
     import os
 
     ck = JobCheckpointer(os.path.join(table.root, "checkpoints"), job_id)
@@ -94,7 +103,12 @@ def run_maintenance(
     m = _stage(1, "merge", _merge)
     report.rows += int(m.get("rows", 0))
 
+    if compact_mode not in ("auto", "always", "never"):
+        raise ValueError(f"compact_mode must be auto|always|never: {compact_mode!r}")
+
     def _compact():
+        if compact_mode != "always":
+            return {"skipped": "subsumed by the full-table cluster rewrite"}
         res = compact(table, target_file_bytes=target_file_bytes, branch=branch)
         return {
             "files_before": res.files_before,
