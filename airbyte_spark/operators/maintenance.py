@@ -158,6 +158,7 @@ def run_partitioned_maintenance(
     curve: str = "zorder",
     target_file_bytes: int | None = None,
     expire_keep_last: int = 2,
+    compact_mode: str = "auto",  # auto | always (see run_maintenance)
 ) -> MaintenanceReport:
     """Per-partition maintenance, partitions in PARALLEL — the job shape
     that bounds every rewrite and commit at 10^12 rows: each partition's
@@ -188,11 +189,19 @@ def run_partitioned_maintenance(
 
     def one(pf: dict) -> dict:
         s0 = time.monotonic()
-        c = retry_on_conflict(
-            lambda: compact(
-                table, target_file_bytes=target_file_bytes, partition_filter=pf
+        # the partition-scoped cluster rewrites every file of the
+        # partition at target size with deletes applied — a compact pass
+        # before it rewrites the same payload twice (see run_maintenance
+        # compact_mode)
+        bins = None
+        if compact_mode == "always":
+            c = retry_on_conflict(
+                lambda: compact(
+                    table, target_file_bytes=target_file_bytes,
+                    partition_filter=pf,
+                )
             )
-        )
+            bins = len(c.plan.bins)
         k = retry_on_conflict(
             lambda: cluster(
                 table,
@@ -204,7 +213,7 @@ def run_partitioned_maintenance(
         )
         return {
             "partition": pf,
-            "compact_bins": len(c.plan.bins),
+            "compact_bins": bins,
             "cluster_files": k.files_after,
             "sec": round(time.monotonic() - s0, 3),
         }
