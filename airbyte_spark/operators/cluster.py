@@ -151,9 +151,16 @@ def cluster(
 
     slim = table.scan(
         branch=branch, columns=list(dims), partition_filter=partition_filter
-    ).withColumn(
-        "_ck", key(*[F.col(d) for d in dims])
     )
+    # boundary precision only controls file-size balance, so ~200k sampled
+    # rows suffice for the quantiles: sample BEFORE the curve-key UDF —
+    # at 10^9 rows this is the difference between a full Python UDF pass
+    # over the dims and a bounded one (no-op below 200k rows)
+    est_rows = sum(e.rows for e in entries)
+    frac = min(1.0, 200_000 / max(1, est_rows))
+    if frac < 1.0:
+        slim = slim.sample(fraction=frac, seed=42)
+    slim = slim.withColumn("_ck", key(*[F.col(d) for d in dims]))
     bounds = numeric_boundaries(slim, "_ck", n_out)
     out = range_bucketed(
         keyed,
