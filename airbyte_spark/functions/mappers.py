@@ -124,15 +124,26 @@ class HashingMapper:
 
 
 def _der_read_tlv(buf: bytes, pos: int) -> tuple[int, bytes, int]:
-    """Read one ASN.1 TLV; return (tag, value, next_pos)."""
+    """Read one ASN.1 TLV; return (tag, value, next_pos). Bounds-checked:
+    truncated or over-length input raises MapperError, never IndexError
+    or a silently-empty slice."""
+    if pos + 2 > len(buf):
+        raise MapperError("RSA key: truncated DER (no room for tag+length)")
     tag = buf[pos]
     pos += 1
     ln = buf[pos]
     pos += 1
     if ln & 0x80:
         n = ln & 0x7F
+        if n == 0 or pos + n > len(buf):
+            raise MapperError("RSA key: malformed DER length")
         ln = int.from_bytes(buf[pos : pos + n], "big")
         pos += n
+    if pos + ln > len(buf):
+        raise MapperError(
+            f"RSA key: DER value overruns buffer ({ln} bytes at {pos}, "
+            f"buffer {len(buf)})"
+        )
     return tag, buf[pos : pos + ln], pos + ln
 
 
@@ -141,9 +152,15 @@ def parse_rsa_public_key_hex_der(hex_der: str) -> tuple[int, int]:
 
     Accepts both SubjectPublicKeyInfo (what ``openssl rsa -pubout
     -outform DER`` emits — the format mappings.md:44-51 documents) and a
-    bare PKCS#1 RSAPublicKey sequence.
+    bare PKCS#1 RSAPublicKey sequence. Any malformed input surfaces as
+    the documented MapperError (config error), never a low-level one.
     """
-    der = bytes.fromhex(hex_der.strip())
+    try:
+        der = bytes.fromhex(hex_der.strip())
+    except ValueError as e:
+        raise MapperError(f"RSA key: not valid hex: {e}") from e
+    if not der:
+        raise MapperError("RSA key: empty")
     tag, body, _ = _der_read_tlv(der, 0)
     if tag != 0x30:
         raise MapperError("RSA key: expected DER SEQUENCE")

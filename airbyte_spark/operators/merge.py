@@ -306,10 +306,13 @@ def merge_into(
             # row; rows identical on every key are interchangeable, so the
             # remaining dropDuplicates only absorbs true at-least-once
             # replays.
-            extra = [
+            # dict.fromkeys: cursor_col may legally BE _airbyte_extracted_at
+            # (slim_cols dedups the same way) — a repeat here would project
+            # the column twice and make every later reference ambiguous
+            extra = list(dict.fromkeys(
                 c for c in (cursor_col, EXTRACTED_COL, cdc_col)
                 if c and c in source.columns and c not in pk
-            ]
+            ))
             # the extra keys are nullable (an upsert's deleted_at, a
             # meta-less cursor); a plain equi-join would never match the
             # null rows, so both sides join on a null-free string
@@ -318,7 +321,12 @@ def merge_into(
             sur = {c: f"__fetch_{c}" for c in extra}
             src_side, win_side = source, winners.select(*pk, RAW_ID_COL, *extra)
             for c, sc in sur.items():
-                k = F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                # tagged surrogate ("n" vs "v:<x>") is injective: a value
+                # whose string form is any sentinel byte can never collide
+                # with NULL (a plain coalesce-to-sentinel would)
+                k = F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v:"), F.col(c).cast("string"))
+                )
                 src_side = src_side.withColumn(sc, k)
                 win_side = win_side.withColumn(sc, k).drop(c)
             join_keys = pk + [RAW_ID_COL] + list(sur.values())

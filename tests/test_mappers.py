@@ -242,3 +242,25 @@ def test_pipeline_order_and_protected_fields(people):
         apply_mappers(
             people, [HashingMapper("id", method="MD5")], protected_fields=["id"]
         )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "zz-not-hex",
+        "",
+        "30",  # lone SEQUENCE tag, no length byte
+        "3082ffff0201",  # length overruns the buffer
+        "300602010002",  # inner INTEGER truncated
+    ],
+)
+def test_malformed_rsa_key_raises_mapper_error(bad):
+    """Truncated/malformed hex-DER keys surface as the documented
+    MapperError (config error), never IndexError (ADVICE r3)."""
+    from airbyte_spark.functions.mappers import (
+        MapperError,
+        parse_rsa_public_key_hex_der,
+    )
+
+    with pytest.raises(MapperError):
+        parse_rsa_public_key_hex_der(bad)

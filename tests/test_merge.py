@@ -272,3 +272,53 @@ def test_merge_conflict_retry_succeeds(spark, tmp_table_dir):
     got = _state(t)
     assert got["upd"] == ("retry wins", 7)
     assert got["zz"] == ("concurrent", 1)  # concurrent commit not dropped
+
+
+def test_merge_cursor_equal_to_extracted_col(spark, tmp_table_dir):
+    """cursor_col == _airbyte_extracted_at is a legal config: the fetch-key
+    list must dedup it (ADVICE r3: a repeated column made the payload join
+    ambiguous) and the merge must resolve winners on extracted-at alone."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, BASE_SCHEMA, primary_key=["image_id"]
+    )
+    t.append(
+        spark.createDataFrame([("a", "old", 1, "r1", ts(1))], BASE_SCHEMA)
+    )
+    src = spark.createDataFrame(
+        [
+            ("a", "stale", 8, "s1", ts(2)),
+            ("a", "new", 2, "s2", ts(3)),
+        ],
+        BASE_SCHEMA,
+    )
+    res = merge_into(t, src, cursor_col="_airbyte_extracted_at")
+    assert res.snapshot is not None
+    assert _state(t) == {"a": ("new", 2)}
+
+
+def test_merge_cursor_value_colliding_with_null_surrogate(spark, tmp_table_dir):
+    """A string cursor whose value is a raw NUL byte must not cross-match a
+    NULL-cursor twin in the payload-fetch join (ADVICE r3: the surrogate is
+    now tagged, so value-"\\x00" and NULL map to distinct join keys)."""
+    schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("caption", StringType()),
+            StructField("v", IntegerType()),
+            StructField("_airbyte_raw_id", StringType()),
+            StructField("_airbyte_extracted_at", TimestampType()),
+            StructField("cur", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["image_id"])
+    # same pk AND same raw_id; one row's cursor is literally "\x00", the
+    # other NULL — nulls-last ordering makes the "\x00" row the winner
+    src = spark.createDataFrame(
+        [
+            ("a", "null-cursor payload", 1, "rX", ts(1), None),
+            ("a", "nul-byte payload", 2, "rX", ts(1), "\x00"),
+        ],
+        schema,
+    )
+    merge_into(t, src, cursor_col="cur")
+    assert _state(t) == {"a": ("nul-byte payload", 2)}

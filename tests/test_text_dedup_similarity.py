@@ -428,3 +428,17 @@ def test_embedding_near_dup_pairs(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     first_id = emb.limit(1).collect()[0]["vec_id"]
     assert (first_id, first_id + 900000) in found
+
+
+def test_brute_force_topk_guard_refuses_large_corpus(spark, emb):
+    """The exact-recall baseline is O(corpus x queries); above the row
+    ceiling it must refuse unless the caller forces it (r3 verdict
+    "What's wrong #2")."""
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="exact-recall baseline"):
+        brute_force_topk(emb, queries, k=3, max_corpus_rows=5)
+    # exact=True is the explicit escape hatch
+    res = brute_force_topk(emb, queries, k=3, max_corpus_rows=5, exact=True)
+    assert res.count() == 3
