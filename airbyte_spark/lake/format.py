@@ -56,6 +56,12 @@ class DataFileEntry:
     "stamp me at commit time" (LakeTable.commit fills in the new
     snapshot's sequence); preserved verbatim by metadata-only rewrites so
     delete applicability never changes under manifest maintenance.
+
+    `sort_order_id`: the registered sort order (LakeTable.ensure_sort_order)
+    the file's rows were written under — 0 means unsorted (plain appends,
+    merge inserts). Iceberg data files carry the same field; it is what
+    lets incremental maintenance tell a clean clustered file from one that
+    needs rewriting (operators/cluster.py victim selection).
     """
 
     path: str
@@ -67,6 +73,7 @@ class DataFileEntry:
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
     content: str = "data"
     sequence: int | None = None
+    sort_order_id: int = 0
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -83,6 +90,7 @@ class DataFileEntry:
             stats=d.get("stats", {}),
             content=d.get("content", "data"),
             sequence=d.get("sequence", 0),
+            sort_order_id=d.get("sort_order_id", 0),
         )
 
 

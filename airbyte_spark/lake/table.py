@@ -165,6 +165,54 @@ class LakeTable:
             return self.schema()
         return StructType.fromJson(_json.loads(schemas[str(schema_id)]))
 
+    # ------------------------------------------------------------------
+    # sort-order registry (Iceberg sort_orders / data-file sort_order_id)
+    # ------------------------------------------------------------------
+
+    def sort_orders(self) -> dict[int, dict]:
+        """Registered sort orders: id -> {dims, curve, bits}. Id 0 is
+        reserved for "unsorted" and never appears here."""
+        return {
+            int(k): v
+            for k, v in self._refs()["table"].get("sort_orders", {}).items()
+        }
+
+    def ensure_sort_order(
+        self, dims: list[str], curve: str, bits: int
+    ) -> int:
+        """Return the id of the (dims, curve, bits) sort order, registering
+        it if new. Ids are allocated monotonically and NEVER reused: a PK
+        change clears the registry (`invalidate_sort_orders`), so the same
+        order re-registered afterwards gets a FRESH id and every file
+        stamped under the old id reads as dirty — the
+        IcebergTableSynchronizer.kt:314-378 "identifier change rebuilds the
+        sort order" contract expressed through victim selection."""
+        want = {"dims": list(dims), "curve": curve, "bits": int(bits)}
+        with _refs_lock(self.root):
+            refs = self._refs()
+            tbl = refs["table"]
+            orders = tbl.setdefault("sort_orders", {})
+            for k, v in orders.items():
+                if v == want:
+                    return int(k)
+            nid = int(tbl.get("next_sort_order_id", 1))
+            orders[str(nid)] = want
+            tbl["next_sort_order_id"] = nid + 1
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+            return nid
+
+    def invalidate_sort_orders(self) -> None:
+        """Drop every registered sort order (ids are not reused). Called on
+        identifier-field change: previously clustered files keep their old
+        stamp, which no longer matches any current order -> all dirty."""
+        with _refs_lock(self.root):
+            refs = self._refs()
+            tbl = refs["table"]
+            n = len(tbl.get("sort_orders", {}))
+            tbl["next_sort_order_id"] = int(tbl.get("next_sort_order_id", 1)) + n
+            tbl["sort_orders"] = {}
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
     def branches(self) -> dict[str, str]:
         return self._refs()["branches"]
 
@@ -413,12 +461,26 @@ class LakeTable:
             # commit's branch swap (it would silently revert the swap)
             refs = self._refs()
             tbl = refs["table"]
-            new_id_ = max(int(k) for k in tbl["schemas"]) + 1
-            tbl["schemas"][str(new_id_)] = new_schema.json()
-            tbl["current_schema_id"] = new_id_
+            if new_schema == old_schema:
+                # identifier-only change: no new schema registration
+                new_id_ = int(tbl.get("current_schema_id", 0))
+            else:
+                new_id_ = max(int(k) for k in tbl["schemas"]) + 1
+                tbl["schemas"][str(new_id_)] = new_schema.json()
+                tbl["current_schema_id"] = new_id_
             pk_changed = bool(new_primary_key and new_primary_key != tbl["primary_key"])
             if new_primary_key:
                 tbl["primary_key"] = new_primary_key
+            if pk_changed:
+                # identifier change rebuilds the sort order (inline — the
+                # refs lock is not reentrant): clear the registry without
+                # reusing ids so every stamped file reads as dirty on the
+                # next maintenance pass (IcebergTableSynchronizer.kt:314-378)
+                n = len(tbl.get("sort_orders", {}))
+                tbl["next_sort_order_id"] = (
+                    int(tbl.get("next_sort_order_id", 1)) + n
+                )
+                tbl["sort_orders"] = {}
             tbl["stats_columns"] = [
                 c for c in tbl["stats_columns"] if c in new_schema.fieldNames()
             ] + [c for c in d.added_top_level if c != "bytes"]
@@ -435,6 +497,24 @@ class LakeTable:
                 "widened": [list(x) for x in d.widened],
                 "sort_order_rebuild_required": pk_changed,
             },
+        )
+
+    def update_primary_key(self, new_primary_key: list[str], branch: str = MAIN) -> Snapshot:
+        """Change the table's identifier fields between syncs
+        (testDedupChangePk, BasicFunctionalityIntegrationTest.kt:3483):
+        subsequent merges dedup on the NEW key — an incoming row replaces
+        every existing row sharing its new-PK value, which collapses
+        old-key-era duplicates as they are touched. The sort order is
+        invalidated (IcebergTableSynchronizer.kt:314-378), so the next
+        dirty-scoped maintenance pass re-clusters every file. Data files
+        are untouched here (metadata-only commit)."""
+        missing = [c for c in new_primary_key if c not in self.schema(branch=branch).fieldNames()]
+        if missing:
+            raise ValueError(f"primary key columns not in schema: {missing}")
+        return self.evolve_schema(
+            self.schema(branch=branch),
+            new_primary_key=new_primary_key,
+            branch=branch,
         )
 
     def rewrite_manifests(self, branch: str = MAIN) -> Snapshot:
@@ -462,6 +542,7 @@ class LakeTable:
             e.partition = o.partition
             e.content = o.content
             e.sequence = o.sequence
+            e.sort_order_id = o.sort_order_id
         return self.commit(
             "rewrite-manifests",
             fresh,

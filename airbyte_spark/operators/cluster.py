@@ -4,51 +4,180 @@ Extends the reference's PK sort order (IcebergUtil.kt:130,185-189 and
 sort-order evolution IcebergTableSynchronizer.kt:314-378) to
 multi-dimensional clustering: a space-filling-curve key over e.g.
 (phash, w, h) is computed in a vectorized pandas UDF (functions/curves.py),
-then the table is `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)`
-and rewritten copy-on-write. After the rewrite, per-file [min,max] stats on
-each clustered dimension are tight, so manifest pruning (lake/table.py
-scan key_range) skips most files for any box query on the clustered dims.
+then the table is range-bucketed on the key and rewritten copy-on-write.
+After the rewrite, per-file [min,max] stats on each clustered dimension are
+tight, so manifest pruning (lake/table.py scan key_range) skips most files
+for any box query on the clustered dims.
 
-Plan shape at scale: one full-shuffle range-repartition (unavoidable for a
-global re-sort — same cost class as Iceberg's sort rewrite action), sized
-to target-file-bytes output partitions. Dimension bounds come from the
-table manifests (min/max over live files) — a metadata read, not a data
-scan. Everything else is codegen'd JVM work except the Arrow-batched key
-UDF.
+Two scopes (Iceberg `rewrite_data_files` victim-selection semantics):
+
+- ``scope="full"``: rewrite every file in range — the global re-sort.
+  One full-shuffle range-repartition, same cost class as Iceberg's sort
+  rewrite action. O(table) per call.
+- ``scope="dirty"``: rewrite only files that NEED it — files not written
+  under the current sort order (plain appends, MoR merge inserts, files
+  predating a PK change), files an applicable equality-delete may hit
+  (PK-stat overlap, conservative when stats are missing), and under-sized
+  files with a packing partner. Clean files are not read, not rewritten,
+  and keep their paths byte-identical. O(change) per call — the property
+  that keeps a per-micro-batch maintenance loop alive at 10^12 rows
+  (r3 verdict "What's wrong #1"). The first-ever pass degenerates to a
+  full rewrite (everything is unsorted), so there is no separate
+  bootstrap path.
+
+Files written here are stamped with the table's registered sort-order id
+(lake/format.py DataFileEntry.sort_order_id, the Iceberg data-file field
+of the same name); victim selection keys off that stamp. A dirty pass
+over only new files produces sorted files whose key ranges OVERLAP the
+clean set — pruning stays correct (it reads real per-file stats) but
+degrades gradually, exactly like Iceberg partial sort rewrites / LSM
+levels; run a periodic ``scope="full"`` pass to restore the global order.
+
+Dimension bounds come from the victim entries' manifests (min/max over
+files) — a metadata read, not a data scan. Everything else is codegen'd
+JVM work except the Arrow-batched key UDF.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from airbyte_spark.functions.curves import hilbert_key, phash_to_unsigned, zorder_key
-from airbyte_spark.lake.format import Snapshot
-from airbyte_spark.lake.table import MAIN, LakeTable
+from airbyte_spark.lake.format import DataFileEntry, Snapshot
+from airbyte_spark.lake.table import MAIN, LakeTable, _intersects
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+#: a sorted, delete-free file smaller than this fraction of target size is
+#: a rewrite victim when it has a packing partner (Iceberg
+#: rewrite_data_files min-file-size-bytes default ratio)
+DEFAULT_MIN_SIZE_RATIO = 0.75
 
 
 @dataclass
 class ClusterResult:
-    snapshot: Snapshot
+    snapshot: Snapshot | None
     curve: str
     dims: list[str]
     files_before: int
     files_after: int
+    scope: str = "full"
+    rewritten_files: int = 0
+    rewritten_bytes: int = 0
+    skipped_files: int = 0
+    skipped_bytes: int = 0
+    dropped_delete_files: int = 0
+    victim_reasons: dict = field(default_factory=dict)
+
+
+def delete_may_hit(
+    entry: DataFileEntry, delete: DataFileEntry, pk: list[str], schema
+) -> bool:
+    """Could `delete`'s keys remove rows from `entry`? True only when the
+    delete's sequence is newer AND every PK column's [min,max] ranges
+    intersect (a delete key matches a row only if ALL key columns match,
+    so ONE disjoint column clears the file). Missing stats on either side
+    are conservative: the file stays a candidate."""
+    if (delete.sequence or 0) <= (entry.sequence or 0):
+        return False
+    names = set(schema.fieldNames())
+    for c in pk:
+        ds = delete.stats.get(c)
+        if not ds or ds.get("min") is None:
+            continue  # no delete stats on this column -> cannot disclaim
+        dt = schema[c].dataType if c in names else None
+        if not _intersects(entry.stats.get(c), ds["min"], ds["max"], dt):
+            return False
+    return True
+
+
+def select_cluster_victims(
+    table: LakeTable,
+    entries: list[DataFileEntry],
+    deletes: list[DataFileEntry],
+    order_id: int,
+    target_file_bytes: int,
+    min_size_ratio: float = DEFAULT_MIN_SIZE_RATIO,
+    branch: str = MAIN,
+    fold_deletes: bool = True,
+) -> tuple[list[DataFileEntry], dict]:
+    """Pick the files a dirty-scoped cluster pass must rewrite. Pure
+    manifest metadata — no Spark job. Returns (victims, reason counts).
+
+    Criteria, in priority order per file:
+      1. ``unsorted``   — sort_order_id != the current order (new appends,
+         merge inserts, pre-PK-change files).
+      2. ``delete-hit`` — a live equality-delete with a newer sequence may
+         apply (PK-stat overlap; folding it in retires delete debt). Only
+         when `fold_deletes` — PK-stat overlap on a non-clustered key is
+         loose, so eager folding would re-dirty the whole table on any
+         update; the caller gates this on accumulated delete debt exactly
+         like the MoR merge's `merge.mor.max-delete-eras` policy (the
+         scan-side anti-join keeps un-folded deletes correct meanwhile).
+      3. ``undersized`` — bytes < min_size_ratio * target, and ONLY when
+         packing the partition's small files actually reduces their file
+         count (ceil(sum/target) < count — Iceberg's min-input-files idea
+         sharpened to a gain test). Without the gain test a pass whose
+         equal-size output bins land just under the ratio would re-rewrite
+         them every cycle (churn); with it, selection reaches a fixed
+         point in at most one extra pass."""
+    victims: dict[str, DataFileEntry] = {}
+    reasons = {"unsorted": 0, "delete-hit": 0, "undersized": 0}
+    schema = table.schema(branch=branch)
+    pk = table.primary_key
+    small: list[DataFileEntry] = []
+    for e in entries:
+        if e.sort_order_id != order_id:
+            victims[e.path] = e
+            reasons["unsorted"] += 1
+        elif fold_deletes and any(
+            delete_may_hit(e, d, pk, schema) for d in deletes
+        ):
+            victims[e.path] = e
+            reasons["delete-hit"] += 1
+        elif e.bytes < min_size_ratio * target_file_bytes:
+            small.append(e)
+    by_part: dict[tuple, list[DataFileEntry]] = {}
+    for e in small:
+        by_part.setdefault(tuple(sorted(e.partition.items())), []).append(e)
+    for group in by_part.values():
+        total = sum(e.bytes for e in group)
+        if len(group) >= 2 and -(-total // target_file_bytes) < len(group):
+            for e in group:
+                victims[e.path] = e
+                reasons["undersized"] += 1
+    return list(victims.values()), reasons
+
+
+def dead_delete_files(
+    survivors: list[DataFileEntry],
+    deletes: list[DataFileEntry],
+    pk: list[str],
+    schema,
+) -> list[DataFileEntry]:
+    """Delete files no surviving data file can be subject to (every
+    survivor is newer or PK-stat-disjoint) — safe to drop from the commit.
+    After a dirty pass this is normally ALL of them: delete-hit victim
+    selection rewrote every file a delete could touch."""
+    return [
+        d
+        for d in deletes
+        if not any(delete_may_hit(e, d, pk, schema) for e in survivors)
+    ]
 
 
 def _dim_bounds_entries(
-    entries, table: LakeTable, dims: list[str], branch: str,
-    partition_filter: dict | None = None,
+    entries: list[DataFileEntry], fallback_df: DataFrame, dims: list[str]
 ) -> list[tuple[float, float]]:
     """[min,max] per clustered dim over the given entries from manifest
-    stats (metadata only). Falls back to a 1-job agg scan for dims
-    missing stats."""
+    stats (metadata only). Falls back to a 1-job agg over `fallback_df`
+    (the victim-scoped read — column-pruned to the dims) for dims missing
+    stats."""
     bounds: list[tuple[float, float]] = []
     missing: list[str] = []
     for d in dims:
@@ -67,7 +196,7 @@ def _dim_bounds_entries(
             bounds.append((0.0, 0.0))
             missing.append(d)
     if missing:
-        row = table.scan(branch=branch, partition_filter=partition_filter).agg(
+        row = fallback_df.agg(
             *[F.min(d).alias(f"lo_{d}") for d in missing],
             *[F.max(d).alias(f"hi_{d}") for d in missing],
         ).first()
@@ -112,51 +241,97 @@ def cluster(
     branch: str = MAIN,
     generation_id: int = 0,
     partition_filter: dict | None = None,
+    scope: str = "full",  # or "dirty"
+    min_size_ratio: float = DEFAULT_MIN_SIZE_RATIO,
+    fold_deletes: str = "auto",  # auto | always | never
 ) -> ClusterResult:
-    """Clustering rewrite along a space-filling curve. With
-    `partition_filter` only that partition's files are rewritten — the
-    per-partition job shape that keeps rewrites bounded at 10^12 rows
-    (partitions cluster independently and in parallel)."""
+    """Clustering rewrite along a space-filling curve. `scope="dirty"`
+    rewrites only victim files (see module docstring — O(change));
+    `partition_filter` additionally restricts to one partition — the
+    per-partition job shape that keeps rewrites bounded and parallel at
+    10^12 rows.
+
+    `fold_deletes` (dirty scope only): "auto" rewrites delete-affected
+    files only once live delete debt exceeds `cluster.max-delete-eras`
+    distinct eras (default 8 — the MoR merge's own fold threshold), since
+    PK-stat overlap on a non-clustered key would otherwise re-dirty the
+    whole table on any update; "always"/"never" force it."""
     if curve not in ("zorder", "hilbert"):
         raise ValueError("curve must be 'zorder' or 'hilbert'")
+    if scope not in ("full", "dirty"):
+        raise ValueError(f"scope must be 'full' or 'dirty': {scope!r}")
+    if fold_deletes not in ("auto", "always", "never"):
+        raise ValueError(f"fold_deletes must be auto|always|never: {fold_deletes!r}")
     dims = dims or ["phash", "w", "h"]
     if bits is None:
         bits = 63 // len(dims)
         bits = min(bits, 21)
+    target_file_bytes = target_file_bytes or int(
+        table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
+    )
+    order_id = table.ensure_sort_order(dims, curve, bits)
     planned_parent = table.current_snapshot_id(branch)
-    entries = table.data_files(branch=branch)
+    all_entries = table.data_files(branch=branch)
+    deletes = table.delete_files(branch=branch)
+    entries = all_entries
     if partition_filter:
         from airbyte_spark.lake.table import partition_matches
 
         entries = [e for e in entries if partition_matches(e, partition_filter)]
     if not entries:
         raise ValueError("empty table or empty partition")
-    bounds = _dim_bounds_entries(entries, table, dims, branch, partition_filter)
+    schema = table.schema(branch=branch)
+    pk = table.primary_key
 
-    df = table.scan(branch=branch, partition_filter=partition_filter)
-    key = curve_key_udf(dims, bounds, curve, bits)
+    if scope == "dirty":
+        if fold_deletes == "auto":
+            max_eras = int(table.properties.get("cluster.max-delete-eras", 8) or 0)
+            eras = {d.sequence or 0 for d in deletes}
+            # 0 disables the auto fold, mirroring merge.mor.max-delete-eras
+            fold = bool(max_eras) and len(eras) > max_eras
+        else:
+            fold = fold_deletes == "always"
+        victims, reasons = select_cluster_victims(
+            table, entries, deletes, order_id, target_file_bytes,
+            min_size_ratio=min_size_ratio, branch=branch, fold_deletes=fold,
+        )
+    else:
+        victims, reasons = list(entries), {"full": len(entries)}
+    if not victims:
+        # metadata-only: nothing to rewrite, nothing read, no commit
+        return ClusterResult(
+            snapshot=None,
+            curve=curve,
+            dims=dims,
+            files_before=len(entries),
+            files_after=len(entries),
+            scope=scope,
+            skipped_files=len(entries),
+            skipped_bytes=sum(e.bytes for e in entries),
+            victim_reasons=reasons,
+        )
+
+    df = table.read_entries(victims, schema, deletes=deletes)
+    key = curve_key_udf(
+        dims, _dim_bounds_entries(victims, df.select(*dims), dims), curve, bits
+    )
     keyed = df.withColumn("_ck", key(*[F.col(d) for d in dims]))
 
-    target_file_bytes = target_file_bytes or int(
-        table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
-    )
-    total_bytes = sum(e.bytes for e in entries)
+    total_bytes = sum(e.bytes for e in victims)
     n_out = max(1, -(-total_bytes // target_file_bytes))
 
     # Boundaries from a column-pruned scan of just the clustered dims (the
-    # payload column never loads) — then ONE pass over the full table with
+    # payload column never loads) — then ONE pass over the victim set with
     # a range-bucketed partitionBy write. repartitionByRange would instead
     # sample the keyed plan and execute the payload read + key UDF twice.
     from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
 
-    slim = table.scan(
-        branch=branch, columns=list(dims), partition_filter=partition_filter
-    )
+    slim = table.read_entries(victims, schema).select(*dims)
     # boundary precision only controls file-size balance, so ~200k sampled
     # rows suffice for the quantiles: sample BEFORE the curve-key UDF —
     # at 10^9 rows this is the difference between a full Python UDF pass
     # over the dims and a bounded one (no-op below 200k rows)
-    est_rows = sum(e.rows for e in entries)
+    est_rows = sum(e.rows for e in victims)
     frac = min(1.0, 200_000 / max(1, est_rows))
     if frac < 1.0:
         slim = slim.sample(fraction=frac, seed=42)
@@ -172,24 +347,42 @@ def cluster(
     new_entries = table.write_dataframe(
         out, generation_id=generation_id, partition_by="_pid"
     )
-    remove = {e.path for e in entries}
-    if not partition_filter:
-        # a full-table cluster rewrites every data file with a new commit
-        # sequence, applying live equality-deletes via scan() — the delete
-        # files are dead afterwards, drop them in the same commit
-        remove |= {d.path for d in table.delete_files(branch=branch)}
+    for e in new_entries:
+        e.sort_order_id = order_id
+    remove = {e.path for e in victims}
+    # a rewritten victim restamps its rows at the new commit sequence; any
+    # delete file no SURVIVING data file can be subject to is dead — drop
+    # it in the same commit (for a full-table pass that is all of them)
+    survivors = [e for e in all_entries if e.path not in remove]
+    dead = dead_delete_files(survivors, deletes, pk, schema)
+    remove |= {d.path for d in dead}
     snap = table.commit(
         "cluster",
         new_entries,
         remove_paths=remove,
         branch=branch,
         expected_parent=planned_parent,
-        summary={"curve": curve, "dims": dims, "bits": bits},
+        summary={
+            "curve": curve,
+            "dims": dims,
+            "bits": bits,
+            "scope": scope,
+            "sort_order_id": order_id,
+            "victims": len(victims),
+            "victim_reasons": reasons,
+        },
     )
     return ClusterResult(
         snapshot=snap,
         curve=curve,
         dims=dims,
         files_before=len(entries),
-        files_after=len(new_entries),
+        files_after=len(entries) - len(victims) + len(new_entries),
+        scope=scope,
+        rewritten_files=len(victims),
+        rewritten_bytes=total_bytes,
+        skipped_files=len(entries) - len(victims),
+        skipped_bytes=sum(e.bytes for e in entries) - total_bytes,
+        dropped_delete_files=len(dead),
+        victim_reasons=reasons,
     )

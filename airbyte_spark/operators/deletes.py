@@ -23,6 +23,7 @@ this module is that engine's rewriteDataFiles(delete-compaction) role.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from airbyte_spark.lake.format import DataFileEntry, Snapshot
@@ -105,9 +106,16 @@ def rewrite_deletes(
             ents = table.write_dataframe(
                 out, generation_id=gen, partition_by="_fold_bin"
             )
-            if sid != table.current_schema_id:
-                for e in ents:
+            for e in ents:
+                if sid != table.current_schema_id:
                     e.schema_id = sid
+                # one output per input, row order preserved -> the fold
+                # keeps the victim's clustering; carry the sort-order
+                # stamp so the file doesn't read as dirty next cycle
+                m = re.search(r"_fold_bin=(\d+)/", e.path)
+                if m:
+                    e.sort_order_id = group[int(m.group(1))].sort_order_id
+                    e.partition = group[int(m.group(1))].partition
             new_entries.extend(ents)
     snap = table.commit(
         "rewrite-deletes",

@@ -45,6 +45,7 @@ def run_maintenance(
     use_staging: bool = True,
     merge_mode: str = "cow",
     compact_mode: str = "auto",  # auto | always | never
+    cluster_scope: str = "dirty",  # dirty | full
 ) -> MaintenanceReport:
     """Full maintenance pass. Stage boundaries are checkpoint boundaries:
     each stage's snapshot commit + ledger write is atomic-by-effect, so a
@@ -55,14 +56,28 @@ def run_maintenance(
     back into data files, so one maintenance pass leaves a clean CoW-state
     table either way.
 
-    compact_mode="auto" (default) skips the compact stage: the full-table
-    cluster rewrite that follows already writes target-size files and
-    folds every live delete (Iceberg's rewrite_data_files with a sort
-    order IS compaction+clustering in one op), so a separate compact pass
+    cluster_scope="dirty" (default — r3 verdict top item) makes the
+    cluster stage rewrite ONLY files that need it (new since their last
+    cluster, delete-affected, or under-sized; operators/cluster.py victim
+    selection), so steady-state maintenance cost is O(batch), not
+    O(table). The first-ever pass sees everything dirty and behaves as a
+    full rewrite; pass "full" to force the global re-sort that restores
+    disjoint key ranges after many incremental passes.
+
+    compact_mode="auto" (default) skips the compact stage: the cluster
+    rewrite that follows already writes target-size files and folds live
+    deletes (Iceberg's rewrite_data_files with a sort order IS
+    compaction+clustering in one op — dirty scope's "undersized" victim
+    criterion covers small clean files too), so a separate compact pass
     would rewrite the same payload twice — measured ~17% of pipeline wall
     at the 128k-image shape. "always" forces it (compaction-only
     maintenance or diagnostics); "never" skips unconditionally."""
     import os
+
+    if compact_mode not in ("auto", "always", "never"):
+        raise ValueError(f"compact_mode must be auto|always|never: {compact_mode!r}")
+    if cluster_scope not in ("dirty", "full"):
+        raise ValueError(f"cluster_scope must be dirty|full: {cluster_scope!r}")
 
     ck = JobCheckpointer(os.path.join(table.root, "checkpoints"), job_id)
     branch = f"staging-{job_id}" if use_staging else MAIN
@@ -103,9 +118,6 @@ def run_maintenance(
     m = _stage(1, "merge", _merge)
     report.rows += int(m.get("rows", 0))
 
-    if compact_mode not in ("auto", "always", "never"):
-        raise ValueError(f"compact_mode must be auto|always|never: {compact_mode!r}")
-
     def _compact():
         if compact_mode != "always":
             return {"skipped": "subsumed by the full-table cluster rewrite"}
@@ -122,13 +134,37 @@ def run_maintenance(
         res = cluster(
             table, dims=cluster_dims, curve=curve,
             target_file_bytes=target_file_bytes, branch=branch,
+            scope=cluster_scope,
         )
-        return {"files_after": res.files_after, "curve": curve}
+        return {
+            "files_after": res.files_after,
+            "curve": curve,
+            "scope": res.scope,
+            "rewritten_files": res.rewritten_files,
+            "rewritten_bytes": res.rewritten_bytes,
+            "skipped_files": res.skipped_files,
+            "skipped_bytes": res.skipped_bytes,
+            "dropped_delete_files": res.dropped_delete_files,
+            "victim_reasons": res.victim_reasons,
+        }
     _stage(3, "cluster", _cluster)
 
-    _stage(4, "rewrite-manifests", lambda: {
-        "entries": table.rewrite_manifests(branch=branch).summary["rewritten_entries"]
-    })
+    def _manifests():
+        # O(table) footer recompute — only worth it when a prior stage
+        # actually changed files; a no-op steady-state cycle skips it
+        changed = (
+            int(report.stages.get("merge", {}).get("rows", 0)) > 0
+            or int(report.stages.get("cluster", {}).get("rewritten_files", 0)) > 0
+            or report.stages.get("compact", {}).get("bins", 0)
+        )
+        if not changed:
+            return {"skipped": "no files changed this cycle"}
+        return {
+            "entries": table.rewrite_manifests(branch=branch).summary[
+                "rewritten_entries"
+            ]
+        }
+    _stage(4, "rewrite-manifests", _manifests)
 
     def _swap():
         if use_staging:
@@ -158,7 +194,8 @@ def run_partitioned_maintenance(
     curve: str = "zorder",
     target_file_bytes: int | None = None,
     expire_keep_last: int = 2,
-    compact_mode: str = "auto",  # auto | always (see run_maintenance)
+    compact_mode: str = "auto",  # auto | always | never (see run_maintenance)
+    cluster_scope: str = "dirty",  # dirty | full
 ) -> MaintenanceReport:
     """Per-partition maintenance, partitions in PARALLEL — the job shape
     that bounds every rewrite and commit at 10^12 rows: each partition's
@@ -169,28 +206,71 @@ def run_partitioned_maintenance(
     resolve via retry_on_conflict re-planning (Iceberg commit.retry), never
     on data files (partitions are disjoint by construction).
 
-    `partitions`: list of {col: value} filters; default = every live
-    partition tuple in the manifests. Ends with ONE table-wide expire+GC."""
+    `partitions`: list of {col: value} filters; default = only partitions
+    holding at least one rewrite victim under `cluster_scope="dirty"`
+    (clean partitions are never visited — O(change) at table scale; pass
+    cluster_scope="full" to rewrite every live partition). Ends with ONE
+    table-wide expire+GC."""
     from concurrent.futures import ThreadPoolExecutor
 
     from airbyte_spark.lake.retry import retry_on_conflict
 
+    if compact_mode not in ("auto", "always", "never"):
+        raise ValueError(f"compact_mode must be auto|always|never: {compact_mode!r}")
+    if cluster_scope not in ("dirty", "full"):
+        raise ValueError(f"cluster_scope must be dirty|full: {cluster_scope!r}")
+
     t0 = time.monotonic()
     report = MaintenanceReport(job_id=job_id)
+    skipped_partitions = 0
     if partitions is None:
         seen: dict[tuple, dict] = {}
         for e in table.data_files():
             if e.partition:
                 key = tuple(sorted(e.partition.items()))
                 seen.setdefault(key, dict(e.partition))
-        partitions = list(seen.values())
+        if not seen:
+            raise ValueError("table has no partitions; use run_maintenance")
+        if cluster_scope == "dirty":
+            # manifest-metadata victim pre-scan: a partition with zero
+            # victims is never visited (no Spark job, no commit)
+            from airbyte_spark.operators.cluster import (
+                DEFAULT_TARGET_FILE_BYTES,
+                select_cluster_victims,
+            )
+
+            dims = cluster_dims or ["phash", "w", "h"]
+            bits = min(63 // len(dims), 21)
+            order_id = table.ensure_sort_order(dims, curve, bits)
+            tfb = target_file_bytes or int(
+                table.properties.get(
+                    "write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES
+                )
+            )
+            deletes = table.delete_files()
+            max_eras = int(table.properties.get("cluster.max-delete-eras", 8) or 0)
+            fold = bool(max_eras) and len({d.sequence or 0 for d in deletes}) > max_eras
+            victims, _ = select_cluster_victims(
+                table, table.data_files(), deletes, order_id, tfb,
+                fold_deletes=fold,
+            )
+            dirty = {tuple(sorted(v.partition.items())) for v in victims}
+            skipped_partitions = len(seen) - len(dirty & set(seen))
+            partitions = [seen[k] for k in sorted(seen) if k in dirty]
+        else:
+            partitions = [seen[k] for k in sorted(seen)]
     if not partitions:
-        raise ValueError("table has no partitions; use run_maintenance")
+        report.stages["summary"] = {
+            "dirty_partitions": 0, "skipped_partitions": skipped_partitions,
+        }
+        report.wall_s = time.monotonic() - t0
+        report.rows = sum(e.rows for e in table.data_files())
+        return report
 
     def one(pf: dict) -> dict:
         s0 = time.monotonic()
-        # the partition-scoped cluster rewrites every file of the
-        # partition at target size with deletes applied — a compact pass
+        # the partition-scoped cluster rewrites the partition's victim
+        # files at target size with deletes applied — a compact pass
         # before it rewrites the same payload twice (see run_maintenance
         # compact_mode)
         bins = None
@@ -209,23 +289,37 @@ def run_partitioned_maintenance(
                 curve=curve,
                 target_file_bytes=target_file_bytes,
                 partition_filter=pf,
+                scope=cluster_scope,
             )
         )
         return {
             "partition": pf,
             "compact_bins": bins,
             "cluster_files": k.files_after,
+            "rewritten_files": k.rewritten_files,
+            "skipped_files": k.skipped_files,
             "sec": round(time.monotonic() - s0, 3),
         }
 
     with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
         for m in pool.map(one, partitions):
             report.stages[f"partition-{m['partition']}"] = m
+    report.stages["summary"] = {
+        "dirty_partitions": len(partitions),
+        "skipped_partitions": skipped_partitions,
+    }
     # partition-scoped clusters keep equality-delete files alive (they may
-    # still apply to other partitions); fold + drop them table-wide. Cheap:
-    # the per-partition rewrites already restamped most data files to a
-    # newer sequence, so few victims remain
-    if table.delete_files():
+    # still apply to other partitions); fold + drop them table-wide once
+    # debt crosses the era threshold (the scan-side anti-join keeps
+    # un-folded deletes correct meanwhile — same policy as the dirty
+    # cluster and the MoR merge). Cheap when it runs: the per-partition
+    # rewrites already restamped most data files to a newer sequence
+    leftover = table.delete_files()
+    max_eras = int(table.properties.get("cluster.max-delete-eras", 8) or 0)
+    if leftover and (
+        cluster_scope == "full"
+        or (bool(max_eras) and len({d.sequence or 0 for d in leftover}) > max_eras)
+    ):
         from airbyte_spark.operators.deletes import rewrite_deletes
 
         fold = retry_on_conflict(lambda: rewrite_deletes(table))

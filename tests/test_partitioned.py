@@ -194,12 +194,24 @@ def test_mor_partition_pruning_safe_for_cross_partition_moves(spark, tmp_table_d
 
 
 def test_partitioned_maintenance_folds_mor_deletes(spark, part_table):
-    """MoR merges followed by partition-parallel maintenance: the final
-    fold stage drops every delete file and the post-maintenance state
-    equals the pre-maintenance scan."""
+    """MoR merges followed by partition-parallel maintenance. One era of
+    delete debt is BELOW the fold threshold, so the dirty-scoped pass
+    keeps it as MoR files (scan-side anti-join stays correct); a
+    full-scope pass retires the debt and drops every delete file. The
+    post-maintenance state equals the pre-maintenance scan either way."""
     from airbyte_spark.operators.maintenance import run_partitioned_maintenance
 
     t = part_table
+    # settle first: on a never-clustered table EVERY file is a victim, so
+    # the first pass rewrites everything and deletes die as a side effect;
+    # the debt-kept contract applies to an already-clustered steady state
+    for i in range(3):
+        r0 = run_partitioned_maintenance(
+            t, f"pm-settle-{i}", max_concurrent=2,
+            target_file_bytes=2 * 1024 * 1024,
+        )
+        if r0.stages["summary"]["dirty_partitions"] == 0:
+            break
     src = generate_update_batch(spark, 240, 50, num_partitions=2)
     merge_into(t, src, mode="mor")
     assert t.delete_files()
@@ -210,7 +222,20 @@ def test_partitioned_maintenance_folds_mor_deletes(spark, part_table):
     rep = run_partitioned_maintenance(
         t, "pm-mor", max_concurrent=2, target_file_bytes=2 * 1024 * 1024
     )
-    assert "fold-deletes" in rep.stages
+    # 1 era <= cluster.max-delete-eras: debt intentionally kept; only the
+    # clean files it would hit survive un-rewritten
+    assert "fold-deletes" not in rep.stages
+    assert t.delete_files()
+    mid = {
+        r["image_id"]: r["caption"]
+        for r in t.scan().select("image_id", "caption").collect()
+    }
+    assert before == mid
+    rep2 = run_partitioned_maintenance(
+        t, "pm-mor-full", max_concurrent=2,
+        target_file_bytes=2 * 1024 * 1024, cluster_scope="full",
+    )
+    assert "fold-deletes" in rep2.stages or not t.delete_files()
     assert not t.delete_files()
     after = {
         r["image_id"]: r["caption"]
