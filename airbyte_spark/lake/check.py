@@ -53,9 +53,15 @@ def check_destination(
             raise RuntimeError(f"probe round-trip mismatch: {rows}")
         return {"status": "SUCCEEDED"}
     except Exception as e:  # noqa: BLE001 — the status message IS the report
+        from airbyte_spark.streaming.traces import error_trace
+
         return {
             "status": "FAILED",
             "message": f"{type(e).__name__}: {e}",
+            # typed ERROR trace, same shape ConnectionSync records
+            # (protocol trace section: failureType tells a config error
+            # from a system error without reading logs)
+            "trace": error_trace(None, e),
         }
     finally:
         shutil.rmtree(probe_root, ignore_errors=True)

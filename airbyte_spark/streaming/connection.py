@@ -100,8 +100,18 @@ class ConnectionSync:
 
     def _emit_status(self, name: str, status: str) -> None:
         self.status_events.append(
-            {"stream": name, "status": status, "ts": time.time()}
+            {"type": "STREAM_STATUS", "stream": name, "status": status,
+             "ts": time.time()}
         )
+
+    def _emit_error(self, name: str, exc: Exception) -> None:
+        """AirbyteTraceMessage-ERROR analog (protocol trace section):
+        typed failure (config/system/transient) recorded in the same
+        ledger as STREAM_STATUS, at the point of failure — teardown adds
+        the INCOMPLETE status separately."""
+        from airbyte_spark.streaming.traces import error_trace
+
+        self.status_events.append(error_trace(name, exc))
 
     def start(self) -> None:
         for name, s in self.specs.items():
@@ -137,6 +147,7 @@ class ConnectionSync:
                 return name, self.loaders[name].write(df, ckpt)
             except Exception as e:  # noqa: BLE001 — recorded, re-raised at finish
                 self._failed[name] = e
+                self._emit_error(name, e)
                 return name, {"error": str(e)}
 
         with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:

@@ -158,7 +158,11 @@ def test_stream_status_trace_events(spark, tmp_table_dir):
     sync.write({"ok": (good, 1)})  # RUNNING must not repeat
     with pytest.raises(RuntimeError):
         sync.finish()
-    seq = [(e["stream"], e["status"]) for e in sync.status_events]
+    seq = [
+        (e["stream"], e["status"])
+        for e in sync.status_events
+        if e.get("type") == "STREAM_STATUS"  # ERROR traces live alongside
+    ]
     assert seq.count(("ok", "RUNNING")) == 1
     assert [s for st, s in seq if st == "ok"] == ["STARTED", "RUNNING", "COMPLETE"]
     assert [s for st, s in seq if st == "bad"] == ["STARTED", "INCOMPLETE"]
@@ -223,3 +227,63 @@ def test_sync_applies_field_selection_and_mappers(spark, tmp_table_dir):
     sync2.start()
     out2 = sync2.write({"users": (batch, 0)})
     assert "protected" in out2["users"]["error"]
+
+
+def test_failed_stream_emits_typed_error_trace(spark, tmp_table_dir):
+    """Protocol trace section: a stream failure records an ERROR trace
+    with a failureType (config/system/transient) alongside the
+    INCOMPLETE stream status, so an operator can classify the failure
+    from the ledger alone."""
+    ta = _mk_table(spark, os.path.join(tmp_table_dir, "a"))
+    sync = ConnectionSync("conn-err", [StreamSpec("s", ta)])
+    sync.start()
+    bad = generate_update_batch(spark, 60, 10, num_partitions=2).withColumn(
+        "image_id", F.lit(None).cast("string")
+    )
+    sync.write({"s": (bad, 0)})
+    with pytest.raises(RuntimeError):
+        sync.finish()
+    errors = [e for e in sync.status_events if e.get("type") == "ERROR"]
+    assert len(errors) == 1
+    err = errors[0]
+    # NullPrimaryKeyError is the user's data/config problem, not a bug
+    assert err["failure_type"] == "config_error"
+    assert err["exception_class"] == "NullPrimaryKeyError"
+    assert err["stream"] == "s" and err["message"]
+    assert err["stack_first_line"].startswith("File ")
+    statuses = [
+        (e["stream"], e["status"])
+        for e in sync.status_events
+        if e.get("type") == "STREAM_STATUS"
+    ]
+    assert statuses == [("s", "STARTED"), ("s", "INCOMPLETE")]
+
+
+def test_failure_classification():
+    from airbyte_spark.functions.mappers import MapperError
+    from airbyte_spark.lake.table import CommitConflict
+    from airbyte_spark.operators.merge import NullPrimaryKeyError
+    from airbyte_spark.streaming.traces import classify_failure
+
+    assert classify_failure(CommitConflict("x")) == "transient_error"
+    assert classify_failure(TimeoutError()) == "transient_error"
+    assert classify_failure(ValueError("bad conf")) == "config_error"
+    assert classify_failure(MapperError("bad key")) == "config_error"
+    assert classify_failure(NullPrimaryKeyError("nulls")) == "config_error"
+    assert classify_failure(RuntimeError("boom")) == "system_error"
+    assert classify_failure(ZeroDivisionError()) == "system_error"
+
+
+def test_check_failure_carries_error_trace(spark, tmp_table_dir):
+    from airbyte_spark.lake.check import check_destination
+
+    # an unwritable lake root -> FAILED with a typed trace
+    bad_root = os.path.join(tmp_table_dir, "file-not-dir")
+    with open(bad_root, "w") as f:
+        f.write("x")
+    res = check_destination(spark, bad_root)
+    assert res["status"] == "FAILED"
+    assert res["trace"]["failure_type"] in (
+        "config_error", "system_error"
+    )
+    assert res["trace"]["exception_class"]
