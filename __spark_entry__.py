@@ -461,15 +461,18 @@ def q_embedding_norms(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (pandas-UDF path — rows-only check). Band
-    count derives from the radius (9 disjoint bands for hamming<=8), so
-    candidate generation is pigeonhole-complete at this distance
-    (simhash_band_layout; completeness property-tested in
-    tests/test_text_dedup_similarity.py)."""
+    """SimHash near-dup pairs, oracle-checked (r3 verdict item 4): the
+    md5-token-hash variant (`simhash_md5_udf` — uint64(md5[8:16], LE) ==
+    DuckDB md5_number_lower) makes the 64-bit signature, the
+    radius-complete banding (9 disjoint bands for hamming<=8,
+    simhash_band_layout) and the exact popcount verify all
+    SQL-reproducible. Completeness property-tested in
+    tests/test_text_dedup_similarity.py; the FNV fast path stays the
+    default for non-oracle use."""
     from airbyte_spark.functions.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=8)
+    return simhash_near_dup_pairs(d, max_hamming=8, hasher="md5")
 
 
 def q_images_maintenance(spark, sf):
@@ -1061,28 +1064,44 @@ def q_schema_evolution_roundtrip(spark, sf):
 
 
 def q_connection_sync_global(spark, sf):
-    """Multi-stream sync under GLOBAL state (rows-only): two lake tables,
-    two ordered connection-wide checkpoints (one ledger covers both
-    streams — the protocol's GLOBAL state type, airbyte-protocol.md:516),
-    atomic teardown; returns per-stream final counts. Kill/resume
-    semantics are pinned in tests/test_connection.py."""
+    """Multi-stream sync under GLOBAL state, oracle-checked (r3 verdict
+    item 5): two lake tables seeded and updated from deterministic
+    `events` slices, two ordered connection-wide checkpoints (one ledger
+    covers both streams — the protocol's GLOBAL state type,
+    airbyte-protocol.md:516), atomic teardown. The final per-stream row
+    counts are pure set algebra over `events` ids, which is exactly what
+    the DuckDB oracle recomputes. Kill/resume semantics are pinned in
+    tests/test_connection.py."""
     import os as _os
     import shutil
     import tempfile
 
-    from airbyte_spark.datagen import IMAGES_SCHEMA, generate_images, generate_update_batch
     from airbyte_spark.lake.table import LakeTable
     from airbyte_spark.streaming.connection import ConnectionSync, StreamSpec
 
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type", "value",
+        F.md5(F.col("event_id").cast("string")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    seeds = {  # initial table contents
+        "sa": ev.filter(F.col("event_id") % 2 == 0),
+        "sb": ev.filter(F.col("event_id") % 2 == 1),
+    }
+    batches = {  # per-checkpoint merge sources: updates + fresh inserts
+        "sa": ev.filter(F.col("event_id") % 3 == 0),
+        "sb": ev.filter(F.col("event_id") % 5 == 0),
+    }
     root = tempfile.mkdtemp(prefix="conn-global-")
     try:
         tables = {}
-        for name in ("sa", "sb"):
+        for name, seed_df in seeds.items():
             t = LakeTable.create(
-                spark, _os.path.join(root, name), IMAGES_SCHEMA,
-                primary_key=["image_id"],
+                spark, _os.path.join(root, name), seed_df.schema,
+                primary_key=["event_id"],
             )
-            t.append(generate_images(spark, 40, num_partitions=2))
+            t.append(seed_df)
             tables[name] = t
         sync = ConnectionSync(
             "entry-global",
@@ -1094,14 +1113,12 @@ def q_connection_sync_global(spark, sf):
         )
         sync.start()
         for ck in range(2):
+            day = F.expr(f"INTERVAL {ck + 1} DAY")
             sync.write_global(
                 {
-                    "sa": generate_update_batch(
-                        spark, 40, 10, seed=50 + ck, num_partitions=2
-                    ),
-                    "sb": generate_update_batch(
-                        spark, 40, 10, seed=60 + ck, num_partitions=2
-                    ),
+                    n: b.withColumn("value", F.col("value") + 1000 * (ck + 1))
+                        .withColumn("updated_at", F.col("updated_at") + day)
+                    for n, b in batches.items()
                 },
                 ck,
             )
@@ -1115,7 +1132,7 @@ def q_connection_sync_global(spark, sf):
             for name in ("sa", "sb")
         ]
         return spark.createDataFrame(
-            rows, "stream string, rows long, checkpoints long"
+            rows, "stream string, n_rows long, checkpoints long"
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1175,6 +1192,21 @@ def q_resumable_full_refresh(spark, sf):
     return out
 
 
+def q_discover_catalog(spark, sf):
+    """`discover` operation (DiscoverOperation.kt:16-49): enumerate the
+    sf-dir parquet source's streams and emit one row per discovered field
+    with its airbyte JSON-schema type (supported-data-types.md:13-26).
+    Footer-only metadata — no data scan; the DuckDB oracle recomputes the
+    same catalog from information_schema with the documented
+    DuckDB-type -> airbyte-type correspondence."""
+    from airbyte_spark.lake.discover import catalog_df, discover_parquet_source
+
+    streams = discover_parquet_source(spark, sf)
+    return catalog_df(spark, streams).select(
+        "stream", "field", "position", "json_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -1223,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connection_sync_global": q_connection_sync_global,
         "mappers_pipeline": q_mappers_pipeline,
         "resumable_full_refresh": q_resumable_full_refresh,
+        "discover_catalog": q_discover_catalog,
     }
 
 
@@ -1266,6 +1299,47 @@ _MINHASH64_CAND_SQL = " UNION ALL ".join(
     f"AND l.doc_id < r.doc_id"
     for b in range(4)
 )
+
+
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """DuckDB replica of q_dedup_simhash: md5_number_lower token hashes
+    (== dedup.py::_md5_token_hash_vec, verified bit-identical), per-bit
+    sign sums in UBIGINT, the radius-complete band layout, and
+    bit_count(xor()) for the exact hamming verify."""
+    from airbyte_spark.functions.dedup import simhash_band_layout
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) "
+        f"& 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i}::UBIGINT "
+        f"ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (sh >> {off}) & {(1 << w) - 1} AS bh "
+        f"FROM sig"
+        for b, (off, w) in enumerate(simhash_band_layout(max_hamming))
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(toks, s -> md5_number_lower(s)) AS hs
+              FROM t),
+        sig AS (SELECT doc_id,
+                       CASE WHEN len(hs) = 0 THEN 0::UBIGINT
+                            ELSE ({bit_terms}) END AS sh
+                FROM h),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM bands l JOIN bands r
+                   ON l.band = r.band AND l.bh = r.bh
+                  AND l.doc_id < r.doc_id)
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
 
 
 def _in_list(items: list[str]) -> str:
@@ -1562,6 +1636,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_id % 10 != 0
         """,
         "ann_lsh_topk": _lsh_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(8),
+        # final state of the global sync: seed ids UNION batch ids per
+        # stream (the dedup merge makes re-sent ids idempotent), two
+        # committed global checkpoints
+        "connection_sync_global": """
+            SELECT 'sa' AS stream, count(*) AS n_rows,
+                   CAST(2 AS BIGINT) AS checkpoints
+            FROM events WHERE event_id % 2 = 0 OR event_id % 3 = 0
+            UNION ALL
+            SELECT 'sb', count(*), 2
+            FROM events WHERE event_id % 2 = 1 OR event_id % 5 = 0
+        """,
         "mappers_pipeline": """
             SELECT c_custkey,
                    sha256(c_name) AS c_name_hashed,
@@ -1578,7 +1664,37 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 3 END AS INTEGER) AS chunk_id
             FROM events WHERE event_id >= 2500
         """,
-        # dedup_simhash / images_maintenance / image_features:
-        # non-SQL-expressible (pandas-UDF or lake-table paths) ->
-        # rows-only check
+        # independent recomputation of the discovered catalog: DuckDB's
+        # information_schema over the same parquet views + the documented
+        # DuckDB-type -> airbyte JSON-schema-type correspondence (both
+        # engines read naive parquet timestamps as without-timezone)
+        "discover_catalog": """
+            SELECT table_name AS stream, column_name AS field,
+                   CAST(ordinal_position AS INT) AS position,
+                   CASE
+                     WHEN data_type LIKE '%[]' THEN 'array'
+                     WHEN data_type IN ('TINYINT','SMALLINT','INTEGER',
+                                        'BIGINT','HUGEINT','UTINYINT',
+                                        'USMALLINT','UINTEGER','UBIGINT')
+                       THEN 'integer'
+                     WHEN data_type IN ('FLOAT','REAL','DOUBLE')
+                       OR data_type LIKE 'DECIMAL%' THEN 'number'
+                     WHEN data_type IN ('VARCHAR','BLOB') THEN 'string'
+                     WHEN data_type = 'BOOLEAN' THEN 'boolean'
+                     WHEN data_type = 'DATE' THEN 'date'
+                     WHEN data_type = 'TIMESTAMP'
+                       THEN 'timestamp_without_timezone'
+                     WHEN data_type = 'TIMESTAMP WITH TIME ZONE'
+                       THEN 'timestamp_with_timezone'
+                     WHEN data_type LIKE 'STRUCT%'
+                       OR data_type LIKE 'MAP%' THEN 'object'
+                     ELSE 'unknown'
+                   END AS json_type
+            FROM information_schema.columns
+            WHERE table_schema = 'main'
+        """,
+        # images_maintenance / image_features / images_compact_ffd /
+        # images_cluster_hilbert / schema_evolution_roundtrip /
+        # audio_features / video_frame_features: non-SQL-expressible
+        # (lake-table pipelines or codec UDF paths) -> rows-only check
     }

@@ -460,12 +460,30 @@ def _fnv1a64_vec(uniq_tokens: np.ndarray) -> np.ndarray:
     return h
 
 
-def _simhash_batch(texts: pd.Series, nbits: int = 64) -> pd.Series:
+def _md5_token_hash_vec(uniq_tokens: np.ndarray) -> np.ndarray:
+    """uint64(md5(token)[8:16], little-endian) per unique token —
+    bit-identical to DuckDB's `md5_number_lower(token)`, which is what
+    makes the SimHash signature SQL-reproducible (the same trick that
+    made MinHash and fixed-plane LSH oracle-checkable)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(t).encode("utf-8")).digest()[8:16], "little")
+            for t in uniq_tokens
+        ),
+        dtype=np.uint64,
+        count=len(uniq_tokens),
+    )
+
+
+def _simhash_batch(texts: pd.Series, nbits: int = 64, token_hash=None) -> pd.Series:
     """Batch-vectorized SimHash: tokens of ALL rows are flattened, hashed
-    once per unique token (`_fnv1a64_vec`), expanded to sign contributions
-    and summed per row with `np.add.reduceat` — no per-row Python beyond
-    tokenization. Values are bit-identical to the round-1 per-row loop
-    (token multiplicity is carried by the flat repeats)."""
+    once per unique token (`token_hash`, default `_fnv1a64_vec`; pass
+    `_md5_token_hash_vec` for the DuckDB-reproducible variant), expanded
+    to sign contributions and summed per row with `np.add.reduceat` — no
+    per-row Python beyond tokenization. Values are bit-identical to the
+    round-1 per-row loop (token multiplicity is carried by the flat
+    repeats)."""
+    token_hash = token_hash or _fnv1a64_vec
     n = len(texts)
     tok_lists = [[w for w in (t or "").lower().split() if w] for t in texts]
     out = np.zeros(n, dtype=np.int64)
@@ -476,7 +494,7 @@ def _simhash_batch(texts: pd.Series, nbits: int = 64) -> pd.Series:
         [np.asarray(x, dtype=object) for x in tok_lists if x]
     )
     uniq, inv = np.unique(flat, return_inverse=True)
-    hs = _fnv1a64_vec(uniq)
+    hs = token_hash(uniq)
     bits = (
         (hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
     ).astype(np.int8)
@@ -495,6 +513,14 @@ def _simhash_batch(texts: pd.Series, nbits: int = 64) -> pd.Series:
 @pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     return _simhash_batch(text)
+
+
+@pandas_udf(LongType())
+def simhash_md5_udf(text: pd.Series) -> pd.Series:
+    """md5-token-hash SimHash: slower than the FNV default (one md5 call
+    per unique token vs whole-array numpy), but exactly reproducible in
+    SQL via md5_number_lower — the oracle-checkable variant."""
+    return _simhash_batch(text, token_hash=_md5_token_hash_vec)
 
 
 def simhash_band_layout(max_hamming: int, nbits: int = 64) -> list[tuple[int, int]]:
@@ -618,12 +644,17 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = 512,
+    hasher: str = "fnv",  # fnv (fastest) | md5 (SQL-reproducible)
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance over raw text: one Arrow
-    pass computes the 64-bit hash (`simhash_udf`), then the radius-complete
-    banded candidate join + exact verify (`simhash_pairs_from_hashes`)."""
+    pass computes the 64-bit hash (`simhash_udf` / `simhash_md5_udf`),
+    then the radius-complete banded candidate join + exact verify
+    (`simhash_pairs_from_hashes`)."""
+    if hasher not in ("fnv", "md5"):
+        raise ValueError(f"hasher must be fnv|md5: {hasher!r}")
+    h = simhash_udf if hasher == "fnv" else simhash_md5_udf
     return simhash_pairs_from_hashes(
-        docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh")),
+        docs.select(F.col(id_col), h(F.col(text_col)).alias("_sh")),
         id_col=id_col,
         hash_col="_sh",
         max_hamming=max_hamming,

@@ -88,6 +88,13 @@ def run_maintenance_bench(spark, sf: float) -> dict:
         spark, n_base, n_updates, hot_key_fraction=0.05,
         num_partitions=max(4, CPUS),
     ).write.parquet(f"{gen_dir}/updates")
+    # 1% micro-batch for the STEADY-STATE pass (the shape that matters at
+    # 10^12 rows: after the cold pass, per-cycle maintenance work must be
+    # proportional to the batch, not the table — r3 verdict item 1/8)
+    steady_n = max(50, n_base // 100)
+    generate_update_batch(
+        spark, n_base, steady_n, seed=77, num_partitions=max(2, CPUS // 8),
+    ).write.parquet(f"{gen_dir}/steady")
     best = None
     for run in range(max(1, MAINT_RUNS)):
         root = tempfile.mkdtemp(prefix="bench-images-")
@@ -111,7 +118,26 @@ def run_maintenance_bench(spark, sf: float) -> dict:
             wall = time.monotonic() - t0
             src.unpersist()
             total_rows = sum(e.rows for e in t.data_files())
+            table_bytes = sum(e.bytes for e in t.data_files())
             images_processed = n_base + n_updates
+            # steady state: dirty-scoped pass over a 1% micro-batch
+            ssrc = spark.read.parquet(f"{gen_dir}/steady").persist()
+            ssrc.count()
+            t1 = time.monotonic()
+            rep2 = run_maintenance(
+                t, f"bench-steady-{time.time_ns()}", merge_source=ssrc,
+                curve="zorder", merge_mode=MERGE_MODE,
+            )
+            steady_wall = time.monotonic() - t1
+            ssrc.unpersist()
+            cl = rep2.stages["cluster"]
+            # no-op cycle: unchanged table -> metadata-only
+            t2 = time.monotonic()
+            rep3 = run_maintenance(
+                t, f"bench-noop-{time.time_ns()}", merge_source=None,
+                merge_mode=MERGE_MODE,
+            )
+            noop_wall = time.monotonic() - t2
             res = {
                 "sec": round(wall, 3),
                 "images": images_processed,
@@ -121,6 +147,24 @@ def run_maintenance_bench(spark, sf: float) -> dict:
                 "merge_mode": MERGE_MODE,
                 "stages": {
                     k: v.get("resumed", False) for k, v in rep.stages.items()
+                },
+                "steady": {
+                    "sec": round(steady_wall, 3),
+                    "batch_rows": steady_n,
+                    "rows_per_sec": round(steady_n / steady_wall, 1),
+                    "rewritten_files": cl.get("rewritten_files", 0),
+                    "rewritten_mb": round(cl.get("rewritten_bytes", 0) / 1e6, 2),
+                    "skipped_files": cl.get("skipped_files", 0),
+                    "table_mb": round(table_bytes / 1e6, 2),
+                    "rewritten_fraction": round(
+                        cl.get("rewritten_bytes", 0) / max(1, table_bytes), 4
+                    ),
+                },
+                "noop": {
+                    "sec": round(noop_wall, 3),
+                    "rewritten_files": rep3.stages["cluster"].get(
+                        "rewritten_files", 0
+                    ),
                 },
             }
             if best is None or res["sec"] < best["sec"]:
@@ -262,6 +306,11 @@ def main() -> None:
                     "table_rows": maint["table_rows"],
                     "runs": maint["runs"],
                     "merge_mode": maint.get("merge_mode", MERGE_MODE),
+                    # cold = first-ever pass (everything dirty, full
+                    # rewrite); steady = dirty-scoped pass over a 1%
+                    # micro-batch; noop = unchanged table, metadata-only
+                    "steady": maint.get("steady"),
+                    "noop": maint.get("noop"),
                 },
                 "merge_modes": merge_modes,
             }
