@@ -54,9 +54,21 @@ from airbyte_spark.lake.table import MAIN, LakeTable, _intersects
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 #: a sorted, delete-free file smaller than this fraction of target size is
-#: a rewrite victim when it has a packing partner (Iceberg
-#: rewrite_data_files min-file-size-bytes default ratio)
-DEFAULT_MIN_SIZE_RATIO = 0.75
+#: a rewrite victim when packing brings a gain. 0.5, deliberately below
+#: Iceberg's 0.75 min-file-size ratio: our range-bucketed writer emits
+#: bins averaging ~target*(total/ceil(total/target)) with approxQuantile
+#: spread, so a 0.75 threshold sits INSIDE the normal output-size band and
+#: re-flags freshly written files every cycle (measured: a steady pass
+#: re-rewriting 30% of a clean sf0.1 table); at 0.5 the band clears the
+#: threshold and selection is a fixed point after one pass
+DEFAULT_MIN_SIZE_RATIO = 0.5
+#: each dirty pass commits its output at ONE sequence, so a partition's
+#: count of distinct sequences among its sorted files = its count of
+#: overlapping sorted "levels" (LSM analog). A box query on the clustered
+#: dims reads O(levels) files instead of O(1); past this many levels the
+#: next pass consolidates the whole partition (amortized O(change *
+#: levels) total work — the same bound LSM leveling pays)
+DEFAULT_MAX_SORTED_LEVELS = 8
 
 
 @dataclass
@@ -105,6 +117,7 @@ def select_cluster_victims(
     min_size_ratio: float = DEFAULT_MIN_SIZE_RATIO,
     branch: str = MAIN,
     fold_deletes: bool = True,
+    max_sorted_levels: int = DEFAULT_MAX_SORTED_LEVELS,
 ) -> tuple[list[DataFileEntry], dict]:
     """Pick the files a dirty-scoped cluster pass must rewrite. Pure
     manifest metadata — no Spark job. Returns (victims, reason counts).
@@ -120,12 +133,24 @@ def select_cluster_victims(
          like the MoR merge's `merge.mor.max-delete-eras` policy (the
          scan-side anti-join keeps un-folded deletes correct meanwhile).
       3. ``undersized`` — bytes < min_size_ratio * target, and ONLY when
-         packing the partition's small files actually reduces their file
-         count (ceil(sum/target) < count — Iceberg's min-input-files idea
-         sharpened to a gain test). Without the gain test a pass whose
+         joining the rewrite reduces the partition's final file count
+         (Iceberg's min-input-files idea sharpened to a gain test):
+         with `v` bytes of criteria-1/2 victims already being rewritten
+         in the partition and `c` bytes over `n` small clean files,
+         include the small files iff ceil((v+c)/target) <
+         ceil(v/target) + n. This folds packing into a pass that is
+         writing the partition anyway — so a steady pass absorbs the
+         previous pass's small output and the NEXT no-change pass selects
+         nothing (metadata-only). Without the gain test a pass whose
          equal-size output bins land just under the ratio would re-rewrite
-         them every cycle (churn); with it, selection reaches a fixed
-         point in at most one extra pass."""
+         them every cycle (churn).
+      4. ``level-compaction`` — incremental passes leave sorted files
+         whose key ranges OVERLAP earlier passes' output (each pass = one
+         commit sequence = one "level"). When a partition's clean sorted
+         files span more than `max_sorted_levels` distinct sequences, the
+         whole partition joins the rewrite — bounding read amplification
+         at O(max_levels) files per box query, exactly LSM leveling's
+         deal (0 disables)."""
     victims: dict[str, DataFileEntry] = {}
     reasons = {"unsorted": 0, "delete-hit": 0, "undersized": 0}
     schema = table.schema(branch=branch)
@@ -145,12 +170,31 @@ def select_cluster_victims(
     by_part: dict[tuple, list[DataFileEntry]] = {}
     for e in small:
         by_part.setdefault(tuple(sorted(e.partition.items())), []).append(e)
-    for group in by_part.values():
+    vict_bytes: dict[tuple, int] = {}
+    for e in victims.values():
+        pkey = tuple(sorted(e.partition.items()))
+        vict_bytes[pkey] = vict_bytes.get(pkey, 0) + e.bytes
+    for pkey, group in by_part.items():
         total = sum(e.bytes for e in group)
-        if len(group) >= 2 and -(-total // target_file_bytes) < len(group):
+        v = vict_bytes.get(pkey, 0)
+        if -(-(v + total) // target_file_bytes) < -(-v // target_file_bytes) + len(group):
             for e in group:
                 victims[e.path] = e
                 reasons["undersized"] += 1
+    if max_sorted_levels:
+        reasons["level-compaction"] = 0
+        levels: dict[tuple, set] = {}
+        for e in entries:
+            if e.sort_order_id == order_id:
+                levels.setdefault(
+                    tuple(sorted(e.partition.items())), set()
+                ).add(e.sequence or 0)
+        deep = {p for p, seqs in levels.items() if len(seqs) > max_sorted_levels}
+        for e in entries:
+            pkey = tuple(sorted(e.partition.items()))
+            if pkey in deep and e.path not in victims:
+                victims[e.path] = e
+                reasons["level-compaction"] += 1
     return list(victims.values()), reasons
 
 
@@ -294,6 +338,12 @@ def cluster(
         victims, reasons = select_cluster_victims(
             table, entries, deletes, order_id, target_file_bytes,
             min_size_ratio=min_size_ratio, branch=branch, fold_deletes=fold,
+            max_sorted_levels=int(
+                table.properties.get(
+                    "cluster.max-sorted-levels", DEFAULT_MAX_SORTED_LEVELS
+                )
+                or 0
+            ),
         )
     else:
         victims, reasons = list(entries), {"full": len(entries)}

@@ -253,6 +253,9 @@ def run_partitioned_maintenance(
             victims, _ = select_cluster_victims(
                 table, table.data_files(), deletes, order_id, tfb,
                 fold_deletes=fold,
+                max_sorted_levels=int(
+                    table.properties.get("cluster.max-sorted-levels", 8) or 0
+                ),
             )
             dirty = {tuple(sorted(v.partition.items())) for v in victims}
             skipped_partitions = len(seen) - len(dirty & set(seen))

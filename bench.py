@@ -159,6 +159,7 @@ def run_maintenance_bench(spark, sf: float) -> dict:
                     "rewritten_fraction": round(
                         cl.get("rewritten_bytes", 0) / max(1, table_bytes), 4
                     ),
+                    "victim_reasons": cl.get("victim_reasons", {}),
                 },
                 "noop": {
                     "sec": round(noop_wall, 3),

@@ -88,6 +88,11 @@ def test_dirty_batch_rewrites_only_changed_bytes(spark, tmp_table_dir):
     assert m["skipped_files"] > 0
     # every skipped clean file survives with its exact path
     assert len(clean & _paths(t)) == m["skipped_files"]
+    # the dirty pass absorbed any small packing partners (undersized gain
+    # counts files already being rewritten), so the very next no-change
+    # pass is metadata-only — no settle loop needed
+    rep3 = run_maintenance(t, "pass3", merge_source=None)
+    assert rep3.stages["cluster"]["rewritten_files"] == 0
 
 
 def test_dirty_and_full_scope_converge_to_identical_state(spark, tmp_table_dir):
@@ -235,3 +240,27 @@ def test_invalid_modes_raise(spark, tmp_table_dir):
         cluster(t, scope="partial")
     with pytest.raises(ValueError, match="fold_deletes"):
         cluster(t, fold_deletes="sometimes")
+
+
+def test_level_compaction_bounds_overlapping_passes(spark, tmp_table_dir):
+    """Each dirty pass commits one overlapping sorted "level"; past
+    cluster.max-sorted-levels the next pass consolidates the partition,
+    bounding read amplification like LSM leveling."""
+    small_target = 64 * 1024  # batch files land ABOVE the undersized ratio
+    t = _table(spark, tmp_table_dir, n=40, extra_props={
+        "cluster.max-sorted-levels": 2,
+    })
+    cluster(t, scope="dirty", target_file_bytes=small_target)  # level 1
+    for i in range(2):
+        t.append(generate_images(spark, 10, seed=10 + i,
+                                 id_offset=2000 + 100 * i, num_partitions=1))
+        res = cluster(t, scope="dirty", target_file_bytes=small_target)
+        assert res.victim_reasons.get("level-compaction", 0) == 0
+        assert res.skipped_files > 0  # incremental, not a full rewrite
+    # clean sorted files now span 3 levels > threshold 2 -> consolidation
+    t.append(generate_images(spark, 10, seed=30, id_offset=3000,
+                             num_partitions=1))
+    res = cluster(t, scope="dirty", target_file_bytes=small_target)
+    assert res.victim_reasons.get("level-compaction", 0) > 0
+    assert res.rewritten_files == res.files_before
+    assert len({e.sequence for e in t.data_files()}) == 1  # one level again
