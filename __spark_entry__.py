@@ -1207,6 +1207,38 @@ def q_discover_catalog(spark, sf):
     )
 
 
+def q_spec_operation(spark, sf):
+    """`spec` operation (SpecOperation.kt:14-26): one row per engine
+    table property advertised by the GENERATED connectionSpecification
+    (lake/spec.py PROPERTY_SPECS — the same registry the config
+    validator enforces, lockstep-tested against every properties.get in
+    the source). The oracle pins the advertised surface literally, so
+    adding/renaming a property without updating the published spec fails
+    the compare."""
+    from pyspark.sql import types as T
+
+    from airbyte_spark.lake.spec import PROPERTY_SPECS
+
+    schema = T.StructType([
+        T.StructField("property", T.StringType(), False),
+        T.StructField("json_type", T.StringType(), False),
+        T.StructField("default_value", T.StringType(), False),
+        T.StructField("minimum", T.LongType(), True),
+        T.StructField("grp", T.StringType(), False),
+    ])
+    rows = [
+        (
+            name,
+            p["type"],
+            str(p["default"]).lower(),
+            p.get("minimum"),
+            p["group"],
+        )
+        for name, p in sorted(PROPERTY_SPECS.items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -1256,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mappers_pipeline": q_mappers_pipeline,
         "resumable_full_refresh": q_resumable_full_refresh,
         "discover_catalog": q_discover_catalog,
+        "spec_operation": q_spec_operation,
     }
 
 
@@ -1692,6 +1725,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS json_type
             FROM information_schema.columns
             WHERE table_schema = 'main'
+        """,
+        # literal pin of the published connectionSpecification property
+        # surface (lake/spec.py PROPERTY_SPECS): the Spark side derives
+        # from the registry, so a drifting registry fails this compare
+        "spec_operation": """
+            SELECT * FROM (VALUES
+              ('cluster.max-delete-eras',      'integer', '8',
+               CAST(0 AS BIGINT),       'cluster'),
+              ('cluster.max-sorted-levels',    'integer', '8',
+               CAST(0 AS BIGINT),       'cluster'),
+              ('merge.mor.max-delete-eras',    'integer', '8',
+               CAST(0 AS BIGINT),       'merge'),
+              ('merge.partition-pruning',      'boolean', 'false',
+               CAST(NULL AS BIGINT),    'merge'),
+              ('write.target-file-size-bytes', 'integer', '134217728',
+               CAST(1048576 AS BIGINT), 'write')
+            ) AS t(property, json_type, default_value, minimum, grp)
         """,
         # images_maintenance / image_features / images_compact_ffd /
         # images_cluster_hilbert / schema_evolution_roundtrip /

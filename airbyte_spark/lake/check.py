@@ -34,12 +34,35 @@ CHECK_SCHEMA = T.StructType(
 
 
 def check_destination(
-    spark: SparkSession, lake_root: str, namespace: str | None = None
+    spark: SparkSession,
+    lake_root: str,
+    namespace: str | None = None,
+    table_properties: dict | None = None,
 ) -> dict:
     """Returns the CONNECTION_STATUS payload:
     ``{"status": "SUCCEEDED"}`` or ``{"status": "FAILED", "message": ...}``.
     Never raises — a check failure IS the result (CheckOperation.kt:36-38
-    logs and reports; the probe table is removed either way)."""
+    logs and reports; the probe table is removed either way).
+
+    `table_properties` is the user's engine-property config; it is
+    validated against the spec registry (lake/spec.py) BEFORE any storage
+    probe, so a typo'd property fails the check as a config_error without
+    touching the destination — the platform's validate-config-against-spec
+    step that precedes every check."""
+    from airbyte_spark.lake.spec import validate_table_properties
+    from airbyte_spark.streaming.traces import error_trace
+
+    prop_errors = validate_table_properties(table_properties or {})
+    if prop_errors:
+        from airbyte_spark.lake.spec import ConfigValidationError
+
+        exc = ConfigValidationError(prop_errors)
+        return {
+            "status": "FAILED",
+            "message": f"{type(exc).__name__}: {exc}",
+            "trace": error_trace(None, exc),
+            "config_errors": prop_errors,
+        }
     probe_name = f"_airbyte_check_{uuid.uuid4().hex}"
     parts = [lake_root] + ([namespace] if namespace else []) + [probe_name]
     probe_root = os.path.join(*parts)

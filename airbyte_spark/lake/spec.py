@@ -1,0 +1,238 @@
+"""`spec` operation — the connector's configuration specification.
+
+The reference's SPEC lifecycle (SpecOperation.kt:14-26) emits a
+ConnectorSpecification whose ``connectionSpecification`` is the JSON
+schema derived from the connector's configuration class — not
+hand-written JSON — and destinations extend it with
+``supportedDestinationSyncModes`` + ``supportsIncremental`` + UI groups
+(DestinationSpecificationInternal.kt:17-45).
+
+Same derivation here: the schema is generated from ``PROPERTY_SPECS``,
+the registry of every table property the engine actually reads (each
+entry cites its consumer), plus the connection-level fields. And because
+the registry is the single source of truth, ``validate_config`` can
+reject what the schema would reject — a typo like
+``cluster.max-delete-era`` becomes a typed ``config_error`` (with a
+did-you-mean) at `check` / sync-start / table-create time instead of a
+silently applied default. Keys outside the engine-reserved prefixes
+(``write.`` / ``merge.`` / ``cluster.``) stay free-form user metadata,
+matching Iceberg's arbitrary table-property semantics.
+"""
+
+from __future__ import annotations
+
+import difflib
+
+DOCUMENTATION_URL = "https://github.com/airbytehq/airbyte/tree/master/docs"
+
+#: loader mode -> protocol DestinationSyncMode (protocol reference:
+#: airbyte-protocol.md catalog section; the reference's
+#: BasicFunctionalityIntegrationTest exercises exactly these three)
+SYNC_MODE_FOR_LOADER_MODE = {
+    "append": "append",
+    "truncate": "overwrite",
+    "dedup": "append_dedup",
+}
+
+#: prefixes the engine owns: an unrecognized key under one of these is a
+#: config error (typo), anything else is user metadata and passes through
+RESERVED_PREFIXES = ("write.", "merge.", "cluster.")
+
+#: every table property the engine reads, with the JSON-schema fragment
+#: the spec advertises for it. `consumer` cites the code that reads it —
+#: keep this registry in lockstep with those reads.
+PROPERTY_SPECS: dict[str, dict] = {
+    "write.target-file-size-bytes": {
+        "type": "integer",
+        "default": 128 * 1024 * 1024,
+        "minimum": 1024 * 1024,
+        "description": "Target size for data files written by append, "
+        "merge, compaction and clustering rewrites.",
+        "group": "write",
+        "consumer": "operators/merge.py, compact.py, cluster.py, lake/table.py",
+    },
+    "merge.partition-pruning": {
+        "type": "boolean",
+        "default": False,
+        "description": "Restrict a merge's candidate files to the "
+        "partitions present in the batch (in addition to the always-on "
+        "PK-range manifest pruning).",
+        "group": "merge",
+        "consumer": "operators/merge.py::_candidate_entries",
+    },
+    "merge.mor.max-delete-eras": {
+        "type": "integer",
+        "default": 8,
+        "minimum": 0,
+        "description": "Merge-on-read folds accumulated equality-delete "
+        "debt into the data files once this many distinct delete eras "
+        "are live; 0 disables (caller owns maintenance).",
+        "group": "merge",
+        "consumer": "operators/merge.py (MoR auto-fold)",
+    },
+    "cluster.max-delete-eras": {
+        "type": "integer",
+        "default": 8,
+        "minimum": 0,
+        "description": "A dirty-scoped cluster pass folds delete debt "
+        "(rewriting every delete-affected file) only past this many "
+        "live delete eras; 0 folds eagerly every pass.",
+        "group": "cluster",
+        "consumer": "operators/maintenance.py, cluster.py",
+    },
+    "cluster.max-sorted-levels": {
+        "type": "integer",
+        "default": 8,
+        "minimum": 0,
+        "description": "Consolidate a partition once its sorted files "
+        "span this many overlapping incremental-pass levels (LSM-style "
+        "read-amplification bound); 0 disables.",
+        "group": "cluster",
+        "consumer": "operators/cluster.py::select_cluster_victims",
+    },
+}
+
+_JSON_TYPE_CHECK = {
+    "integer": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "boolean": lambda v: isinstance(v, bool),
+    "string": lambda v: isinstance(v, str),
+}
+
+
+def _parse(value, json_type: str):
+    """Coerce a refs.json-stored property (often a string) to its spec
+    type; raises ValueError when it doesn't parse. Mirrors how consumers
+    read them (int(...) casts, '1'/'true' booleans)."""
+    if _JSON_TYPE_CHECK[json_type](value):
+        return value
+    if json_type == "integer":
+        return int(str(value), 10)
+    if json_type == "boolean":
+        s = str(value).strip().lower()
+        if s in ("1", "true"):
+            return True
+        if s in ("0", "false", ""):
+            return False
+        raise ValueError(f"not a boolean: {value!r}")
+    return str(value)
+
+
+def validate_table_properties(properties: dict) -> list[dict]:
+    """Errors (empty list = valid) for a table-property dict, each
+    ``{"field", "error", "message"}``. Unknown keys under a reserved
+    prefix are errors (typos would otherwise silently fall back to
+    defaults); other keys are user metadata and pass."""
+    errors: list[dict] = []
+    for key, value in (properties or {}).items():
+        spec = PROPERTY_SPECS.get(key)
+        if spec is None:
+            if str(key).startswith(RESERVED_PREFIXES):
+                hint = difflib.get_close_matches(key, PROPERTY_SPECS, n=1)
+                errors.append({
+                    "field": key,
+                    "error": "unknown-property",
+                    "message": f"unknown engine property {key!r}"
+                    + (f" — did you mean {hint[0]!r}?" if hint else ""),
+                })
+            continue
+        try:
+            parsed = _parse(value, spec["type"])
+        except (ValueError, TypeError):
+            errors.append({
+                "field": key,
+                "error": "type",
+                "message": f"{key} expects {spec['type']}, got {value!r}",
+            })
+            continue
+        if "minimum" in spec and parsed < spec["minimum"]:
+            errors.append({
+                "field": key,
+                "error": "minimum",
+                "message": f"{key} must be >= {spec['minimum']}, got {parsed}",
+            })
+    return errors
+
+
+def connection_specification() -> dict:
+    """The ``connectionSpecification`` JSON schema, generated from the
+    registry (ConfigurationSupplierSpecificationFactory's jsonSchema
+    analog)."""
+    prop_schema = {
+        name: {
+            k: v
+            for k, v in spec.items()
+            if k in ("type", "default", "minimum", "description", "group")
+        }
+        for name, spec in PROPERTY_SPECS.items()
+    }
+    return {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Spark Lakehouse Destination Spec",
+        "type": "object",
+        "required": ["lake_root"],
+        "additionalProperties": False,
+        "properties": {
+            "lake_root": {
+                "type": "string",
+                "description": "Root path of the lakehouse (each stream "
+                "becomes a table under <lake_root>/<namespace>/<name>).",
+                "group": "connection",
+            },
+            "namespace": {
+                "type": "string",
+                "description": "Default destination namespace; see "
+                "streaming/namespaces.py for the resolution rules "
+                "(source/destination/custom + ${SOURCE_NAMESPACE}).",
+                "group": "connection",
+            },
+            "state_mode": {
+                "type": "string",
+                "enum": ["per-stream", "global"],
+                "default": "per-stream",
+                "description": "Checkpointing mode (protocol STREAM vs "
+                "GLOBAL state types).",
+                "group": "connection",
+            },
+            "table_properties": {
+                "type": "object",
+                "description": "Per-table engine properties. Keys under "
+                "write./merge./cluster. must be from this registry; other "
+                "keys are stored untouched as user metadata.",
+                "properties": prop_schema,
+                "group": "tuning",
+            },
+        },
+    }
+
+
+def spec() -> dict:
+    """The ConnectorSpecification analog the SPEC operation emits."""
+    groups = [
+        {"id": "connection", "title": "Connection"},
+        {"id": "tuning", "title": "Table tuning"},
+        {"id": "write", "title": "Write"},
+        {"id": "merge", "title": "Merge"},
+        {"id": "cluster", "title": "Clustering"},
+    ]
+    return {
+        "documentationUrl": DOCUMENTATION_URL,
+        "supportsIncremental": True,
+        "supportedDestinationSyncModes": sorted(
+            SYNC_MODE_FOR_LOADER_MODE.values()
+        ),
+        "connectionSpecification": {
+            **connection_specification(),
+            "groups": groups,
+        },
+    }
+
+
+class ConfigValidationError(ValueError):
+    """Raised when a config fails spec validation; carries the per-field
+    error list so trace reporting can show every problem at once."""
+
+    def __init__(self, errors: list[dict]):
+        self.errors = errors
+        super().__init__(
+            "; ".join(e["message"] for e in errors) or "invalid config"
+        )

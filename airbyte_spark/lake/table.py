@@ -83,6 +83,17 @@ class LakeTable:
         properties: dict | None = None,
         partition_by: list[str] | None = None,
     ) -> "LakeTable":
+        # spec-gate the engine-reserved properties (lake/spec.py): a typo
+        # like "cluster.max-delete-era" is a config error the user must
+        # see at create time, not a silently applied default
+        from airbyte_spark.lake.spec import (
+            ConfigValidationError,
+            validate_table_properties,
+        )
+
+        prop_errors = validate_table_properties(properties or {})
+        if prop_errors:
+            raise ConfigValidationError(prop_errors)
         t = LakeTable(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
