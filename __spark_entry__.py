@@ -1735,12 +1735,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT),       'cluster'),
               ('cluster.max-sorted-levels',    'integer', '8',
                CAST(0 AS BIGINT),       'cluster'),
+              ('merge.bloom.max-probe-keys',   'integer', '2000000',
+               CAST(0 AS BIGINT),       'merge'),
               ('merge.mor.max-delete-eras',    'integer', '8',
                CAST(0 AS BIGINT),       'merge'),
               ('merge.partition-pruning',      'boolean', 'false',
                CAST(NULL AS BIGINT),    'merge'),
+              ('write.pk-bloom.bits-per-key',  'integer', '10',
+               CAST(2 AS BIGINT),       'write'),
+              ('write.pk-bloom.enabled',       'boolean', 'true',
+               CAST(NULL AS BIGINT),    'write'),
               ('write.target-file-size-bytes', 'integer', '134217728',
-               CAST(1048576 AS BIGINT), 'write')
+               CAST(65536 AS BIGINT),   'write')
             ) AS t(property, json_type, default_value, minimum, grp)
         """,
         # images_maintenance / image_features / images_compact_ffd /

@@ -62,6 +62,14 @@ class DataFileEntry:
     merge inserts). Iceberg data files carry the same field; it is what
     lets incremental maintenance tell a clean clustered file from one that
     needs rewriting (operators/cluster.py victim selection).
+
+    `bloom`: PK-filter sidecar metadata (lake/bloom.py), never the bitmap
+    itself. Data files: {"col","type","m","k"} describing `<path>.bloom`.
+    Equality-delete files: {"kind":"hashes","col","type","n"} describing
+    `<path>.keyhashes` (raw Spark-xxhash64 key hashes, so driver-side
+    victim tests probe data blooms without re-hashing). `type` is the PK
+    type the hash was computed under — probes must cast to it, or skip
+    the filter (PK type evolution), to keep false negatives impossible.
     """
 
     path: str
@@ -74,6 +82,7 @@ class DataFileEntry:
     content: str = "data"
     sequence: int | None = None
     sort_order_id: int = 0
+    bloom: dict | None = None
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -91,6 +100,7 @@ class DataFileEntry:
             content=d.get("content", "data"),
             sequence=d.get("sequence", 0),
             sort_order_id=d.get("sort_order_id", 0),
+            bloom=d.get("bloom"),
         )
 
 

@@ -45,7 +45,9 @@ PROPERTY_SPECS: dict[str, dict] = {
     "write.target-file-size-bytes": {
         "type": "integer",
         "default": 128 * 1024 * 1024,
-        "minimum": 1024 * 1024,
+        # floor rejects nonsense (0/negative/byte-sized) but admits the
+        # small-file shapes tests and tiny scale factors legitimately use
+        "minimum": 64 * 1024,
         "description": "Target size for data files written by append, "
         "merge, compaction and clustering rewrites.",
         "group": "write",
@@ -79,6 +81,40 @@ PROPERTY_SPECS: dict[str, dict] = {
         "live delete eras; 0 folds eagerly every pass.",
         "group": "cluster",
         "consumer": "operators/maintenance.py, cluster.py",
+    },
+    "write.pk-bloom.enabled": {
+        "type": "boolean",
+        "default": True,
+        "description": "Write a per-file primary-key bloom-filter "
+        "sidecar with every data file (and a key-hash sidecar with "
+        "every equality-delete file) so merges and delete-debt victim "
+        "tests prune files by key membership, not just PK range — "
+        "range pruning is useless on a Z-order/Hilbert-clustered "
+        "table whose files all span the full PK range.",
+        "group": "write",
+        "consumer": "lake/table.py::_attach_pk_blooms, "
+        "_attach_delete_key_hashes; operators/merge.py, cluster.py",
+    },
+    "write.pk-bloom.bits-per-key": {
+        "type": "integer",
+        "default": 10,
+        "minimum": 2,
+        "description": "Bloom bitmap budget per key (10 bits + 4 "
+        "probes ~= 1.2% false-positive rate; a false positive costs "
+        "one redundant file read, never a wrong result).",
+        "group": "write",
+        "consumer": "lake/table.py::_attach_pk_blooms",
+    },
+    "merge.bloom.max-probe-keys": {
+        "type": "integer",
+        "default": 2_000_000,
+        "minimum": 0,
+        "description": "Skip bloom-probe candidate pruning when the "
+        "deduped batch holds more distinct keys than this (the probe "
+        "hash array is driver-collected; a batch that large reverts "
+        "to PK-range pruning alone).",
+        "group": "merge",
+        "consumer": "operators/merge.py::_candidate_entries",
     },
     "cluster.max-sorted-levels": {
         "type": "integer",

@@ -368,7 +368,72 @@ class LakeTable:
         for e in entries:
             if e.rows == 0:
                 os.unlink(e.path)
-        return [e for e in entries if e.rows > 0]
+        live = [e for e in entries if e.rows > 0]
+        if self.primary_key and self.primary_key[0] in df.columns:
+            self._attach_pk_blooms(live)
+        return live
+
+    def _attach_pk_blooms(self, entries: list[DataFileEntry]) -> None:
+        """Build per-file PK bloom sidecars (lake/bloom.py) for freshly
+        written data files. ONE slim Spark pass: read only the leading PK
+        column of the new files (column-pruned scan), hash with Spark's
+        `xxhash64` — the same hash every probe side uses — group rows by
+        source file, and write `<file>.bloom` bitmaps from the workers.
+        The shuffle moves (file-tail, int64) pairs only: ~16 B/row
+        regardless of payload width. Manifest entries carry just
+        {col, type, m, k}; the bitmap never enters the manifest."""
+        from airbyte_spark.lake import bloom as _bl
+        from airbyte_spark.operators.fileid import (
+            _suffix_depth,
+            file_tail,
+            input_file_tail,
+        )
+
+        props = self.properties
+        if str(props.get("write.pk-bloom.enabled", "true")).lower() not in (
+            "1",
+            "true",
+        ):
+            return
+        pk0 = self.primary_key[0]
+        bits_per_key = int(
+            props.get("write.pk-bloom.bits-per-key", _bl.DEFAULT_BITS_PER_KEY)
+        )
+        k = _bl.DEFAULT_K
+        paths = [e.path for e in entries]
+        if not paths:
+            return
+        n = _suffix_depth(paths)
+        tail_to_path = {file_tail(p, n): p for p in paths}
+        raw = self.spark.read.parquet(*paths)
+        pk_type = raw.schema[pk0].dataType
+        scan = raw.select(
+            input_file_tail(n).alias("_f"), F.xxhash64(F.col(pk0)).alias("_h")
+        )
+
+        def _build(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            from airbyte_spark.lake import bloom as _b
+
+            tail = pdf["_f"].iloc[0]
+            h = pdf["_h"].to_numpy(dtype=_np.int64).view(_np.uint64)
+            m = _b.bloom_bits(len(h), bits_per_key)
+            _b.write_bitmap_sidecar(tail_to_path[tail], _b.build_bitmap(h, m, k))
+            return _pd.DataFrame({"tail": [tail], "m": [m]})
+
+        out = (
+            scan.groupBy("_f")
+            .applyInPandas(_build, schema="tail string, m long")
+            .collect()
+        )
+        m_by_tail = {r["tail"]: r["m"] for r in out}
+        tname = pk_type.simpleString()
+        for e in entries:
+            m = m_by_tail.get(file_tail(e.path, n))
+            if m:
+                e.bloom = {"col": pk0, "type": tname, "m": int(m), "k": k}
 
     def write_delete_files(
         self, keys: DataFrame, generation_id: int = 0
@@ -391,7 +456,37 @@ class LakeTable:
             e.content = "equality-deletes"
             if e.rows == 0:
                 os.unlink(e.path)
-        return [e for e in entries if e.rows > 0]
+        live = [e for e in entries if e.rows > 0]
+        self._attach_delete_key_hashes(live)
+        return live
+
+    def _attach_delete_key_hashes(self, entries: list[DataFileEntry]) -> None:
+        """Write `<file>.keyhashes` next to each fresh equality-delete
+        file: the raw Spark-xxhash64 hashes of its leading-PK keys. The
+        cluster victim test (operators/cluster.py delete_may_hit) probes
+        data-file blooms with these DRIVER-side — pure numpy, no Spark job
+        and no Python re-implementation of Spark's hash. Delete files are
+        micro-batch-sized by construction (one per merge batch), so the
+        hash array is bounded by the batch cap, not the table."""
+        from airbyte_spark.lake import bloom as _bl
+
+        props = self.properties
+        if not entries or str(
+            props.get("write.pk-bloom.enabled", "true")
+        ).lower() not in ("1", "true"):
+            return
+        import numpy as np
+
+        pk0 = self.primary_key[0]
+        for e in entries:
+            part = self.spark.read.parquet(e.path)
+            tname = part.schema[pk0].dataType.simpleString()
+            hs = [
+                r["h"]
+                for r in part.select(F.xxhash64(F.col(pk0)).alias("h")).collect()
+            ]
+            _bl.write_hashes_sidecar(e.path, np.array(hs, dtype=np.int64))
+            e.bloom = {"kind": "hashes", "col": pk0, "type": tname, "n": len(hs)}
 
     def commit(
         self,
@@ -554,6 +649,7 @@ class LakeTable:
             e.content = o.content
             e.sequence = o.sequence
             e.sort_order_id = o.sort_order_id
+            e.bloom = o.bloom  # sidecar is untouched; keep its descriptor
         return self.commit(
             "rewrite-manifests",
             fresh,
@@ -976,6 +1072,12 @@ class LakeTable:
                 )
                 if os.path.exists(crc):  # pre-marker-cleanup writes
                     os.unlink(crc)
+                # PK-filter sidecars (lake/bloom.py) share their data
+                # file's lifetime: invisible to the *.parquet listing, so
+                # they are removed here, with the file they describe
+                for suf in (".bloom", ".keyhashes"):
+                    if os.path.exists(p + suf):
+                        os.unlink(p + suf)
             # bottom-up sweep (deepest first so emptied parents are caught
             # in the same pass); dirs holding only _SUCCESS/.crc markers
             # count as empty — the manifest, not the marker, is the commit

@@ -88,13 +88,29 @@ class ClusterResult:
 
 
 def delete_may_hit(
-    entry: DataFileEntry, delete: DataFileEntry, pk: list[str], schema
+    entry: DataFileEntry,
+    delete: DataFileEntry,
+    pk: list[str],
+    schema,
+    cache: dict | None = None,
 ) -> bool:
     """Could `delete`'s keys remove rows from `entry`? True only when the
     delete's sequence is newer AND every PK column's [min,max] ranges
     intersect (a delete key matches a row only if ALL key columns match,
     so ONE disjoint column clears the file). Missing stats on either side
-    are conservative: the file stays a candidate."""
+    are conservative: the file stays a candidate.
+
+    When both files carry PK-filter sidecars of the SAME hash type
+    (lake/bloom.py — data file: bitmap, delete file: raw key hashes), a
+    range intersection is refined by an exact membership probe: the
+    delete hits only if some deleted key is (probably) in the file. On a
+    clustered table the PK ranges of every file overlap everything, so
+    this probe — pure driver-side numpy over precomputed Spark hashes, no
+    Spark job — is what makes the delete-hit victim test proportional to
+    the UPDATE, not the table. False positives rewrite one extra file;
+    false negatives are impossible, so un-folded deletes stay correct via
+    the scan-side anti-join either way. `cache` memoizes sidecar loads
+    across the caller's (entry × delete) loop."""
     if (delete.sequence or 0) <= (entry.sequence or 0):
         return False
     names = set(schema.fieldNames())
@@ -105,7 +121,44 @@ def delete_may_hit(
         dt = schema[c].dataType if c in names else None
         if not _intersects(entry.stats.get(c), ds["min"], ds["max"], dt):
             return False
-    return True
+    return _bloom_says_may_hit(entry, delete, cache)
+
+
+def _bloom_says_may_hit(
+    entry: DataFileEntry, delete: DataFileEntry, cache: dict | None
+) -> bool:
+    """Membership refinement of a range-overlapping (entry, delete) pair;
+    True (conservative) whenever the sidecar pair can't be probed."""
+    import os
+
+    eb, db = entry.bloom, delete.bloom
+    if (
+        not eb
+        or not db
+        or eb.get("kind") is not None
+        or db.get("kind") != "hashes"
+        or eb.get("col") != db.get("col")
+        or eb.get("type") != db.get("type")
+    ):
+        return True
+    from airbyte_spark.lake import bloom as _bl
+
+    cache = cache if cache is not None else {}
+    bkey, hkey = ("bitmap", entry.path), ("hashes", delete.path)
+    if bkey not in cache:
+        side = entry.path + _bl.BLOOM_SUFFIX
+        cache[bkey] = (
+            _bl.read_bitmap_sidecar(side) if os.path.exists(side) else None
+        )
+    if hkey not in cache:
+        side = delete.path + _bl.HASHES_SUFFIX
+        cache[hkey] = (
+            _bl.read_hashes_sidecar(side) if os.path.exists(side) else None
+        )
+    bitmap, hashes = cache[bkey], cache[hkey]
+    if bitmap is None or hashes is None or not hashes.size:
+        return True
+    return _bl.might_contain_any(bitmap, hashes, int(eb["k"]))
 
 
 def select_cluster_victims(
@@ -156,12 +209,14 @@ def select_cluster_victims(
     schema = table.schema(branch=branch)
     pk = table.primary_key
     small: list[DataFileEntry] = []
+    sidecar_cache: dict = {}
     for e in entries:
         if e.sort_order_id != order_id:
             victims[e.path] = e
             reasons["unsorted"] += 1
         elif fold_deletes and any(
-            delete_may_hit(e, d, pk, schema) for d in deletes
+            delete_may_hit(e, d, pk, schema, cache=sidecar_cache)
+            for d in deletes
         ):
             victims[e.path] = e
             reasons["delete-hit"] += 1
@@ -207,11 +262,17 @@ def dead_delete_files(
     """Delete files no surviving data file can be subject to (every
     survivor is newer or PK-stat-disjoint) — safe to drop from the commit.
     After a dirty pass this is normally ALL of them: delete-hit victim
-    selection rewrote every file a delete could touch."""
+    selection rewrote every file a delete could touch. The bloom
+    refinement inside delete_may_hit retires debt sooner here too: a
+    delete whose keys hit no survivor's filter is dead even when every
+    PK range overlaps (no false negatives -> never drops a live delete)."""
+    cache: dict = {}
     return [
         d
         for d in deletes
-        if not any(delete_may_hit(e, d, pk, schema) for e in survivors)
+        if not any(
+            delete_may_hit(e, d, pk, schema, cache=cache) for e in survivors
+        )
     ]
 
 

@@ -193,7 +193,139 @@ def _candidate_entries(
         )
         hit_paths = {r["path"] for r in hits}
     by_path = {e.path: e for e in entries}
-    return [by_path[p] for p in sorted(hit_paths)] + no_stats
+    candidates = [by_path[p] for p in sorted(hit_paths)] + no_stats
+    return _bloom_prune_candidates(table, src_keys, candidates, pk0)
+
+
+#: above this many bloom-bearing candidates the membership probe runs as
+#: a Spark job over the sidecar files instead of driver-side reads
+#: (mirrors LakeTable.DISTRIBUTED_LISTING_THRESHOLD — the driver never
+#: pays O(files) I/O on a large table)
+BLOOM_PROBE_DISTRIBUTED_THRESHOLD = 256
+
+
+def _bloom_prune_candidates(
+    table: LakeTable,
+    src_keys: DataFrame,
+    candidates: list[DataFileEntry],
+    pk0: str,
+) -> list[DataFileEntry]:
+    """Second-stage candidate pruning by PK bloom membership
+    (lake/bloom.py sidecars). Range pruning is the first stage but is
+    useless on a Z-order/Hilbert-clustered table — every file spans
+    nearly the full PK range — so this is what keeps a micro-batch merge
+    from key-scanning the whole table there. A file survives when its
+    bloom (probably) contains at least one batch key; blooms have no
+    false negatives, so dropping a file is always safe, and a false
+    positive only costs the key scan the range stage would have done
+    anyway.
+
+    Hash contract: probe keys are cast to the PK type each bloom was
+    BUILT under (entry.bloom["type"]) and hashed with the same Spark
+    xxhash64 — a key that does not fit the file's stored type can't be in
+    the file, which try_cast's null encodes correctly. Files whose bloom
+    column/type can't be probed (PK evolution, missing sidecar) are kept.
+    """
+    import os as _os
+
+    import numpy as np
+    from pyspark.sql.types import DataType as _DT
+
+    from airbyte_spark.lake import bloom as _bl
+
+    probeable = [
+        e
+        for e in candidates
+        if e.bloom
+        and e.bloom.get("kind") is None
+        and e.bloom.get("col") == pk0
+    ]
+    if not probeable:
+        return candidates
+    cap = int(table.properties.get("merge.bloom.max-probe-keys", 2_000_000))
+    if cap <= 0:
+        return candidates
+    hashes_by_type: dict[str, np.ndarray] = {}
+    for tname in sorted({e.bloom["type"] for e in probeable}):
+        try:
+            dt = _DT.fromDDL(tname)
+        except Exception:
+            continue  # unparseable recorded type: keep those files
+        rows = (
+            src_keys.select(F.xxhash64(F.col(pk0).try_cast(dt)).alias("h"))
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            return candidates  # batch too large to probe: range-only
+        hashes_by_type[tname] = np.array(
+            [r["h"] for r in rows], dtype=np.int64
+        ).view(np.uint64)
+    probeable = [e for e in probeable if e.bloom["type"] in hashes_by_type]
+    drop: set[str] = set()
+    if len(probeable) > BLOOM_PROBE_DISTRIBUTED_THRESHOLD:
+        drop = _bloom_probe_distributed(table, probeable, hashes_by_type)
+    else:
+        for e in probeable:
+            side = e.path + _bl.BLOOM_SUFFIX
+            if not _os.path.exists(side):
+                continue
+            if not _bl.might_contain_any(
+                _bl.read_bitmap_sidecar(side),
+                hashes_by_type[e.bloom["type"]],
+                int(e.bloom["k"]),
+            ):
+                drop.add(e.path)
+    return [e for e in candidates if e.path not in drop]
+
+
+def _bloom_probe_distributed(
+    table: LakeTable,
+    probeable: list[DataFileEntry],
+    hashes_by_type: dict,
+) -> set[str]:
+    """Bloom membership probes as a Spark job: one row per candidate
+    file, sidecars read by the workers, probe hashes shipped once via
+    broadcast (≤16 MB at the 2M-key cap). Only non-hit paths return to
+    the driver."""
+    spark = table.spark
+    bc = spark.sparkContext.broadcast(
+        {t: a.tobytes() for t, a in hashes_by_type.items()}
+    )
+    meta = [(e.path, e.bloom["type"], int(e.bloom["k"])) for e in probeable]
+    pdf = spark.createDataFrame(meta, schema="path string, btype string, k int")
+
+    def probe(batches):
+        import os as _os
+
+        import numpy as _np
+        import pandas as _pd
+
+        from airbyte_spark.lake import bloom as _b
+
+        for batch in batches:
+            hit = []
+            for path, btype, k in zip(batch["path"], batch["btype"], batch["k"]):
+                side = path + _b.BLOOM_SUFFIX
+                if not _os.path.exists(side):
+                    hit.append(True)
+                    continue
+                hs = _np.frombuffer(bc.value[btype], dtype=_np.uint64)
+                hit.append(
+                    _b.might_contain_any(
+                        _b.read_bitmap_sidecar(side), hs, int(k)
+                    )
+                )
+            yield _pd.DataFrame({"path": batch["path"], "hit": hit})
+
+    n_parts = min(len(probeable), 4 * (spark.sparkContext.defaultParallelism or 8))
+    rows = (
+        pdf.repartition(n_parts)
+        .mapInPandas(probe, schema="path string, hit boolean")
+        .collect()
+    )
+    return {r["path"] for r in rows if not r["hit"]}
 
 
 def merge_into(
