@@ -1,11 +1,21 @@
 """Scaling-efficiency evidence for the north rule: the same maintenance
 job (MERGE + FFD compact + Z-order cluster + manifest rewrite + GC +
 decode/phash fidelity verify) on identical input at N and 4N local cores;
-reports throughput at both and efficiency = speedup / 4.
+reports throughput at both and efficiency = speedup / (n_high/n_low).
 
 Sandbox realization notes (recorded in BENCH.md):
 - each level runs in a fresh subprocess (clean JVM, no warm-cache bleed);
-  min-of-3 runs suppresses neighbor-load noise on the shared box;
+  min-of-R runs suppresses neighbor-load noise on the shared box;
+- levels are INTERLEAVED low,high,low,high,... and efficiency is
+  computed per adjacent pair: co-tenant load on this box drifts on a
+  ~tens-of-minutes scale (r3 observed 1.5-1.8x spread between
+  invocations an hour apart), so pairing runs minutes apart cancels the
+  drift that dominates any low-vs-high comparison from separate
+  invocations; the per-pair spread is reported alongside the median;
+- the worker pins cluster_scope="full" so every timed run is the SAME
+  whole-table cold job (the r4 dirty-scope default would make run 2+
+  O(batch) — a different, smaller job — and the north rule's axis is
+  whole-table compaction+cluster throughput);
 - the synthetic table is generated ONCE by the parent and imported by
   both levels, so generation cost is outside the measured window;
 - table + shuffle dirs live on tmpfs: this box has ONE virtual disk
@@ -13,7 +23,8 @@ Sandbox realization notes (recorded in BENCH.md):
   emulates per-node disk bandwidth scaling (executors on a real cluster
   bring their own disks).
 
-Usage: python scripts/scaling_bench.py [n_images] [n_low] [n_high]
+Usage: python scripts/scaling_bench.py [n_images] [n_low] [n_high] \
+           [pairs=1] [runs_per_worker=3]
 """
 
 from __future__ import annotations
@@ -48,6 +59,7 @@ WORKER = r"""
 import sys, time, tempfile, shutil, json
 sys.path.insert(0, "/root/repo")
 cores = int(sys.argv[1]); base_dir = sys.argv[2]
+n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from airbyte_spark.session import get_spark
@@ -81,10 +93,14 @@ try:
     n_src = src.count()
     n_base = sum(e.rows for e in t.data_files())
     best = None
-    for r in range(3):
+    for r in range(n_runs):
         t0 = time.monotonic()
         try:
-            run_maintenance(t, f"scale-{r}", merge_source=src, merge_mode="mor")
+            # cluster_scope="full": every timed run is the identical
+            # whole-table job (the dirty default would shrink run 2+ to
+            # O(batch) — a different workload than the rule measures)
+            run_maintenance(t, f"scale-{r}", merge_source=src,
+                            merge_mode="mor", cluster_scope="full")
             # fidelity verify: decode every surviving image, recompute phash
             bad = t.scan().select(
                 F.sum((phash_udf("bytes") != F.col("phash")).cast("long"))).first()[0]
@@ -102,37 +118,65 @@ finally:
 """
 
 
+def _run_worker(cores, base_dir, n_runs, tag):
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), base_dir, str(n_runs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    with open(f"/tmp/scale_worker_{cores}_{tag}.stderr", "w") as f:
+        f.write(out.stderr)
+    with open(f"/tmp/scale_worker_{cores}_{tag}.stdout", "w") as f:
+        f.write(out.stdout)
+    if out.returncode != 0:
+        print(f"worker cores={cores} rc={out.returncode}; see "
+              f"/tmp/scale_worker_{cores}_{tag}.stderr", file=sys.stderr)
+        print(out.stdout[-1000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 96_000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    n_runs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     os.makedirs("/dev/shm/tmp", exist_ok=True)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     base_dir = tempfile.mkdtemp(prefix="scale-base-", dir="/dev/shm/tmp")
     try:
         subprocess.run([sys.executable, "-c", GEN, base_dir, str(n_images)],
                        check=True, capture_output=True, text=True, timeout=1800)
-        results = []
-        for cores in (n_low, n_high):
-            out = subprocess.run(
-                [sys.executable, "-c", WORKER, str(cores), base_dir],
-                capture_output=True, text=True, timeout=1800,
-            )
-            with open(f"/tmp/scale_worker_{cores}.stderr", "w") as f:
-                f.write(out.stderr)
-            with open(f"/tmp/scale_worker_{cores}.stdout", "w") as f:
-                f.write(out.stdout)
-            if out.returncode != 0:
-                print(f"worker cores={cores} rc={out.returncode}; see "
-                      f"/tmp/scale_worker_{cores}.stderr", file=sys.stderr)
-                print(out.stdout[-1000:], file=sys.stderr)
-                sys.exit(1)
-            results.append(json.loads(out.stdout.strip().splitlines()[-1]))
-        lo, hi = results
-        speedup = lo["sec"] / hi["sec"]
-        eff = speedup / (n_high / n_low)
-        print(json.dumps({"low": lo, "high": hi, "speedup": round(speedup, 3),
-                          "scaling_efficiency": round(eff, 3)}))
+        # interleave levels: each pair runs low then high minutes apart, so
+        # the pair-internal efficiency is computed under (nearly) the same
+        # co-tenant load — the drift between invocations is what buried the
+        # r3 8-vs-32 comparison
+        pair_results = []
+        for p in range(pairs):
+            lo = _run_worker(n_low, base_dir, n_runs, f"p{p}")
+            hi = _run_worker(n_high, base_dir, n_runs, f"p{p}")
+            speedup = lo["sec"] / hi["sec"]
+            eff = speedup / (n_high / n_low)
+            pair_results.append(
+                {"low": lo, "high": hi, "speedup": round(speedup, 3),
+                 "scaling_efficiency": round(eff, 3)})
+            print(json.dumps({"pair": p, **pair_results[-1]}), flush=True)
+        effs = sorted(r["scaling_efficiency"] for r in pair_results)
+        median = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+        # best-per-level pairing (the classic min-of-all reading, for
+        # comparison with the per-pair medians)
+        best_lo = min(r["low"]["sec"] for r in pair_results)
+        best_hi = min(r["high"]["sec"] for r in pair_results)
+        print(json.dumps({
+            "pairs": pair_results,
+            "median_pair_efficiency": median,
+            "efficiency_spread": [effs[0], effs[-1]],
+            "best_of_all_efficiency": round(
+                (best_lo / best_hi) / (n_high / n_low), 3),
+            "n_low": n_low, "n_high": n_high, "n_images": n_images,
+            "runs_per_worker": n_runs,
+        }))
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
 
