@@ -1741,7 +1741,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT),       'merge'),
               ('merge.partition-pruning',      'boolean', 'false',
                CAST(NULL AS BIGINT),    'merge'),
-              ('write.pk-bloom.bits-per-key',  'integer', '10',
+              ('write.pk-bloom.bits-per-key',  'integer', '18',
                CAST(2 AS BIGINT),       'write'),
               ('write.pk-bloom.enabled',       'boolean', 'true',
                CAST(NULL AS BIGINT),    'write'),

@@ -35,8 +35,19 @@ import os
 
 import numpy as np
 
-DEFAULT_BITS_PER_KEY = 10
-DEFAULT_K = 4  # with 10 bits/key -> ~1.2% false-positive rate
+#: Per-KEY false-positive rate compounds across the probe batch: a file
+#: is falsely kept with prob 1-(1-p)^K for a K-key batch, so pruning a
+#: micro-batch merge needs p·K << 1, not just p << 1. 18 bits/key with
+#: the derived k=12 gives p ~ 5e-4: a 64-key batch falsely flags ~3% of
+#: innocent files (vs ~54% at the classic 10-bit/4-probe point). Sidecar
+#: cost: 2.25 B/row — noise next to multi-KB payload rows.
+DEFAULT_BITS_PER_KEY = 18
+DEFAULT_K = 4  # fallback for sidecars whose metadata predates optimal_k
+
+
+def optimal_k(bits_per_key: int) -> int:
+    """Probe count minimizing FPR for the bit budget: k = ln2 · m/n."""
+    return max(1, int(round(0.6931 * bits_per_key)))
 BLOOM_SUFFIX = ".bloom"
 HASHES_SUFFIX = ".keyhashes"
 

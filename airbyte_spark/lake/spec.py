@@ -97,11 +97,13 @@ PROPERTY_SPECS: dict[str, dict] = {
     },
     "write.pk-bloom.bits-per-key": {
         "type": "integer",
-        "default": 10,
+        "default": 18,
         "minimum": 2,
-        "description": "Bloom bitmap budget per key (10 bits + 4 "
-        "probes ~= 1.2% false-positive rate; a false positive costs "
-        "one redundant file read, never a wrong result).",
+        "description": "Bloom bitmap budget per key (probe count is "
+        "derived as ln2*bits; 18 bits ~= 5e-4 per-key FPR — sized so "
+        "a multi-key batch probe still prunes: a file is falsely kept "
+        "with prob ~batch_keys*FPR, and a false positive costs one "
+        "redundant file read, never a wrong result).",
         "group": "write",
         "consumer": "lake/table.py::_attach_pk_blooms",
     },

@@ -399,7 +399,7 @@ class LakeTable:
         bits_per_key = int(
             props.get("write.pk-bloom.bits-per-key", _bl.DEFAULT_BITS_PER_KEY)
         )
-        k = _bl.DEFAULT_K
+        k = _bl.optimal_k(bits_per_key)
         paths = [e.path for e in entries]
         if not paths:
             return

@@ -42,10 +42,13 @@ def test_false_positive_rate_near_design_point():
     members = rng.integers(0, 2**64, size=20_000, dtype=np.uint64)
     probes = rng.integers(0, 2**64, size=20_000, dtype=np.uint64)
     probes = np.setdiff1d(probes, members)
-    m = bl.bloom_bits(len(members))  # 10 bits/key + 4 probes ~ 1.2%
-    bm = bl.build_bitmap(members, m)
-    fpr = bl.hits_mask(bm, probes, bl.DEFAULT_K).mean()
-    assert fpr < 0.04, f"FPR {fpr:.4f} far above the ~1.2% design point"
+    m = bl.bloom_bits(len(members))  # 18 bits/key
+    k = bl.optimal_k(bl.DEFAULT_BITS_PER_KEY)  # derived probe count
+    bm = bl.build_bitmap(members, m, k)
+    fpr = bl.hits_mask(bm, probes, k).mean()
+    # design point ~5e-4 per key: sized so a multi-key batch probe
+    # (file falsely kept with prob ~batch_keys*FPR) still prunes
+    assert fpr < 0.005, f"FPR {fpr:.5f} far above the ~5e-4 design point"
 
 
 def test_sidecar_roundtrip(tmp_path):
@@ -95,7 +98,8 @@ def test_append_attaches_bloom_metadata_and_sidecars(spark, tmp_table_dir):
         assert e.bloom is not None, e.path
         assert e.bloom["col"] == "image_id"
         assert e.bloom.get("kind") is None
-        assert e.bloom["m"] >= 1024 and e.bloom["k"] == bl.DEFAULT_K
+        assert e.bloom["m"] >= 1024
+        assert e.bloom["k"] == bl.optimal_k(bl.DEFAULT_BITS_PER_KEY)
         assert os.path.exists(e.path + bl.BLOOM_SUFFIX)
     # survives a manifest reload from disk (JSON round-trip)
     t2 = LakeTable(spark, tmp_table_dir)
