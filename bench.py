@@ -42,6 +42,10 @@ MAINT_RUNS = int(os.environ.get("SPARK_GRAFT_MAINT_RUNS", "2"))
 #: a 128k-row full-table diff) while skipping one full payload rewrite —
 #: measured 2.5x faster end-to-end at the 128k-image shape
 MERGE_MODE = os.environ.get("SPARK_GRAFT_MERGE_MODE", "mor")
+#: write.pk-bloom.enabled for the maintenance table (A/B the sidecar
+#: write-path cost vs its pruning win; scripts/bloom_ab.py measures the
+#: pruning side)
+BLOOM = os.environ.get("SPARK_GRAFT_BLOOM", "true")
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -106,7 +110,8 @@ def run_maintenance_bench(spark, sf: float) -> dict:
         try:
             t = LakeTable.create(
                 spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
-                properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
+                properties={"write.target-file-size-bytes": 32 * 1024 * 1024,
+                            "write.pk-bloom.enabled": BLOOM},
             )
             # several small commits -> a compactable long tail of files
             for i in range(chunks):
@@ -212,7 +217,8 @@ def run_merge_mode_bench(spark, sf: float) -> dict:
         try:
             t = LakeTable.create(
                 spark, root, IMAGES_SCHEMA, primary_key=["image_id"],
-                properties={"write.target-file-size-bytes": 32 * 1024 * 1024},
+                properties={"write.target-file-size-bytes": 32 * 1024 * 1024,
+                            "write.pk-bloom.enabled": BLOOM},
             )
             for i in range(4):
                 t.append(
