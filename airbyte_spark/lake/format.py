@@ -104,6 +104,55 @@ class DataFileEntry:
         )
 
 
+#: caps on the per-manifest summary lists kept in the snapshot: above
+#: these, the field is stored as None ("unknown — read the manifest").
+#: 64 dirs x ~60 chars and 64 partition dicts keep a worst-case snapshot
+#: (64 live manifests after commit-time merging) under ~0.5 MB.
+SUMMARY_DIRS_CAP = 64
+SUMMARY_PARTITIONS_CAP = 64
+
+
+def manifest_summary(entries) -> dict:
+    """Manifest-list summary for one manifest (Iceberg ManifestFile
+    metadata analog: added/existing counts + partition field summaries,
+    `core/.../ManifestFile` semantics). Lets a commit target only the
+    manifests that can contain a removed path (by commit-dir prefix) and
+    lets a scan skip whole manifests by partition value or stats range
+    without opening them. Every field is conservative: None / missing
+    means "unknown", which readers treat as unprunable.
+    """
+    dirs = sorted({os.path.dirname(e.path) for e in entries})
+    parts = {tuple(sorted(e.partition.items())) for e in entries}
+    seqs = [e.sequence or 0 for e in entries]
+    stats: dict[str, dict] = {}
+    for col in set().union(*(e.stats.keys() for e in entries)) if entries else ():
+        per = [e.stats.get(col) for e in entries]
+        if any(s is None or s.get("min") is None or s.get("max") is None for s in per):
+            continue  # one statless entry -> column not prunable at manifest level
+        try:
+            stats[col] = {
+                "min": min(s["min"] for s in per),
+                "max": max(s["max"] for s in per),
+            }
+        except TypeError:
+            continue  # mixed stat types (e.g. after JSON string round-trip)
+    return {
+        "entry_count": len(entries),
+        "rows": sum(e.rows for e in entries),
+        "bytes": sum(e.bytes for e in entries),
+        "content": sorted({e.content for e in entries}),
+        "dirs": dirs if len(dirs) <= SUMMARY_DIRS_CAP else None,
+        "partitions": (
+            [dict(p) for p in sorted(parts)]
+            if len(parts) <= SUMMARY_PARTITIONS_CAP
+            else None
+        ),
+        "stats": stats,
+        "min_seq": min(seqs) if seqs else 0,
+        "max_seq": max(seqs) if seqs else 0,
+    }
+
+
 @dataclass
 class Snapshot:
     snapshot_id: str
@@ -114,6 +163,12 @@ class Snapshot:
     manifests: list[str]
     schema_json: str
     summary: dict = field(default_factory=dict)
+    #: parallel to `manifests`: the manifest-list summaries (see
+    #: manifest_summary). Older snapshots (or hand-built ones) may lack
+    #: it — readers fall back to opening the manifest. A manifest carried
+    #: forward unchanged keeps its summary without being re-read, which
+    #: is what makes pure-append commits O(batch) metadata.
+    manifest_infos: list[dict] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return asdict(self)

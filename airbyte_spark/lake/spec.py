@@ -36,7 +36,7 @@ SYNC_MODE_FOR_LOADER_MODE = {
 
 #: prefixes the engine owns: an unrecognized key under one of these is a
 #: config error (typo), anything else is user metadata and passes through
-RESERVED_PREFIXES = ("write.", "merge.", "cluster.")
+RESERVED_PREFIXES = ("write.", "merge.", "cluster.", "commit.")
 
 #: every table property the engine reads, with the JSON-schema fragment
 #: the spec advertises for it. `consumer` cites the code that reads it —
@@ -117,6 +117,28 @@ PROPERTY_SPECS: dict[str, dict] = {
         "to PK-range pruning alone).",
         "group": "merge",
         "consumer": "operators/merge.py::_candidate_entries",
+    },
+    "commit.manifest-min-count-to-merge": {
+        "type": "integer",
+        "default": 32,
+        "minimum": 1,
+        "description": "Commits carry parent manifests forward by name "
+        "(O(batch) metadata per commit); once the live manifest list "
+        "outgrows this count, small manifests are folded together at "
+        "commit time so scan planning stays O(bounded manifests) "
+        "(Iceberg commit.manifests.min-count-to-merge).",
+        "group": "commit",
+        "consumer": "lake/table.py::_maybe_merge_manifests",
+    },
+    "commit.manifest-target-entries": {
+        "type": "integer",
+        "default": 8192,
+        "minimum": 16,
+        "description": "Target file-entry count for manifests produced "
+        "by commit-time merging; manifests at or above it are never "
+        "merge candidates.",
+        "group": "commit",
+        "consumer": "lake/table.py::_maybe_merge_manifests",
     },
     "cluster.max-sorted-levels": {
         "type": "integer",
@@ -251,6 +273,7 @@ def spec() -> dict:
         {"id": "write", "title": "Write"},
         {"id": "merge", "title": "Merge"},
         {"id": "cluster", "title": "Clustering"},
+        {"id": "commit", "title": "Commit metadata"},
     ]
     return {
         "documentationUrl": DOCUMENTATION_URL,

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import threading
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,7 @@ from airbyte_spark.lake.format import (
     DataFileEntry,
     Snapshot,
     atomic_write_json,
+    manifest_summary,
     new_id,
     now_ms,
     read_json,
@@ -51,6 +53,79 @@ MAIN = "main"
 # separate tables (scripts/weak_scaling.py).
 _REFS_LOCKS: dict[str, threading.Lock] = {}
 _REFS_LOCKS_GUARD = threading.Lock()
+
+# Manifest files are immutable and uuid-named, so their parsed contents can
+# be cached process-wide: planning reads the same manifests on every scan /
+# commit / maintenance pass, and with manifest REUSE (commit() below) the
+# same physical manifest stays live across many snapshots. Bounded FIFO;
+# expire_snapshots evicts what it unlinks.
+_MANIFEST_CACHE: OrderedDict[str, list[dict]] = OrderedDict()
+_MANIFEST_CACHE_CAP = 256
+_MANIFEST_CACHE_LOCK = threading.Lock()
+
+
+def _read_manifest_raw(path: str) -> list[dict]:
+    with _MANIFEST_CACHE_LOCK:
+        if path in _MANIFEST_CACHE:
+            _MANIFEST_CACHE.move_to_end(path)
+            return _MANIFEST_CACHE[path]
+    raw = read_json(path)["entries"]
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE[path] = raw
+        while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.popitem(last=False)
+    return raw
+
+
+def _evict_manifest(path: str) -> None:
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE.pop(path, None)
+
+
+def _manifest_may_match(
+    info: dict, partition_filter: dict | None, key_range, dt
+) -> bool:
+    """Manifest-level pruning from the manifest-list summary (Iceberg
+    manifest filtering): False only when NO entry in the manifest can
+    survive scan()'s own entry-level filters — so skipping the manifest
+    is exactly equivalent to reading and filtering it.
+
+    Partition pruning applies only to pure-data manifests because scan()
+    partition-filters data entries but keeps delete entries; stats-range
+    pruning applies to both kinds because scan() range-prunes both.
+    """
+    if partition_filter and info.get("content") == ["data"]:
+        parts = info.get("partitions")
+        if parts is not None and not any(
+            all(p.get(c) == partition_str(v) for c, v in partition_filter.items())
+            for p in parts
+        ):
+            return False
+    if key_range is not None and dt is not None:
+        col, lo, hi = key_range
+        s = (info.get("stats") or {}).get(col)
+        if s is not None and not _intersects(s, lo, hi, dt):
+            return False
+    return True
+
+
+def _group_add_entries(add_entries: list[DataFileEntry]) -> list[list[DataFileEntry]]:
+    """Split a commit's added entries into manifest groups by (content,
+    partition) so a partition-filtered scan can skip whole manifests.
+    Falls back to content-only grouping past 16 groups — commit-time
+    manifest merging bounds the total either way."""
+    if not add_entries:
+        return []
+    groups: dict[tuple, list[DataFileEntry]] = {}
+    for e in add_entries:
+        groups.setdefault(
+            (e.content, tuple(sorted(e.partition.items()))), []
+        ).append(e)
+    if len(groups) > 16:
+        groups = {}
+        for e in add_entries:
+            groups.setdefault((e.content,), []).append(e)
+    return [g for _, g in sorted(groups.items(), key=lambda kv: str(kv[0]))]
 
 
 def _refs_lock(root: str) -> threading.Lock:
@@ -255,15 +330,47 @@ class LakeTable:
             __import__("json").loads(self.snapshot(snapshot_id, branch).schema_json)
         )
 
+    def _live_manifests(self, snap: Snapshot) -> list[tuple[str, dict | None]]:
+        """(name, manifest-list summary) pairs; summary None for snapshots
+        written before summaries existed (readers then open the manifest)."""
+        if len(snap.manifest_infos) == len(snap.manifests):
+            return list(zip(snap.manifests, snap.manifest_infos))
+        return [(m, None) for m in snap.manifests]
+
+    def _read_entries_of(self, manifest_name: str) -> list[DataFileEntry]:
+        return [
+            DataFileEntry.from_json(d)
+            for d in _read_manifest_raw(os.path.join(self.meta_dir, manifest_name))
+        ]
+
     def all_files(
-        self, branch: str = MAIN, snapshot_id: str | None = None
+        self,
+        branch: str = MAIN,
+        snapshot_id: str | None = None,
+        partition_filter: dict | None = None,
+        key_range: tuple[str, object, object] | None = None,
     ) -> list[DataFileEntry]:
-        """Every manifest entry at a snapshot — data AND delete files."""
+        """Every manifest entry at a snapshot — data AND delete files.
+
+        `partition_filter` / `key_range` enable MANIFEST-level pruning
+        from the manifest-list summaries: a manifest whose summary proves
+        no entry can survive scan()'s entry-level filters is never opened
+        (Iceberg manifest filtering). Callers must still apply the same
+        entry-level filters — pruning here only skips whole manifests.
+        """
         snap = self.snapshot(snapshot_id, branch)
+        dt = None
+        if key_range is not None:
+            schema = self.schema(branch=branch, snapshot_id=snap.snapshot_id)
+            col = key_range[0]
+            dt = schema[col].dataType if col in schema.fieldNames() else None
         entries: list[DataFileEntry] = []
-        for m in snap.manifests:
-            for e in read_json(os.path.join(self.meta_dir, m))["entries"]:
-                entries.append(DataFileEntry.from_json(e))
+        for name, info in self._live_manifests(snap):
+            if info is not None and not _manifest_may_match(
+                info, partition_filter, key_range, dt
+            ):
+                continue
+            entries.extend(self._read_entries_of(name))
         return entries
 
     def data_files(
@@ -301,12 +408,12 @@ class LakeTable:
             os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), snap.to_json()
         )
 
-    def _write_manifest(self, entries: list[DataFileEntry]) -> str:
+    def _write_manifest(self, entries: list[DataFileEntry]) -> tuple[str, dict]:
         name = f"manifest-{new_id()}.json"
         atomic_write_json(
             os.path.join(self.meta_dir, name), {"entries": [e.to_json() for e in entries]}
         )
-        return name
+        return name, manifest_summary(entries)
 
     def _swap_ref(self, branch: str, expected_parent: str | None, new_sid: str) -> None:
         with _refs_lock(self.root):
@@ -502,29 +609,69 @@ class LakeTable:
 
         Added entries with `sequence=None` are stamped with the new
         snapshot's sequence; metadata-only rewrites pass entries with their
-        original sequence so equality-delete applicability is unchanged."""
+        original sequence so equality-delete applicability is unchanged.
+
+        Metadata cost is O(change), not O(table) (Iceberg fast-append /
+        manifest-reuse semantics): parent manifests are carried forward BY
+        NAME; only manifests that actually contain a removed path are
+        rewritten (targeted via the commit-dir prefixes in the manifest
+        summaries — a removed path can only live in a manifest covering
+        its directory), and added entries go into fresh manifests grouped
+        by (content, partition). Commit-time merging then folds small
+        manifests once the list exceeds commit.manifest-min-count-to-merge
+        so planning stays O(live manifests), amortized O(batch) per
+        commit."""
         parent = self.snapshot(branch=branch)
         if expected_parent is not None and parent.snapshot_id != expected_parent:
             raise CommitConflict(
                 f"expected parent {expected_parent}, found {parent.snapshot_id}"
             )
-        remove_paths = remove_paths or set()
-        kept = [e for e in self.all_files(branch=branch) if e.path not in remove_paths]
+        remove_paths = set(remove_paths or ())
         for e in add_entries:
             if e.sequence is None:
                 e.sequence = parent.sequence + 1
-        manifests = []
-        if kept:
-            manifests.append(self._write_manifest(kept))
-        if add_entries:
-            manifests.append(self._write_manifest(add_entries))
+        manis: list[tuple[str, dict | None]] = []
+        if remove_paths:
+            remove_dirs = {os.path.dirname(p) for p in remove_paths}
+            remaining = set(remove_paths)
+            survivors: list[DataFileEntry] = []
+            for name, info in self._live_manifests(parent):
+                may_contain = remaining and (
+                    info is None
+                    or info.get("dirs") is None
+                    or any(d in remove_dirs for d in info["dirs"])
+                )
+                if not may_contain:
+                    manis.append((name, info))
+                    continue
+                entries = self._read_entries_of(name)
+                hit = {e.path for e in entries} & remaining
+                if not hit:
+                    manis.append((name, info))
+                    continue
+                remaining -= hit
+                survivors.extend(e for e in entries if e.path not in remove_paths)
+            if survivors:
+                manis.append(self._write_manifest(survivors))
+        else:
+            manis = self._live_manifests(parent)
+        for group in _group_add_entries(add_entries):
+            manis.append(self._write_manifest(group))
+        manis = self._maybe_merge_manifests(manis)
+        # one-time upgrade: summarize legacy manifests so every snapshot
+        # from here on carries a complete manifest list
+        manis = [
+            (n, i if i is not None else manifest_summary(self._read_entries_of(n)))
+            for n, i in manis
+        ]
         snap = Snapshot(
             snapshot_id=new_id(),
             parent_id=parent.snapshot_id,
             sequence=parent.sequence + 1,
             timestamp_ms=now_ms(),
             operation=operation,
-            manifests=manifests,
+            manifests=[n for n, _ in manis],
+            manifest_infos=[i for _, i in manis],
             schema_json=(schema or self.schema(branch=branch)).json(),
             summary={
                 "added_files": len(add_entries),
@@ -537,6 +684,55 @@ class LakeTable:
         self._write_snapshot(snap)
         self._swap_ref(branch, parent.snapshot_id, snap.snapshot_id)
         return snap
+
+    def _maybe_merge_manifests(
+        self, manis: list[tuple[str, dict | None]]
+    ) -> list[tuple[str, dict | None]]:
+        """Commit-time manifest merging (Iceberg
+        `commit.manifests.min-count-to-merge` semantics): once the live
+        manifest list outgrows the threshold, fold small manifests —
+        binned per content kind so pure-data manifests stay
+        partition-prunable — into ones of up to
+        commit.manifest-target-entries entries. Amortized O(batch): each
+        entry is rewritten O(log) times over the table's life, and
+        planning stays O(bounded manifest count) forever."""
+        min_count = int(
+            self.properties.get("commit.manifest-min-count-to-merge", 32)
+        )
+        target = int(self.properties.get("commit.manifest-target-entries", 8192))
+        if len(manis) <= min_count:
+            return manis
+        out: list[tuple[str, dict | None]] = []
+        bins: dict[tuple, list[tuple[str, dict]]] = {}
+        for name, info in manis:
+            if info is None:
+                info = manifest_summary(self._read_entries_of(name))
+            if info["entry_count"] >= target:
+                out.append((name, info))
+                continue
+            bins.setdefault(tuple(info["content"]), []).append((name, info))
+        for _sig, small in sorted(bins.items()):
+            small.sort(key=lambda t: t[1]["entry_count"])
+            def flush(group: list[tuple[str, dict]]) -> None:
+                if len(group) == 1:
+                    out.append(group[0])  # lone manifest: keep, don't rewrite
+                elif group:
+                    merged: list[DataFileEntry] = []
+                    for n, _ in group:
+                        merged.extend(self._read_entries_of(n))
+                    out.append(self._write_manifest(merged))
+
+            cur: list[tuple[str, dict]] = []
+            cur_n = 0
+            for name, info in small:
+                n = info["entry_count"]
+                if cur and cur_n + n > target:
+                    flush(cur)
+                    cur, cur_n = [], 0
+                cur.append((name, info))
+                cur_n += n
+            flush(cur)
+        return out
 
     def append(
         self, df: DataFrame, generation_id: int = 0, branch: str = MAIN
@@ -754,8 +950,14 @@ class LakeTable:
         happen before Spark ever opens a file, on top of parquet
         row-group pruning. Equality-delete files (merge-on-read commits)
         are applied automatically."""
-        entries = self.data_files(branch=branch, snapshot_id=snapshot_id)
-        deletes = self.delete_files(branch=branch, snapshot_id=snapshot_id)
+        live = self.all_files(
+            branch=branch,
+            snapshot_id=snapshot_id,
+            partition_filter=partition_filter,
+            key_range=key_range,
+        )
+        entries = [e for e in live if e.content == "data"]
+        deletes = [e for e in live if e.content == "equality-deletes"]
         if partition_filter:
             entries = [e for e in entries if partition_matches(e, partition_filter)]
         schema = self.schema(branch=branch, snapshot_id=snapshot_id)
@@ -955,6 +1157,7 @@ class LakeTable:
         for p in glob.glob(os.path.join(self.meta_dir, "manifest-*.json")):
             if os.path.basename(p) not in live_manifests:
                 os.unlink(p)
+                _evict_manifest(p)
         return expired
 
     def reachable_files(self) -> set[str]:
@@ -965,7 +1168,7 @@ class LakeTable:
             for m in snap.manifests:
                 mp = os.path.join(self.meta_dir, m)
                 if os.path.exists(mp):
-                    out.update(e["path"] for e in read_json(mp)["entries"])
+                    out.update(e["path"] for e in _read_manifest_raw(mp))
         return out
 
     #: above this many physical files, orphan listing runs as a Spark job

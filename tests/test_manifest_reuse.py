@@ -1,0 +1,235 @@
+"""Manifest reuse + manifest-list summaries: commit metadata is O(change),
+not O(table) (Iceberg fast-append / manifest-merge semantics —
+`commit.manifests.min-count-to-merge`; the reference's Iceberg writers get
+this from the library, `IcebergUtil.kt` table writes), and scans prune
+whole manifests from their summaries before opening them."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.lake.format import Snapshot, manifest_summary, read_json
+from airbyte_spark.lake.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+def _mk(spark, root, properties=None):
+    return LakeTable.create(
+        spark, root, SCHEMA, primary_key=["id"], properties=properties
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_pure_append_reuses_parent_manifests_by_name(spark, tmp_table_dir):
+    """An append must not rewrite existing metadata: the parent's
+    manifests are carried forward by NAME and exactly one new manifest is
+    added — O(batch) commit metadata at any table size."""
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1)]))
+    before = t.snapshot()
+    t.append(_df(spark, [("b", 2)]))
+    after = t.snapshot()
+    assert set(before.manifests) <= set(after.manifests)
+    new = set(after.manifests) - set(before.manifests)
+    assert len(new) == 1
+    assert len(after.manifest_infos) == len(after.manifests)
+
+
+def test_remove_rewrites_only_the_covering_manifest(spark, tmp_table_dir):
+    """A commit that removes files touches only manifests containing
+    them; disjoint manifests keep their names (and are never re-read,
+    per the commit-dir targeting in the summaries)."""
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1)]))
+    t.append(_df(spark, [("b", 2)]))
+    t.append(_df(spark, [("c", 3)]))
+    snap = t.snapshot()
+    # remove the file(s) added by the second commit
+    victims = [
+        e
+        for e in t.data_files()
+        if any(r["id"] == "b" for r in t.read_entries([e]).collect())
+    ]
+    assert victims
+    t.commit("delete", [], remove_paths={e.path for e in victims})
+    after = t.snapshot()
+    surviving_parent = set(snap.manifests) & set(after.manifests)
+    # the two untouched appends' manifests survive by name
+    assert len(surviving_parent) >= 2
+    assert sorted(r["id"] for r in t.scan().collect()) == ["a", "c"]
+
+
+def test_commit_time_manifest_merge_bounds_the_list(spark, tmp_table_dir):
+    t = _mk(
+        spark,
+        tmp_table_dir,
+        properties={
+            "commit.manifest-min-count-to-merge": 4,
+            "commit.manifest-target-entries": 100,
+        },
+    )
+    for i in range(12):
+        t.append(_df(spark, [(f"k{i}", i)]))
+    snap = t.snapshot()
+    # 12 appends but the list was folded at the threshold
+    assert len(snap.manifests) <= 5
+    assert sorted(r["id"] for r in t.scan().collect()) == sorted(
+        f"k{i}" for i in range(12)
+    )
+    # merged manifests preserve per-entry identity (sequence numbers span
+    # the original commits — delete applicability unchanged)
+    seqs = {e.sequence for e in t.data_files()}
+    assert len(seqs) == 12
+
+
+def test_manifest_summaries_written_and_loadable(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    snap = t.snapshot()
+    assert len(snap.manifest_infos) == len(snap.manifests) == 1
+    info = snap.manifest_infos[0]
+    assert info["content"] == ["data"]
+    assert info["entry_count"] >= 1
+    assert info["rows"] == 2
+    assert info["dirs"] and all(os.path.isabs(d) for d in info["dirs"])
+    # id stats aggregated over entries -> usable for manifest-level pruning
+    assert info["stats"]["id"]["min"] == "a"
+    assert info["stats"]["id"]["max"] == "b"
+
+
+def test_scan_skips_manifests_by_key_range_without_opening_them(
+    spark, tmp_table_dir, monkeypatch
+):
+    """Manifest-level pruning: a key_range scan must not even OPEN a
+    manifest whose summary stats exclude the range."""
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    t.append(_df(spark, [("x", 24), ("y", 25)]))
+
+    import airbyte_spark.lake.table as tbl
+
+    opened = []
+    real = tbl._read_manifest_raw
+
+    def spy(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(tbl, "_read_manifest_raw", spy)
+    rows = t.scan(key_range=("id", "x", "z")).collect()
+    assert sorted(r["id"] for r in rows) == ["x", "y"]
+    # exactly one of the two manifests was opened
+    assert len(set(opened)) == 1
+
+
+def test_scan_skips_pure_data_manifests_by_partition(spark, tmp_table_dir):
+    part_schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", IntegerType()),
+            StructField("p", StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tmp_table_dir, part_schema, primary_key=["id"], partition_by=["p"]
+    )
+    t.append(spark.createDataFrame([("a", 1, "eu"), ("b", 2, "us")], part_schema))
+
+    import airbyte_spark.lake.table as tbl
+
+    infos = t.snapshot().manifest_infos
+    # partitioned append -> one manifest per partition, each summarized
+    assert len(infos) == 2
+    for info in infos:
+        assert info["content"] == ["data"]
+        assert info["partitions"] is not None and len(info["partitions"]) == 1
+    rows = t.scan(partition_filter={"p": "eu"}).collect()
+    assert [r["id"] for r in rows] == ["a"]
+
+
+def test_legacy_snapshot_without_infos_still_reads_and_upgrades(
+    spark, tmp_table_dir
+):
+    """Snapshots written before manifest summaries existed load fine
+    (infos default empty -> every manifest is opened), and the next
+    commit upgrades them to a fully-summarized manifest list."""
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1)]))
+    # strip the infos on disk, as an old-format snapshot would be
+    sid = t.current_snapshot_id()
+    p = os.path.join(t.meta_dir, f"snap-{sid}.json")
+    d = read_json(p)
+    d.pop("manifest_infos")
+    with open(p, "w") as f:
+        json.dump(d, f)
+    t2 = LakeTable.load(spark, tmp_table_dir)
+    assert t2.snapshot().manifest_infos == []
+    assert [r["id"] for r in t2.scan().collect()] == ["a"]
+    t2.append(_df(spark, [("b", 2)]))
+    after = t2.snapshot()
+    assert len(after.manifest_infos) == len(after.manifests) == 2
+
+
+def test_gc_keeps_manifests_shared_with_live_snapshots(spark, tmp_table_dir):
+    """Expiry must not delete a manifest still referenced by a kept
+    snapshot — with reuse the same manifest is live across many
+    snapshots."""
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1)]))
+    first_manifests = set(t.snapshot().manifests)
+    for i in range(3):
+        t.append(_df(spark, [(f"k{i}", i)]))
+    t.expire_snapshots(keep_last=1)
+    head = t.snapshot()
+    # the head still references the very first manifest; it must exist
+    assert first_manifests <= set(head.manifests)
+    for m in head.manifests:
+        assert os.path.exists(os.path.join(t.meta_dir, m))
+    assert t.scan().count() == 4
+
+
+def test_manifest_summary_is_conservative_on_missing_stats():
+    from airbyte_spark.lake.format import DataFileEntry
+
+    e1 = DataFileEntry(
+        path="/d/x/f1.parquet", rows=1, bytes=10,
+        stats={"id": {"min": "a", "max": "b", "null_count": 0}},
+    )
+    e2 = DataFileEntry(path="/d/y/f2.parquet", rows=2, bytes=20, stats={})
+    info = manifest_summary([e1, e2])
+    # one statless entry -> the column is NOT summarized (no false pruning)
+    assert "id" not in info["stats"]
+    assert info["entry_count"] == 2
+    assert sorted(info["dirs"]) == ["/d/x", "/d/y"]
+
+
+def test_mixed_content_manifest_never_partition_pruned():
+    from airbyte_spark.lake.table import _manifest_may_match
+
+    info = {
+        "content": ["data", "equality-deletes"],
+        "partitions": [{"p": "eu"}],
+        "stats": {},
+    }
+    # scan keeps delete entries regardless of partition_filter, so a
+    # mixed manifest must survive manifest-level partition pruning
+    assert _manifest_may_match(info, {"p": "us"}, None, None)
+    data_only = dict(info, content=["data"])
+    assert not _manifest_may_match(data_only, {"p": "us"}, None, None)
