@@ -1745,6 +1745,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT),       'merge'),
               ('merge.partition-pruning',      'boolean', 'false',
                CAST(NULL AS BIGINT),    'merge'),
+              ('merge.planning.distributed-threshold', 'integer', '100000',
+               CAST(0 AS BIGINT),       'merge'),
               ('write.pk-bloom.bits-per-key',  'integer', '18',
                CAST(2 AS BIGINT),       'write'),
               ('write.pk-bloom.enabled',       'boolean', 'true',

@@ -118,6 +118,19 @@ PROPERTY_SPECS: dict[str, dict] = {
         "group": "merge",
         "consumer": "operators/merge.py::_candidate_entries",
     },
+    "merge.planning.distributed-threshold": {
+        "type": "integer",
+        "default": 100_000,
+        "minimum": 0,
+        "description": "Above this many live manifest entries (read "
+        "from the snapshot's manifest-list summaries, never by parsing "
+        "manifests), merge planning parses manifests on executors and "
+        "collects only candidate entries to the driver (Iceberg "
+        "DistributedDataScan); below it the driver-list path avoids "
+        "Spark job latency.",
+        "group": "merge",
+        "consumer": "operators/merge.py::_plan_candidates_distributed",
+    },
     "commit.manifest-min-count-to-merge": {
         "type": "integer",
         "default": 32,

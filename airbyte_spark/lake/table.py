@@ -374,10 +374,23 @@ class LakeTable:
         return entries
 
     def data_files(
-        self, branch: str = MAIN, snapshot_id: str | None = None
+        self,
+        branch: str = MAIN,
+        snapshot_id: str | None = None,
+        partition_filter: dict | None = None,
+        key_range: tuple[str, object, object] | None = None,
     ) -> list[DataFileEntry]:
+        """Data-file entries; `partition_filter`/`key_range` only PRUNE
+        MANIFESTS (see all_files) — callers still entry-filter."""
         return [
-            e for e in self.all_files(branch, snapshot_id) if e.content == "data"
+            e
+            for e in self.all_files(
+                branch,
+                snapshot_id,
+                partition_filter=partition_filter,
+                key_range=key_range,
+            )
+            if e.content == "data"
         ]
 
     def delete_files(
@@ -1061,6 +1074,82 @@ class LakeTable:
     # metadata tables (Iceberg `db.table.snapshots` / `.files` analogs)
     # ------------------------------------------------------------------
 
+    def entries_df(
+        self,
+        branch: str = MAIN,
+        snapshot_id: str | None = None,
+        stats_col: str | None = None,
+    ) -> DataFrame:
+        """Manifest entries at a snapshot, parsed ON EXECUTORS (Iceberg
+        DistributedDataScan analog). The driver ships only the manifest
+        PATH list (bounded by commit-time manifest merging); each worker
+        opens and parses its manifests and emits one row per entry, so
+        planning never materializes an O(table) python list on the driver.
+        `stats_col` additionally projects that column's per-file min/max
+        (stringified — `try_cast` to the column type for range compares;
+        NULL means "no stats", i.e. unprunable). `entry_json` carries the
+        complete manifest entry so a planner can reconstruct
+        DataFileEntry objects for just the rows it keeps."""
+        import pandas as pd
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        snap = self.snapshot(snapshot_id, branch)
+        paths = [os.path.join(self.meta_dir, m) for m in snap.manifests]
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("content", StringType()),
+                StructField("rows", LongType()),
+                StructField("bytes", LongType()),
+                StructField("sequence", LongType()),
+                StructField("generation_id", LongType()),
+                StructField("schema_id", LongType()),
+                StructField("sort_order_id", LongType()),
+                StructField("partition_key", StringType()),
+                StructField("stat_min", StringType()),
+                StructField("stat_max", StringType()),
+                StructField("entry_json", StringType()),
+            ]
+        )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        col = stats_col
+
+        def parse(batches):
+            import json as _json
+
+            for pdf in batches:
+                out = []
+                for mp in pdf["manifest"]:
+                    with open(mp) as f:
+                        for d in _json.load(f)["entries"]:
+                            st = (d.get("stats") or {}).get(col) or {}
+                            mn, mx = st.get("min"), st.get("max")
+                            out.append(
+                                (
+                                    d["path"],
+                                    d.get("content", "data"),
+                                    d.get("rows", 0),
+                                    d.get("bytes", 0),
+                                    d.get("sequence", 0) or 0,
+                                    d.get("generation_id", 0),
+                                    d.get("schema_id", 0),
+                                    d.get("sort_order_id", 0),
+                                    canonical_partition_key(
+                                        d.get("partition", {})
+                                    ),
+                                    None if mn is None else str(mn),
+                                    None if mx is None else str(mx),
+                                    _json.dumps(d),
+                                )
+                            )
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+        pdf = self.spark.createDataFrame(
+            [(p,) for p in paths], "manifest string"
+        ).repartition(min(len(paths), 64))
+        return pdf.mapInPandas(parse, schema)
+
     def snapshots_df(self) -> DataFrame:
         """All snapshots as a DataFrame (inspection/SQL surface)."""
         import json as _json
@@ -1309,6 +1398,15 @@ def partition_str(v) -> str | None:
     if v is False:
         return "false"
     return str(v)
+
+
+def canonical_partition_key(partition: dict) -> str:
+    """Deterministic string form of an identity-partition dict — the
+    same on driver and executors, so distributed planners can compare
+    partition tuples without relying on dict or JSON key order."""
+    if not partition:
+        return ""
+    return "/".join(f"{k}={partition[k]}" for k in sorted(partition))
 
 
 def partition_matches(entry: DataFileEntry, partition_filter: dict) -> bool:

@@ -376,6 +376,11 @@ def cluster(
     )
     order_id = table.ensure_sort_order(dims, curve, bits)
     planned_parent = table.current_snapshot_id(branch)
+    # NOTE: must list the FULL table here even under partition_filter —
+    # `survivors` below feeds dead-delete retirement, and a delete file
+    # that no longer hits THIS partition may still hit another one;
+    # manifest-pruned listing here resurrects deleted rows (caught by
+    # test_partitioned_maintenance_folds_mor_deletes)
     all_entries = table.data_files(branch=branch)
     deletes = table.delete_files(branch=branch)
     entries = all_entries

@@ -57,7 +57,8 @@ def compact(
     # pin the snapshot we plan against: a concurrent commit between
     # planning and commit raises CommitConflict instead of being discarded
     planned_parent = table.current_snapshot_id(branch)
-    entries = table.data_files(branch=branch)
+    # partition_filter prunes whole manifests via the summaries too
+    entries = table.data_files(branch=branch, partition_filter=partition_filter)
     if partition_filter:
         from airbyte_spark.lake.table import partition_matches
 

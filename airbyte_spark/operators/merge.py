@@ -40,6 +40,7 @@ from airbyte_spark.lake.table import (
     MAIN,
     LakeTable,
     _align as _align_to,
+    canonical_partition_key,
     coerce_stat_value,
     partition_str,
 )
@@ -202,6 +203,70 @@ def _candidate_entries(
 #: (mirrors LakeTable.DISTRIBUTED_LISTING_THRESHOLD — the driver never
 #: pays O(files) I/O on a large table)
 BLOOM_PROBE_DISTRIBUTED_THRESHOLD = 256
+
+
+#: above this many live manifest entries (known from the snapshot's
+#: manifest-list summaries WITHOUT parsing a manifest), merge planning
+#: runs distributed: manifests are parsed on executors and only the
+#: candidate entries come back to the driver (Iceberg
+#: DistributedDataScan). Below it, the driver-list path is faster (no
+#: Spark job latency). Override: merge.planning.distributed-threshold.
+DISTRIBUTED_PLANNING_THRESHOLD = 100_000
+
+
+def _plan_candidates_distributed(
+    table: LakeTable,
+    src_keys: DataFrame,
+    pk0: str,
+    pk_type,
+    branch: str,
+    batch_parts: set[str] | None,
+) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
+    """Candidate data files + live delete files for a merge, planned
+    WITHOUT an O(table) driver entry list: LakeTable.entries_df parses
+    manifests on executors; Catalyst filters keep (a) every
+    equality-delete entry (they must all apply during the rewrite,
+    whatever their key range), (b) data entries whose partition is in
+    the batch (only under merge.partition-pruning), and (c) data entries
+    whose [min,max] PK range intersects the batch's overall [lo,hi].
+    Only the kept rows' entry_json is collected; the bloom sidecar probe
+    then refines membership exactly as in the driver path."""
+    import json as _json
+
+    k0 = F.col(pk0).try_cast(pk_type)
+    b = src_keys.select(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+    is_data = F.col("content") == "data"
+    cond = is_data
+    if batch_parts is not None:
+        part_ok = F.col("partition_key") == ""
+        if batch_parts:
+            part_ok = part_ok | F.col("partition_key").isin(*sorted(batch_parts))
+        cond = cond & part_ok
+    if b["lo"] is not None:
+        kmin = F.col("stat_min").try_cast(pk_type)
+        kmax = F.col("stat_max").try_cast(pk_type)
+        cond = cond & (
+            kmin.isNull()
+            | kmax.isNull()
+            | ((kmax >= F.lit(b["lo"])) & (kmin <= F.lit(b["hi"])))
+        )
+    edf = table.entries_df(branch=branch, stats_col=pk0)
+    rows = (
+        edf.where((F.col("content") == "equality-deletes") | cond)
+        .select("content", "entry_json")
+        .collect()
+    )
+    cands = [
+        DataFileEntry.from_json(_json.loads(r["entry_json"]))
+        for r in rows
+        if r["content"] == "data"
+    ]
+    deletes = [
+        DataFileEntry.from_json(_json.loads(r["entry_json"]))
+        for r in rows
+        if r["content"] == "equality-deletes"
+    ]
+    return _bloom_prune_candidates(table, src_keys, cands, pk0), deletes
 
 
 def _bloom_prune_candidates(
@@ -487,8 +552,8 @@ def merge_into(
         # concurrency — caller retries), else a concurrent rewrite of the
         # same candidate files would be silently lost.
         planned_parent = table.current_snapshot_id(branch)
-        entries = table.data_files(branch=branch)
         keyed = winners if winners is not None else src
+        key_set = keyed.select(*pk).distinct()
         # Partition pruning: a batch touching K partitions skips the other
         # partitions' files entirely. ONLY valid when partition values are
         # immutable per PK — otherwise an update that moves a row across
@@ -496,26 +561,54 @@ def merge_into(
         # table owner asserts immutability via the
         # `merge.partition-pruning` property; default off (PK-range
         # manifest pruning below is always safe).
-        prunable = entries
-        if part_cols and str(
+        part_pruning = part_cols and str(
             table.properties.get("merge.partition-pruning", "")
-        ).lower() in ("1", "true"):
-            batch_parts = {
-                tuple(partition_str(r[c]) for c in part_cols)
-                for r in keyed.select(*part_cols).distinct().collect()
-            }
-            prunable = [
-                e
-                for e in entries
-                if tuple(e.partition.get(c) for c in part_cols) in batch_parts
-                or not e.partition
-            ]
-        key_set = keyed.select(*pk).distinct()
-        candidates = _candidate_entries(
-            table, key_set, prunable, pk[0],
-            pk_type=target_schema[pk[0]].dataType,
+        ).lower() in ("1", "true")
+        # entry count comes from the manifest-list summaries — deciding
+        # HOW to plan must not itself cost an O(table) manifest parse
+        infos = table.snapshot(branch=branch).manifest_infos
+        total_entries = (
+            sum(i.get("entry_count", 0) for i in infos) if infos else None
         )
-        live_deletes = table.delete_files(branch=branch)
+        dist_threshold = int(
+            table.properties.get(
+                "merge.planning.distributed-threshold",
+                DISTRIBUTED_PLANNING_THRESHOLD,
+            )
+        )
+        if total_entries is not None and total_entries > dist_threshold:
+            batch_parts = None
+            if part_pruning:
+                batch_parts = {
+                    canonical_partition_key(
+                        {c: partition_str(r[c]) for c in part_cols}
+                    )
+                    for r in keyed.select(*part_cols).distinct().collect()
+                }
+            candidates, live_deletes = _plan_candidates_distributed(
+                table, key_set, pk[0], target_schema[pk[0]].dataType,
+                branch, batch_parts,
+            )
+        else:
+            entries = table.data_files(branch=branch)
+            prunable = entries
+            if part_pruning:
+                batch_parts = {
+                    tuple(partition_str(r[c]) for c in part_cols)
+                    for r in keyed.select(*part_cols).distinct().collect()
+                }
+                prunable = [
+                    e
+                    for e in entries
+                    if tuple(e.partition.get(c) for c in part_cols)
+                    in batch_parts
+                    or not e.partition
+                ]
+            candidates = _candidate_entries(
+                table, key_set, prunable, pk[0],
+                pk_type=target_schema[pk[0]].dataType,
+            )
+            live_deletes = table.delete_files(branch=branch)
         _tick("candidates")
 
         if mode == "mor":
@@ -554,16 +647,22 @@ def merge_into(
         # distinct-per-key post-W1, so the join cannot skew).
         cand_rows = sum(e.rows for e in candidates)
         cand_bytes = sum(e.bytes for e in candidates)
-        all_entries = entries or candidates
-        avg_row = (
-            cand_bytes / cand_rows
-            if cand_rows
-            else (
-                sum(e.bytes for e in all_entries) / max(1, sum(e.rows for e in all_entries))
+        if cand_rows:
+            avg_row = cand_bytes / cand_rows
+        elif infos:
+            # distributed planning never lists the table driver-side;
+            # the manifest summaries carry the same totals
+            avg_row = sum(i.get("bytes", 0) for i in infos) / max(
+                1, sum(i.get("rows", 0) for i in infos)
+            )
+        else:
+            all_entries = table.data_files(branch=branch)
+            avg_row = (
+                sum(e.bytes for e in all_entries)
+                / max(1, sum(e.rows for e in all_entries))
                 if all_entries
                 else 1024.0
             )
-        )
         src_bytes_est = deduped_rows * avg_row
         cond = F.lit(True)
         for c in pk:

@@ -1,0 +1,143 @@
+"""Distributed merge planning (Iceberg DistributedDataScan analog):
+past `merge.planning.distributed-threshold` live entries, manifests are
+parsed on EXECUTORS (LakeTable.entries_df) and only candidate entries
+come back to the driver — merge results must be byte-identical to the
+driver-list planning path."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.merge import merge_into
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("v", StringType()),
+        StructField("cur", IntegerType()),
+    ]
+)
+
+
+def _table(spark, root, threshold):
+    return LakeTable.create(
+        spark,
+        root,
+        SCHEMA,
+        primary_key=["id"],
+        properties={"merge.planning.distributed-threshold": threshold},
+    )
+
+
+def _seed(spark, t, n=60, files=4):
+    for f in range(files):
+        rows = [(i, f"v{i}", 0) for i in range(f * n, (f + 1) * n)]
+        t.append(spark.createDataFrame(rows, SCHEMA))
+
+
+def _batch(spark, ids):
+    return spark.createDataFrame([(i, f"new{i}", 1) for i in ids], SCHEMA)
+
+
+def test_entries_df_matches_driver_list(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir, 10**9)
+    _seed(spark, t, n=20, files=3)
+    # a MoR merge adds an equality-delete entry too
+    merge_into(t, _batch(spark, [5, 25]), cursor_col="cur", mode="mor")
+    driver = {
+        (e.path, e.content, e.sequence or 0, e.rows)
+        for e in t.all_files()
+    }
+    dist = {
+        (r["path"], r["content"], r["sequence"], r["rows"])
+        for r in t.entries_df(stats_col="id").collect()
+    }
+    assert driver == dist
+
+
+def test_entries_df_carries_castable_stats(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir, 10**9)
+    _seed(spark, t, n=20, files=2)
+    rows = (
+        t.entries_df(stats_col="id")
+        .where(F.col("content") == "data")
+        .select(
+            F.col("stat_min").try_cast("int").alias("lo"),
+            F.col("stat_max").try_cast("int").alias("hi"),
+        )
+        .collect()
+    )
+    assert rows and all(
+        r["lo"] is not None and r["hi"] >= r["lo"] for r in rows
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_distributed_planning_matches_driver_planning(
+    spark, tmp_table_dir, mode
+):
+    import os
+
+    roots = [os.path.join(tmp_table_dir, d) for d in ("drv", "dist")]
+    finals = []
+    for root, threshold in zip(roots, [10**9, 0]):
+        t = _table(spark, root, threshold)
+        _seed(spark, t)
+        # update a localized key range + insert new keys + a second pass
+        merge_into(t, _batch(spark, [3, 7, 11, 300]), cursor_col="cur", mode=mode)
+        merge_into(t, _batch(spark, [7, 301, 150]), cursor_col="cur", mode=mode)
+        finals.append(
+            sorted(
+                (r["id"], r["v"], r["cur"])
+                for r in t.scan().select("id", "v", "cur").collect()
+            )
+        )
+    assert finals[0] == finals[1]
+    assert any(v.startswith("new") for _, v, _ in finals[0])
+
+
+def test_distributed_planning_with_partition_pruning(spark, tmp_table_dir):
+    import os
+
+    part_schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("v", StringType()),
+            StructField("cur", IntegerType()),
+            StructField("p", StringType()),
+        ]
+    )
+    finals = []
+    for sub, threshold in [("drv", 10**9), ("dist", 0)]:
+        root = os.path.join(tmp_table_dir, sub)
+        t = LakeTable.create(
+            spark,
+            root,
+            part_schema,
+            primary_key=["id"],
+            partition_by=["p"],
+            properties={
+                "merge.planning.distributed-threshold": threshold,
+                "merge.partition-pruning": True,
+            },
+        )
+        rows = [(i, f"v{i}", 0, "eu" if i % 2 else "us") for i in range(80)]
+        t.append(spark.createDataFrame(rows, part_schema))
+        batch = spark.createDataFrame(
+            [(3, "new3", 1, "eu"), (99, "new99", 1, "us")], part_schema
+        )
+        merge_into(t, batch, cursor_col="cur", mode="mor")
+        finals.append(
+            sorted(
+                (r["id"], r["v"], r["p"])
+                for r in t.scan().select("id", "v", "p").collect()
+            )
+        )
+    assert finals[0] == finals[1]
+    assert (3, "new3", "eu") in finals[0] and (99, "new99", "us") in finals[0]
