@@ -1288,35 +1288,89 @@ class LakeTable:
             )
         ]
 
-    def _list_data_files_distributed(self) -> list[tuple[str, float | None]]:
-        """(path, mtime_sec) via a Spark `binaryFile` scan that selects
-        ONLY (path, modificationTime) — content is pruned out of the read,
-        and directory discovery parallelizes across the cluster
-        (spark.sql.sources.parallelPartitionDiscovery). This is the
-        10^5–10^6-file path real Iceberg's remove_orphan_files takes (its
-        orphan listing is itself a Spark action); only the final path list
-        returns to the driver (~100 B/file).
+    def _orphans_distributed(self, cutoff: float | None) -> list[str]:
+        """Orphan paths via a Spark anti-join — the 10^5–10^6-file path
+        real Iceberg's remove_orphan_files takes (its listing is itself a
+        Spark action). The PHYSICAL side is a `binaryFile` scan selecting
+        only (path, modificationTime) — content pruned, directory
+        discovery parallelized. The REACHABLE side parses every live
+        snapshot's manifests on executors (manifest reuse dedups the set
+        heavily across snapshots). Both sides realpath-normalize
+        worker-side, and only the orphans return to the driver — neither
+        side is ever an O(table) driver list.
 
         NOTE: unlike `input_file_name()` (percent-RE-encoded, CLAUDE.md
         gotcha #13), binaryFile's `path` column is the raw filesystem path
         with only a `file:` scheme prefix — spaces, '%', unicode all
         literal. Stripping the prefix is the whole decode; running
         unquote() here would corrupt names containing literal '%'."""
-        rows = (
+        import datetime as _dt
+
+        import pandas as pd
+
+        manifest_paths = sorted(
+            {
+                os.path.join(self.meta_dir, m)
+                for sp in glob.glob(os.path.join(self.meta_dir, "snap-*.json"))
+                for m in Snapshot.from_json(read_json(sp)).manifests
+                if os.path.exists(os.path.join(self.meta_dir, m))
+            }
+        )
+
+        def parse_manifests(batches):
+            import json as _json
+
+            for pdf in batches:
+                paths: list[str] = []
+                for mp in pdf["manifest"]:
+                    with open(mp) as f:
+                        paths.extend(
+                            os.path.realpath(d["path"])
+                            for d in _json.load(f)["entries"]
+                        )
+                yield pd.DataFrame({"path": paths})
+
+        if manifest_paths:
+            reachable = (
+                self.spark.createDataFrame(
+                    [(p,) for p in manifest_paths], "manifest string"
+                )
+                .repartition(min(len(manifest_paths), 64))
+                .mapInPandas(parse_manifests, "path string")
+                .distinct()
+            )
+        else:
+            reachable = self.spark.createDataFrame([], "path string")
+
+        listing = (
             self.spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.parquet")
             .option("recursiveFileLookup", "true")
             .load(self.data_dir)
             .select("path", "modificationTime")
-            .collect()
         )
-        return [
-            (
-                r["path"].removeprefix("file:"),
-                r["modificationTime"].timestamp(),
+        if cutoff is not None:
+            listing = listing.where(
+                F.col("modificationTime")
+                < F.lit(_dt.datetime.utcfromtimestamp(cutoff))
             )
-            for r in rows
-        ]
+
+        def norm(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": [
+                            os.path.realpath(p.removeprefix("file:"))
+                            for p in pdf["path"]
+                        ]
+                    }
+                )
+
+        phys = listing.select("path").mapInPandas(norm, "path string")
+        return sorted(
+            r["path"]
+            for r in phys.join(reachable, on="path", how="left_anti").collect()
+        )
 
     def remove_orphan_files(
         self, dry_run: bool = False, grace_period_ms: int = 0
@@ -1325,10 +1379,12 @@ class LakeTable:
         snapshot (run AFTER expire_snapshots). Prefix-scoped like Airbyte's
         `deletePrefix` GC (IcebergTableCleaner.kt:33-43).
 
-        Listing strategy: a driver walk below DISTRIBUTED_LISTING_THRESHOLD
-        physical files, a distributed Spark listing above it (an early-exit
-        count picks the side) — a 100 TB table with 10^6 files must not
-        serialize its LIST calls through the driver.
+        Strategy: a driver walk + set-membership below
+        DISTRIBUTED_LISTING_THRESHOLD physical files; above it, a Spark
+        anti-join of the physical listing against the reachable set with
+        BOTH sides computed on executors (_orphans_distributed) — a
+        100 TB table with 10^6+ files must not serialize its LIST calls
+        OR its reachable-path set through the driver.
 
         Paths are compared through os.path.realpath so loading the table
         under a different root spelling (relative vs absolute, symlink)
@@ -1340,22 +1396,23 @@ class LakeTable:
         concurrent GC must not reap them. 0 (default) is for tests and
         exclusive maintenance windows; set a real grace when syncs and GC
         overlap."""
-        reachable = {os.path.realpath(p) for p in self.reachable_files()}
         cutoff = (now_ms() - grace_period_ms) / 1000.0
-        listing = (
-            self._list_data_files_distributed()
-            if self._data_file_count_exceeds(self.DISTRIBUTED_LISTING_THRESHOLD)
-            else self._list_data_files_driver()
-        )
-        orphans = [
-            p
-            for p, mtime in listing
-            if os.path.realpath(p) not in reachable
-            and (
-                grace_period_ms == 0
-                or (mtime if mtime is not None else os.path.getmtime(p)) < cutoff
+        if self._data_file_count_exceeds(self.DISTRIBUTED_LISTING_THRESHOLD):
+            orphans = self._orphans_distributed(
+                cutoff if grace_period_ms else None
             )
-        ]
+        else:
+            reachable = {os.path.realpath(p) for p in self.reachable_files()}
+            orphans = [
+                p
+                for p, mtime in self._list_data_files_driver()
+                if os.path.realpath(p) not in reachable
+                and (
+                    grace_period_ms == 0
+                    or (mtime if mtime is not None else os.path.getmtime(p))
+                    < cutoff
+                )
+            ]
         if not dry_run:
             for p in orphans:
                 os.unlink(p)

@@ -166,7 +166,15 @@ def test_gc_distributed_listing_many_files(spark, tmp_table_dir, monkeypatch):
     def _no_driver_glob(self):
         raise AssertionError("driver glob used above the distributed threshold")
 
+    def _no_driver_reachable(self):
+        raise AssertionError(
+            "driver reachable-set built above the distributed threshold"
+        )
+
     monkeypatch.setattr(LakeTable, "_list_data_files_driver", _no_driver_glob)
+    # the reachable side must ALSO stay off the driver: it is O(table)
+    # paths (~3 GB of python strings at the 30M-file design point)
+    monkeypatch.setattr(LakeTable, "reachable_files", _no_driver_reachable)
     # grace period: everything is younger than the cutoff -> nothing reaped
     assert t.remove_orphan_files(grace_period_ms=3_600_000) == []
     orphans = t.remove_orphan_files()
