@@ -221,6 +221,7 @@ def _plan_candidates_distributed(
     pk_type,
     branch: str,
     batch_parts: set[str] | None,
+    snapshot_id: str | None = None,
 ) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
     """Candidate data files + live delete files for a merge, planned
     WITHOUT an O(table) driver entry list: LakeTable.entries_df parses
@@ -250,7 +251,7 @@ def _plan_candidates_distributed(
             | kmax.isNull()
             | ((kmax >= F.lit(b["lo"])) & (kmin <= F.lit(b["hi"])))
         )
-    edf = table.entries_df(branch=branch, stats_col=pk0)
+    edf = table.entries_df(branch=branch, snapshot_id=snapshot_id, stats_col=pk0)
     rows = (
         edf.where((F.col("content") == "equality-deletes") | cond)
         .select("content", "entry_json")
@@ -587,7 +588,7 @@ def merge_into(
                 }
             candidates, live_deletes = _plan_candidates_distributed(
                 table, key_set, pk[0], target_schema[pk[0]].dataType,
-                branch, batch_parts,
+                branch, batch_parts, snapshot_id=planned_parent,
             )
         else:
             entries = table.data_files(branch=branch)

@@ -205,6 +205,36 @@ def test_gc_keeps_manifests_shared_with_live_snapshots(spark, tmp_table_dir):
     assert t.scan().count() == 4
 
 
+def test_removal_after_merging_still_targets_correctly(spark, tmp_table_dir):
+    """Once small manifests have been folded together, a merged manifest
+    covers MANY commit dirs — a remove commit must still find and drop
+    the victim entry inside it (and only rewrite that one manifest)."""
+    t = _mk(
+        spark,
+        tmp_table_dir,
+        properties={
+            "commit.manifest-min-count-to-merge": 3,
+            "commit.manifest-target-entries": 1000,
+        },
+    )
+    for i in range(8):
+        t.append(_df(spark, [(f"k{i}", i)]))
+    assert len(t.snapshot().manifests) <= 4  # folding happened
+    victim = next(
+        e
+        for e in t.data_files()
+        if t.read_entries([e]).collect()[0]["id"] == "k3"
+    )
+    t.commit("delete", [], remove_paths={victim.path})
+    assert sorted(r["id"] for r in t.scan().collect()) == sorted(
+        f"k{i}" for i in range(8) if i != 3
+    )
+    # and appends continue to reuse whatever survived
+    before = set(t.snapshot().manifests)
+    t.append(_df(spark, [("k9", 9)]))
+    assert before <= set(t.snapshot().manifests)
+
+
 def test_manifest_summary_is_conservative_on_missing_stats():
     from airbyte_spark.lake.format import DataFileEntry
 
