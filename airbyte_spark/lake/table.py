@@ -109,11 +109,16 @@ def _manifest_may_match(
     return True
 
 
-def _group_add_entries(add_entries: list[DataFileEntry]) -> list[list[DataFileEntry]]:
+def _group_add_entries(
+    add_entries: list[DataFileEntry], target_entries: int = 8192
+) -> list[list[DataFileEntry]]:
     """Split a commit's added entries into manifest groups by (content,
     partition) so a partition-filtered scan can skip whole manifests.
-    Falls back to content-only grouping past 16 groups — commit-time
-    manifest merging bounds the total either way."""
+    Falls back to content-only grouping past 16 groups, and slices any
+    group larger than `target_entries` — one giant manifest would defeat
+    removal targeting (its dir set blows the summary cap) and can never
+    be rebalanced by commit-time merging (merging only folds SMALL
+    manifests)."""
     if not add_entries:
         return []
     groups: dict[tuple, list[DataFileEntry]] = {}
@@ -125,7 +130,11 @@ def _group_add_entries(add_entries: list[DataFileEntry]) -> list[list[DataFileEn
         groups = {}
         for e in add_entries:
             groups.setdefault((e.content,), []).append(e)
-    return [g for _, g in sorted(groups.items(), key=lambda kv: str(kv[0]))]
+    out: list[list[DataFileEntry]] = []
+    for _, g in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        for i in range(0, len(g), target_entries):
+            out.append(g[i : i + target_entries])
+    return out
 
 
 def _refs_lock(root: str) -> threading.Lock:
@@ -668,7 +677,10 @@ class LakeTable:
                 manis.append(self._write_manifest(survivors))
         else:
             manis = self._live_manifests(parent)
-        for group in _group_add_entries(add_entries):
+        target_entries = int(
+            self.properties.get("commit.manifest-target-entries", 8192)
+        )
+        for group in _group_add_entries(add_entries, target_entries):
             manis.append(self._write_manifest(group))
         manis = self._maybe_merge_manifests(manis)
         # one-time upgrade: summarize legacy manifests so every snapshot

@@ -250,6 +250,57 @@ def test_manifest_summary_is_conservative_on_missing_stats():
     assert sorted(info["dirs"]) == ["/d/x", "/d/y"]
 
 
+def test_crashed_commit_leaves_only_gc_able_orphans(spark, tmp_table_dir, monkeypatch):
+    """A crash AFTER manifests are written but BEFORE the ref swap must
+    leave the table unchanged, and expire+GC must reap the orphan
+    manifests and data files without touching live ones."""
+    import glob as _glob
+
+    t = _mk(spark, tmp_table_dir)
+    t.append(_df(spark, [("a", 1)]))
+
+    def boom(self, *a, **k):
+        raise RuntimeError("crash before ref swap")
+
+    monkeypatch.setattr(LakeTable, "_swap_ref", boom)
+    with pytest.raises(RuntimeError):
+        t.append(_df(spark, [("b", 2)]))
+    monkeypatch.undo()
+    assert [r["id"] for r in t.scan().collect()] == ["a"]
+    live = set(t.snapshot().manifests)
+    on_disk = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(t.meta_dir, "manifest-*.json"))
+    }
+    assert on_disk > live  # the crashed commit's manifests are orphaned
+    t.expire_snapshots(keep_last=1)
+    after = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(t.meta_dir, "manifest-*.json"))
+    }
+    assert after == live
+    assert t.remove_orphan_files()  # the crashed append's data file
+    assert [r["id"] for r in t.scan().collect()] == ["a"]
+
+
+def test_huge_commits_slice_into_target_sized_manifests():
+    """A single commit adding more entries than the manifest target must
+    write MULTIPLE manifests — one giant manifest can't be rebalanced by
+    commit-time merging and defeats removal targeting."""
+    from airbyte_spark.lake.format import DataFileEntry
+    from airbyte_spark.lake.table import _group_add_entries
+
+    entries = [
+        DataFileEntry(path=f"/d/c{i // 100:03d}/part-{i:05d}.parquet", rows=1, bytes=1)
+        for i in range(2500)
+    ]
+    groups = _group_add_entries(entries, target_entries=1000)
+    assert [len(g) for g in groups] == [1000, 1000, 500]
+    assert sorted(e.path for g in groups for e in g) == sorted(
+        e.path for e in entries
+    )
+
+
 def test_mixed_content_manifest_never_partition_pruned():
     from airbyte_spark.lake.table import _manifest_may_match
 
