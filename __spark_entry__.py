@@ -472,7 +472,14 @@ def q_dedup_simhash(spark, sf):
     from airbyte_spark.functions.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=8, hasher="md5")
+    # max_bucket_size=None: the oracle replays the FULL banded join, so
+    # the checked query must run exact too — the production default
+    # (star-cap at 512) intentionally trades completeness in degenerate
+    # buckets and diverges from the oracle once a band bucket exceeds
+    # the cap (first seen at sf0.1: 163k vs 285k pairs)
+    return simhash_near_dup_pairs(
+        d, max_hamming=8, hasher="md5", max_bucket_size=None
+    )
 
 
 def q_images_maintenance(spark, sf):

@@ -250,6 +250,34 @@ def test_manifest_summary_is_conservative_on_missing_stats():
     assert sorted(info["dirs"]) == ["/d/x", "/d/y"]
 
 
+def test_key_range_manifest_pruning_survives_type_widening(spark, tmp_table_dir):
+    """Manifest summaries written under int stats must still prune (and
+    never misprune) after the column widens to long — stat strings are
+    coerced with the CURRENT schema type at compare time."""
+    int_schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("v", IntegerType()),
+        ]
+    )
+    long_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("v", IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, int_schema, primary_key=["id"])
+    t.append(spark.createDataFrame([(i, i) for i in range(10)], int_schema))
+    t.evolve_schema(long_schema)
+    t.append(
+        spark.createDataFrame([(10**10 + i, i) for i in range(5)], long_schema)
+    )
+    rows = t.scan(key_range=("id", 3, 4)).collect()
+    assert sorted(r["id"] for r in rows) == [3, 4]
+    rows = t.scan(key_range=("id", 10**10, 10**10 + 1)).collect()
+    assert sorted(r["id"] for r in rows) == [10**10, 10**10 + 1]
+
+
 def test_crashed_commit_leaves_only_gc_able_orphans(spark, tmp_table_dir, monkeypatch):
     """A crash AFTER manifests are written but BEFORE the ref swap must
     leave the table unchanged, and expire+GC must reap the orphan
