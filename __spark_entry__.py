@@ -1742,6 +1742,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT),       'cluster'),
               ('cluster.max-sorted-levels',    'integer', '8',
                CAST(0 AS BIGINT),       'cluster'),
+              ('cluster.planning.distributed-threshold', 'integer', '100000',
+               CAST(0 AS BIGINT),       'cluster'),
               ('commit.manifest-min-count-to-merge', 'integer', '32',
                CAST(1 AS BIGINT),       'commit'),
               ('commit.manifest-target-entries', 'integer', '8192',

@@ -131,6 +131,18 @@ PROPERTY_SPECS: dict[str, dict] = {
         "group": "merge",
         "consumer": "operators/merge.py::_plan_candidates_distributed",
     },
+    "cluster.planning.distributed-threshold": {
+        "type": "integer",
+        "default": 100_000,
+        "minimum": 0,
+        "description": "Above this many live manifest entries, a "
+        "partition-scoped cluster pass runs its whole-table dead-delete "
+        "retirement check as a Spark job over executor-parsed manifests "
+        "instead of a driver survivor list (victim selection already "
+        "lists only the partition's manifests).",
+        "group": "cluster",
+        "consumer": "operators/cluster.py::dead_delete_files_distributed",
+    },
     "commit.manifest-min-count-to-merge": {
         "type": "integer",
         "default": 32,

@@ -276,6 +276,62 @@ def dead_delete_files(
     ]
 
 
+def dead_delete_files_distributed(
+    table: LakeTable,
+    remove_paths: set[str],
+    deletes: list[DataFileEntry],
+    pk: list[str],
+    schema,
+    branch: str,
+    snapshot_id: str | None,
+) -> list[DataFileEntry]:
+    """dead_delete_files without an O(table) driver pass: survivors
+    (all live data entries minus the files this commit removes) are
+    streamed from executor-parsed manifests (LakeTable.entries_df), and
+    each worker runs the SAME delete_may_hit test — range compare plus
+    bloom-sidecar probe, reading sidecars locally — over its slice. Only
+    the set of delete paths that still hit something returns to the
+    driver. The delete list itself is always micro-batch-bounded
+    (merge.mor.max-delete-eras), so shipping it in the closure is ~KBs."""
+    import json as _json
+
+    if not deletes:
+        return []
+    del_blobs = [_json.dumps(d.to_json()) for d in deletes]
+    pk_local, schema_local = list(pk), schema
+
+    def probe(batches):
+        dels = [DataFileEntry.from_json(_json.loads(b)) for b in del_blobs]
+        cache: dict = {}
+        for pdf in batches:
+            hits: set[str] = set()
+            for blob in pdf["entry_json"]:
+                e = DataFileEntry.from_json(_json.loads(blob))
+                for d in dels:
+                    if d.path in hits:
+                        continue
+                    if delete_may_hit(e, d, pk_local, schema_local, cache=cache):
+                        hits.add(d.path)
+            yield pd.DataFrame({"path": sorted(hits)})
+
+    surv = table.entries_df(branch=branch, snapshot_id=snapshot_id).where(
+        F.col("content") == "data"
+    )
+    if remove_paths:
+        removed_df = table.spark.createDataFrame(
+            [(p,) for p in sorted(remove_paths)], "path string"
+        )
+        surv = surv.join(F.broadcast(removed_df), on="path", how="left_anti")
+    hit = {
+        r["path"]
+        for r in surv.select("entry_json")
+        .mapInPandas(probe, "path string")
+        .distinct()
+        .collect()
+    }
+    return [d for d in deletes if d.path not in hit]
+
+
 def _dim_bounds_entries(
     entries: list[DataFileEntry], fallback_df: DataFrame, dims: list[str]
 ) -> list[tuple[float, float]]:
@@ -376,18 +432,45 @@ def cluster(
     )
     order_id = table.ensure_sort_order(dims, curve, bits)
     planned_parent = table.current_snapshot_id(branch)
-    # NOTE: must list the FULL table here even under partition_filter —
-    # `survivors` below feeds dead-delete retirement, and a delete file
-    # that no longer hits THIS partition may still hit another one;
-    # manifest-pruned listing here resurrects deleted rows (caught by
-    # test_partitioned_maintenance_folds_mor_deletes)
-    all_entries = table.data_files(branch=branch)
     deletes = table.delete_files(branch=branch)
-    entries = all_entries
-    if partition_filter:
-        from airbyte_spark.lake.table import partition_matches
+    # Dead-delete retirement must see the WHOLE table's survivors — a
+    # delete that no longer hits THIS partition may still hit another
+    # one; a partition-pruned survivor list resurrects deleted rows
+    # (caught by test_partitioned_maintenance_folds_mor_deletes). Below
+    # the threshold that whole-table pass is a driver list; above it,
+    # victim selection lists only this partition's manifests and the
+    # survivor pass runs distributed at commit time
+    # (dead_delete_files_distributed).
+    infos = table.snapshot(branch=branch).manifest_infos
+    total_entries = (
+        sum(i.get("entry_count", 0) for i in infos) if infos else None
+    )
+    dist_threshold = int(
+        table.properties.get("cluster.planning.distributed-threshold", 100_000)
+    )
+    distributed_retire = (
+        bool(partition_filter)
+        and total_entries is not None
+        and total_entries > dist_threshold
+    )
+    from airbyte_spark.lake.table import partition_matches
 
-        entries = [e for e in entries if partition_matches(e, partition_filter)]
+    if distributed_retire:
+        all_entries = None
+        entries = [
+            e
+            for e in table.data_files(
+                branch=branch, partition_filter=partition_filter
+            )
+            if partition_matches(e, partition_filter)
+        ]
+    else:
+        all_entries = table.data_files(branch=branch)
+        entries = all_entries
+        if partition_filter:
+            entries = [
+                e for e in entries if partition_matches(e, partition_filter)
+            ]
     if not entries:
         raise ValueError("empty table or empty partition")
     schema = table.schema(branch=branch)
@@ -469,8 +552,13 @@ def cluster(
     # a rewritten victim restamps its rows at the new commit sequence; any
     # delete file no SURVIVING data file can be subject to is dead — drop
     # it in the same commit (for a full-table pass that is all of them)
-    survivors = [e for e in all_entries if e.path not in remove]
-    dead = dead_delete_files(survivors, deletes, pk, schema)
+    if all_entries is None:
+        dead = dead_delete_files_distributed(
+            table, remove, deletes, pk, schema, branch, planned_parent
+        )
+    else:
+        survivors = [e for e in all_entries if e.path not in remove]
+        dead = dead_delete_files(survivors, deletes, pk, schema)
     remove |= {d.path for d in dead}
     snap = table.commit(
         "cluster",

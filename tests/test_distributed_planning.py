@@ -102,6 +102,66 @@ def test_distributed_planning_matches_driver_planning(
     assert any(v.startswith("new") for _, v, _ in finals[0])
 
 
+@pytest.mark.parametrize("threshold", [10**9, 0])
+def test_distributed_dead_delete_retirement_matches_driver(
+    spark, tmp_table_dir, threshold
+):
+    """Partition-scoped cluster with the distributed survivor pass
+    (threshold 0) must retire exactly the deletes the driver pass
+    retires — and NEVER a delete that still hits another partition."""
+    import os
+
+    from airbyte_spark.operators.cluster import cluster
+
+    part_schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("v", StringType()),
+            StructField("cur", IntegerType()),
+            StructField("p", StringType()),
+        ]
+    )
+    root = os.path.join(tmp_table_dir, f"t{threshold}")
+    t = LakeTable.create(
+        spark,
+        root,
+        part_schema,
+        primary_key=["id"],
+        partition_by=["p"],
+        properties={"cluster.planning.distributed-threshold": threshold},
+    )
+    rows = [(i, f"v{i}", 0, "eu" if i % 2 else "us") for i in range(40)]
+    t.append(spark.createDataFrame(rows, part_schema))
+    # one MoR batch updating keys in BOTH partitions -> one delete file
+    # whose keys hit eu AND us
+    batch = spark.createDataFrame(
+        [(3, "new3", 1, "eu"), (4, "new4", 1, "us")], part_schema
+    )
+    merge_into(t, batch, cursor_col="cur", mode="mor")
+    assert t.delete_files()
+    # fold deletes in eu only: the delete still hits us -> must survive
+    cluster(
+        t, dims=["id"], partition_filter={"p": "eu"},
+        scope="dirty", fold_deletes="always", bits=16,
+    )
+    assert t.delete_files(), "delete hitting another partition was retired"
+    eu_state = sorted(
+        (r["id"], r["v"]) for r in t.scan().select("id", "v").collect()
+    )
+    assert (3, "new3") in eu_state and (4, "new4") in eu_state
+    # now fold us too: nothing left for the delete to hit -> retired
+    cluster(
+        t, dims=["id"], partition_filter={"p": "us"},
+        scope="dirty", fold_deletes="always", bits=16,
+    )
+    assert not t.delete_files()
+    final = sorted(
+        (r["id"], r["v"]) for r in t.scan().select("id", "v").collect()
+    )
+    assert (3, "new3") in final and (4, "new4") in final
+    assert len(final) == 40
+
+
 def test_distributed_planning_with_partition_pruning(spark, tmp_table_dir):
     import os
 
