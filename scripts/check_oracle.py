@@ -8,6 +8,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -45,9 +46,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in entry_mod.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver dirs hold single parquet FILES; scripts/make_sfx.py
+        # writes Spark DIRECTORIES of part files — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
