@@ -112,6 +112,21 @@ SUMMARY_DIRS_CAP = 64
 SUMMARY_PARTITIONS_CAP = 64
 
 
+def _all_numeric_strings(vals) -> bool:
+    """True when every value parses as a number — i.e. the values are a
+    numeric type that went through the JSON round-trip (Decimal -> str via
+    atomic_write_json's default=str), for which lexicographic comparison
+    would be wrong."""
+    import decimal
+
+    for v in vals:
+        try:
+            decimal.Decimal(v)
+        except (decimal.InvalidOperation, ValueError, TypeError):
+            return False
+    return True
+
+
 def manifest_summary(entries) -> dict:
     """Manifest-list summary for one manifest (Iceberg ManifestFile
     metadata analog: added/existing counts + partition field summaries,
@@ -129,6 +144,17 @@ def manifest_summary(entries) -> dict:
         per = [e.stats.get(col) for e in entries]
         if any(s is None or s.get("min") is None or s.get("max") is None for s in per):
             continue  # one statless entry -> column not prunable at manifest level
+        vals = [s["min"] for s in per] + [s["max"] for s in per]
+        if all(isinstance(v, str) for v in vals) and _all_numeric_strings(vals):
+            # decimal/float stats come back from the JSON round-trip as
+            # strings; min/max over those is LEXICOGRAPHIC ('9.5' > '10.2')
+            # and a summary built from them would mis-prune manifests whose
+            # entries do intersect the key range (silent row loss). Without
+            # the column's type we cannot re-aggregate safely -> drop the
+            # column from the summary (conservative: unprunable). ISO
+            # temporal strings and true strings are fine: for both, the
+            # lexicographic order IS the column's order.
+            continue
         try:
             stats[col] = {
                 "min": min(s["min"] for s in per),

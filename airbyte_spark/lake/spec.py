@@ -15,7 +15,8 @@ reject what the schema would reject — a typo like
 ``cluster.max-delete-era`` becomes a typed ``config_error`` (with a
 did-you-mean) at `check` / sync-start / table-create time instead of a
 silently applied default. Keys outside the engine-reserved prefixes
-(``write.`` / ``merge.`` / ``cluster.``) stay free-form user metadata,
+(``RESERVED_PREFIXES``: ``write.`` / ``merge.`` / ``cluster.`` /
+``commit.``) stay free-form user metadata,
 matching Iceberg's arbitrary table-property semantics.
 """
 
@@ -281,7 +282,8 @@ def connection_specification() -> dict:
             "table_properties": {
                 "type": "object",
                 "description": "Per-table engine properties. Keys under "
-                "write./merge./cluster. must be from this registry; other "
+                + "/".join(RESERVED_PREFIXES)
+                + " must be from this registry; other "
                 "keys are stored untouched as user metadata.",
                 "properties": prop_schema,
                 "group": "tuning",

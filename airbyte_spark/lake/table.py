@@ -652,6 +652,9 @@ class LakeTable:
         for e in add_entries:
             if e.sequence is None:
                 e.sequence = parent.sequence + 1
+        target_entries = int(
+            self.properties.get("commit.manifest-target-entries", 8192)
+        )
         manis: list[tuple[str, dict | None]] = []
         if remove_paths:
             remove_dirs = {os.path.dirname(p) for p in remove_paths}
@@ -673,13 +676,16 @@ class LakeTable:
                     continue
                 remaining -= hit
                 survivors.extend(e for e in entries if e.path not in remove_paths)
-            if survivors:
-                manis.append(self._write_manifest(survivors))
+            # survivors of a removal that spanned many manifests must NOT
+            # fold into one giant manifest: an oversized manifest never
+            # rebalances (commit-time merging only folds SMALL manifests)
+            # and its dir set blows SUMMARY_DIRS_CAP, so every later
+            # removal would reopen it — metadata cost creeping back toward
+            # O(table). Slice by (content, partition) like added entries.
+            for group in _group_add_entries(survivors, target_entries):
+                manis.append(self._write_manifest(group))
         else:
             manis = self._live_manifests(parent)
-        target_entries = int(
-            self.properties.get("commit.manifest-target-entries", 8192)
-        )
         for group in _group_add_entries(add_entries, target_entries):
             manis.append(self._write_manifest(group))
         manis = self._maybe_merge_manifests(manis)
@@ -1362,9 +1368,11 @@ class LakeTable:
             .select("path", "modificationTime")
         )
         if cutoff is not None:
+            # epoch-based cutoff: timestamp_seconds is timezone-independent,
+            # unlike a naive datetime literal (which would be read in the
+            # session timezone — correct only while the tz pin is UTC)
             listing = listing.where(
-                F.col("modificationTime")
-                < F.lit(_dt.datetime.utcfromtimestamp(cutoff))
+                F.col("modificationTime") < F.timestamp_seconds(F.lit(cutoff))
             )
 
         def norm(batches):

@@ -253,6 +253,201 @@ def select_cluster_victims(
     return list(victims.values()), reasons
 
 
+def select_cluster_victims_distributed(
+    table: LakeTable,
+    deletes: list[DataFileEntry],
+    order_id: int,
+    target_file_bytes: int,
+    min_size_ratio: float = DEFAULT_MIN_SIZE_RATIO,
+    branch: str = MAIN,
+    fold_deletes: bool = True,
+    max_sorted_levels: int = DEFAULT_MAX_SORTED_LEVELS,
+    partition_filter: dict | None = None,
+    snapshot_id: str | None = None,
+) -> tuple[list[DataFileEntry], dict, int, int]:
+    """select_cluster_victims without the O(table) driver pass (r4 verdict
+    top item; Iceberg SparkDistributedDataScan / rewrite_data_files
+    planning semantics). Entries stream from executor-parsed manifests
+    (LakeTable.entries_df); each worker classifies its slice with the SAME
+    per-entry predicates as the driver selector — order-stamp mismatch,
+    delete-hit (range compare + bloom-sidecar probe, sidecars read
+    locally), size cut — so the two paths select identical victim sets
+    (asserted by test_distributed_victims_match_driver). Only O(change)
+    rows ever reach the driver:
+
+      * per-partition aggregates (victim bytes, sorted-level counts,
+        file/byte totals) — O(partitions);
+      * the candidate rows themselves (unsorted / delete-hit / small,
+        with their manifest-entry JSON) — O(files to rewrite), since
+        a partition's smalls are absorbed whenever >= 2 exist;
+      * clean rows only for partitions past the level threshold —
+        O(files to rewrite) again.
+
+    The per-partition gain test and level threshold then run on those
+    aggregates exactly as in the driver selector. Returns
+    ``(victims, reasons, files_before, bytes_before)`` so the caller
+    never needs the full entry list."""
+    import json as _json
+
+    from pyspark import StorageLevel
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spark = table.spark
+    schema = table.schema(branch=branch)
+    pk = list(table.primary_key)
+    del_blobs = (
+        [_json.dumps(d.to_json()) for d in deletes] if fold_deletes else []
+    )
+    small_cut = float(min_size_ratio) * float(target_file_bytes)
+    pf = dict(partition_filter) if partition_filter else None
+    oid = int(order_id)
+
+    out_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("pkey", StringType()),
+            StructField("bytes", LongType()),
+            StructField("seq", LongType()),
+            StructField("is_sorted", LongType()),
+            StructField("cls", StringType()),
+            StructField("entry_json", StringType()),
+        ]
+    )
+
+    def classify(batches):
+        from airbyte_spark.lake.table import (
+            canonical_partition_key,
+            partition_matches,
+        )
+
+        dels = [DataFileEntry.from_json(_json.loads(b)) for b in del_blobs]
+        cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for blob in pdf["entry_json"]:
+                e = DataFileEntry.from_json(_json.loads(blob))
+                if pf and not partition_matches(e, pf):
+                    continue
+                if e.sort_order_id != oid:
+                    cls = "unsorted"
+                elif dels and any(
+                    delete_may_hit(e, d, pk, schema, cache=cache)
+                    for d in dels
+                ):
+                    cls = "delete-hit"
+                elif e.bytes < small_cut:
+                    cls = "small"
+                else:
+                    cls = "clean"
+                rows.append(
+                    (
+                        e.path,
+                        canonical_partition_key(e.partition),
+                        int(e.bytes),
+                        int(e.sequence or 0),
+                        1 if e.sort_order_id == oid else 0,
+                        cls,
+                        blob,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    cls_df = (
+        table.entries_df(branch=branch, snapshot_id=snapshot_id)
+        .where(F.col("content") == "data")
+        .select("entry_json")
+        .mapInPandas(classify, out_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        agg_rows = cls_df.groupBy("pkey").agg(
+            F.sum(
+                F.when(
+                    F.col("cls").isin("unsorted", "delete-hit"),
+                    F.col("bytes"),
+                ).otherwise(F.lit(0))
+            ).alias("vbytes"),
+            F.count_distinct(
+                F.when(F.col("is_sorted") == 1, F.col("seq"))
+            ).alias("levels"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("t_bytes"),
+        ).collect()
+        files_before = int(sum(r["n_files"] for r in agg_rows))
+        bytes_before = int(sum(r["t_bytes"] for r in agg_rows))
+        vict_bytes = {r["pkey"]: int(r["vbytes"]) for r in agg_rows}
+        deep = (
+            {
+                r["pkey"]
+                for r in agg_rows
+                if r["levels"] > max_sorted_levels
+            }
+            if max_sorted_levels
+            else set()
+        )
+
+        cand = (
+            cls_df.where(F.col("cls") != "clean")
+            .select("path", "pkey", "bytes", "cls", "entry_json")
+            .collect()
+        )
+        victims: dict[str, DataFileEntry] = {}
+        reasons = {"unsorted": 0, "delete-hit": 0, "undersized": 0}
+        small_by_part: dict[str, list] = {}
+        for r in cand:
+            if r["cls"] == "small":
+                small_by_part.setdefault(r["pkey"], []).append(r)
+            else:
+                victims[r["path"]] = DataFileEntry.from_json(
+                    _json.loads(r["entry_json"])
+                )
+                reasons[r["cls"]] += 1
+        for pkeyv, group in small_by_part.items():
+            total = sum(r["bytes"] for r in group)
+            v = vict_bytes.get(pkeyv, 0)
+            if -(-(v + total) // target_file_bytes) < -(
+                -v // target_file_bytes
+            ) + len(group):
+                for r in group:
+                    victims[r["path"]] = DataFileEntry.from_json(
+                        _json.loads(r["entry_json"])
+                    )
+                    reasons["undersized"] += 1
+        if max_sorted_levels:
+            reasons["level-compaction"] = 0
+            # un-absorbed smalls in deep partitions (already collected)
+            for r in cand:
+                if (
+                    r["cls"] == "small"
+                    and r["pkey"] in deep
+                    and r["path"] not in victims
+                ):
+                    victims[r["path"]] = DataFileEntry.from_json(
+                        _json.loads(r["entry_json"])
+                    )
+                    reasons["level-compaction"] += 1
+            if deep:
+                deep_df = spark.createDataFrame(
+                    [(p,) for p in sorted(deep)], "pkey string"
+                )
+                for r in (
+                    cls_df.join(F.broadcast(deep_df), on="pkey")
+                    .where(F.col("cls") == "clean")
+                    .select("path", "entry_json")
+                    .collect()
+                ):
+                    if r["path"] not in victims:
+                        victims[r["path"]] = DataFileEntry.from_json(
+                            _json.loads(r["entry_json"])
+                        )
+                        reasons["level-compaction"] += 1
+        return list(victims.values()), reasons, files_before, bytes_before
+    finally:
+        cls_df.unpersist()
+
+
 def dead_delete_files(
     survivors: list[DataFileEntry],
     deletes: list[DataFileEntry],
@@ -438,9 +633,8 @@ def cluster(
     # one; a partition-pruned survivor list resurrects deleted rows
     # (caught by test_partitioned_maintenance_folds_mor_deletes). Below
     # the threshold that whole-table pass is a driver list; above it,
-    # victim selection lists only this partition's manifests and the
-    # survivor pass runs distributed at commit time
-    # (dead_delete_files_distributed).
+    # `all_entries` stays None and the survivor pass runs distributed at
+    # commit time (dead_delete_files_distributed).
     infos = table.snapshot(branch=branch).manifest_infos
     total_entries = (
         sum(i.get("entry_count", 0) for i in infos) if infos else None
@@ -448,31 +642,11 @@ def cluster(
     dist_threshold = int(
         table.properties.get("cluster.planning.distributed-threshold", 100_000)
     )
-    distributed_retire = (
-        bool(partition_filter)
-        and total_entries is not None
-        and total_entries > dist_threshold
+    past_threshold = (
+        total_entries is not None and total_entries > dist_threshold
     )
     from airbyte_spark.lake.table import partition_matches
 
-    if distributed_retire:
-        all_entries = None
-        entries = [
-            e
-            for e in table.data_files(
-                branch=branch, partition_filter=partition_filter
-            )
-            if partition_matches(e, partition_filter)
-        ]
-    else:
-        all_entries = table.data_files(branch=branch)
-        entries = all_entries
-        if partition_filter:
-            entries = [
-                e for e in entries if partition_matches(e, partition_filter)
-            ]
-    if not entries:
-        raise ValueError("empty table or empty partition")
     schema = table.schema(branch=branch)
     pk = table.primary_key
 
@@ -484,29 +658,81 @@ def cluster(
             fold = bool(max_eras) and len(eras) > max_eras
         else:
             fold = fold_deletes == "always"
-        victims, reasons = select_cluster_victims(
-            table, entries, deletes, order_id, target_file_bytes,
-            min_size_ratio=min_size_ratio, branch=branch, fold_deletes=fold,
-            max_sorted_levels=int(
-                table.properties.get(
-                    "cluster.max-sorted-levels", DEFAULT_MAX_SORTED_LEVELS
-                )
-                or 0
-            ),
+        max_levels = int(
+            table.properties.get(
+                "cluster.max-sorted-levels", DEFAULT_MAX_SORTED_LEVELS
+            )
+            or 0
         )
+        if past_threshold:
+            # past the planning threshold (partitioned or not) the victim
+            # predicates run over executor-parsed manifest entries — the
+            # driver never materializes the O(table) entry list (r4
+            # verdict top item; Iceberg SparkDistributedDataScan)
+            all_entries = None
+            victims, reasons, files_before, bytes_before = (
+                select_cluster_victims_distributed(
+                    table, deletes, order_id, target_file_bytes,
+                    min_size_ratio=min_size_ratio, branch=branch,
+                    fold_deletes=fold, max_sorted_levels=max_levels,
+                    partition_filter=partition_filter,
+                    snapshot_id=planned_parent,
+                )
+            )
+            if not files_before:
+                raise ValueError("empty table or empty partition")
+        else:
+            all_entries = table.data_files(branch=branch)
+            entries = all_entries
+            if partition_filter:
+                entries = [
+                    e for e in entries if partition_matches(e, partition_filter)
+                ]
+            if not entries:
+                raise ValueError("empty table or empty partition")
+            victims, reasons = select_cluster_victims(
+                table, entries, deletes, order_id, target_file_bytes,
+                min_size_ratio=min_size_ratio, branch=branch,
+                fold_deletes=fold, max_sorted_levels=max_levels,
+            )
+            files_before = len(entries)
+            bytes_before = sum(e.bytes for e in entries)
     else:
+        # full scope rewrites every file in range — the listing IS the
+        # work list (O(table) by definition); a partition-scoped full pass
+        # past the threshold lists only its partition's manifests
+        if past_threshold and partition_filter:
+            all_entries = None
+            entries = [
+                e
+                for e in table.data_files(
+                    branch=branch, partition_filter=partition_filter
+                )
+                if partition_matches(e, partition_filter)
+            ]
+        else:
+            all_entries = table.data_files(branch=branch)
+            entries = all_entries
+            if partition_filter:
+                entries = [
+                    e for e in entries if partition_matches(e, partition_filter)
+                ]
+        if not entries:
+            raise ValueError("empty table or empty partition")
         victims, reasons = list(entries), {"full": len(entries)}
+        files_before = len(entries)
+        bytes_before = sum(e.bytes for e in entries)
     if not victims:
         # metadata-only: nothing to rewrite, nothing read, no commit
         return ClusterResult(
             snapshot=None,
             curve=curve,
             dims=dims,
-            files_before=len(entries),
-            files_after=len(entries),
+            files_before=files_before,
+            files_after=files_before,
             scope=scope,
-            skipped_files=len(entries),
-            skipped_bytes=sum(e.bytes for e in entries),
+            skipped_files=files_before,
+            skipped_bytes=bytes_before,
             victim_reasons=reasons,
         )
 
@@ -580,13 +806,13 @@ def cluster(
         snapshot=snap,
         curve=curve,
         dims=dims,
-        files_before=len(entries),
-        files_after=len(entries) - len(victims) + len(new_entries),
+        files_before=files_before,
+        files_after=files_before - len(victims) + len(new_entries),
         scope=scope,
         rewritten_files=len(victims),
         rewritten_bytes=total_bytes,
-        skipped_files=len(entries) - len(victims),
-        skipped_bytes=sum(e.bytes for e in entries) - total_bytes,
+        skipped_files=files_before - len(victims),
+        skipped_bytes=bytes_before - total_bytes,
         dropped_delete_files=len(dead),
         victim_reasons=reasons,
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from pyspark.sql import functions as F
+
 from airbyte_spark.lake.format import DataFileEntry, Snapshot
 from airbyte_spark.lake.table import (
     MAIN,
@@ -82,10 +84,13 @@ def rewrite_deletes(
         # PHYSICAL schema and the new entries keep the victims' schema_id
         # AND generation_id — this is a row-removal rewrite, not a schema
         # migration or a refresh.
-        by_schema: dict[tuple[int, int], list[DataFileEntry]] = {}
+        orders = table.sort_orders()
+        by_schema: dict[tuple[int, int, int], list[DataFileEntry]] = {}
         for e in victims:
-            by_schema.setdefault((e.schema_id, e.generation_id), []).append(e)
-        for (sid, gen), group in sorted(by_schema.items()):
+            by_schema.setdefault(
+                (e.schema_id, e.generation_id, e.sort_order_id), []
+            ).append(e)
+        for (sid, gen, oid), group in sorted(by_schema.items()):
             physical = table.registered_schema(sid)
             df = (
                 spark.read.schema(physical)
@@ -103,19 +108,53 @@ def rewrite_deletes(
             out = df.repartition(
                 max(len(group), spark.sparkContext.defaultParallelism), "_fold_bin"
             )
+            # the repartition shuffle does NOT preserve intra-file row
+            # order (map outputs interleave, splits of one file can land
+            # in reducer order), so a clustered victim's rows must be
+            # RE-SORTED by its registered curve key before the write or
+            # the file would carry a sort-order stamp it no longer
+            # satisfies (read as clean forever, never repaired by
+            # dirty-scope clustering). sortWithinPartitions(_fold_bin, key)
+            # also satisfies the partitionBy writer's required ordering,
+            # so no extra sort is inserted downstream.
+            spec = orders.get(oid)
+            sorted_ok = False
+            if oid != 0 and spec is not None and all(
+                d in physical.fieldNames() for d in spec["dims"]
+            ):
+                from airbyte_spark.operators.cluster import (
+                    _dim_bounds_entries,
+                    curve_key_udf,
+                )
+
+                dims = spec["dims"]
+                key = curve_key_udf(
+                    dims,
+                    _dim_bounds_entries(group, out.select(*dims), dims),
+                    spec["curve"],
+                    spec["bits"],
+                )
+                out = (
+                    out.withColumn("_ck", key(*[F.col(d) for d in dims]))
+                    .sortWithinPartitions("_fold_bin", "_ck")
+                    .drop("_ck")
+                )
+                sorted_ok = True
             ents = table.write_dataframe(
                 out, generation_id=gen, partition_by="_fold_bin"
             )
             for e in ents:
                 if sid != table.current_schema_id:
                     e.schema_id = sid
-                # one output per input, row order preserved -> the fold
-                # keeps the victim's clustering; carry the sort-order
-                # stamp so the file doesn't read as dirty next cycle
+                # one output per input -> the fold keeps the victim's
+                # file layout; the sort-order stamp is carried only when
+                # the write path actually enforced that order (above) —
+                # otherwise the file is honestly re-stamped unsorted.
                 m = re.search(r"_fold_bin=(\d+)/", e.path)
                 if m:
-                    e.sort_order_id = group[int(m.group(1))].sort_order_id
-                    e.partition = group[int(m.group(1))].partition
+                    victim = group[int(m.group(1))]
+                    e.sort_order_id = oid if sorted_ok else 0
+                    e.partition = victim.partition
             new_entries.extend(ents)
     snap = table.commit(
         "rewrite-deletes",

@@ -264,3 +264,165 @@ def test_level_compaction_bounds_overlapping_passes(spark, tmp_table_dir):
     assert res.victim_reasons.get("level-compaction", 0) > 0
     assert res.rewritten_files == res.files_before
     assert len({e.sequence for e in t.data_files()}) == 1  # one level again
+
+
+def test_fold_enforces_the_carried_sort_order(spark, tmp_table_dir):
+    """The delete fold's repartition shuffle does NOT preserve intra-file
+    row order, so rewrite_deletes re-sorts every bin by the victim's
+    registered curve key before the write — the carried sort_order_id
+    stamp is then true by construction. Without the sort, a folded file
+    could read as clean forever while internally unsorted (ADVICE r4),
+    silently degrading row-group pruning."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from airbyte_spark.functions.curves import phash_to_unsigned, zorder_key
+    from airbyte_spark.operators.deletes import rewrite_deletes
+    from airbyte_spark.operators.merge import merge_into
+
+    t = _table(spark, tmp_table_dir, n=240)
+    cluster(t, target_file_bytes=TARGET)
+    before = {e.path: e for e in t.data_files()}
+    assert all(e.sort_order_id for e in before.values())
+    merge_into(
+        t,
+        generate_update_batch(spark, 240, 24, seed=7, num_partitions=2),
+        mode="mor",
+    )
+    res = rewrite_deletes(t)
+    assert res.rewritten_files > 0
+    after = t.data_files()
+    folded = [
+        e for e in after if e.path not in before and e.sort_order_id
+    ]
+    victims = [before[p] for p in set(before) - {e.path for e in after}]
+    assert folded and victims
+    oid = victims[0].sort_order_id
+    assert all(e.sort_order_id == oid for e in victims)
+    # the fold carries the stamp (no re-cluster next cycle)...
+    assert len(folded) == len(victims)
+    # ...and the files genuinely satisfy it: recompute the curve key the
+    # way the fold does (bounds over the victim group's stats) and check
+    # each folded file is internally non-decreasing in it
+    spec = t.sort_orders()[oid]
+    dims, bits = spec["dims"], spec["bits"]
+    assert spec["curve"] == "zorder"
+    bounds = []
+    for d in dims:
+        lo = min(float(e.stats[d]["min"]) for e in victims)
+        hi = max(float(e.stats[d]["max"]) for e in victims)
+        if "phash" in d:
+            lo2 = float(phash_to_unsigned(np.array([int(lo)], dtype=np.int64))[0])
+            hi2 = float(phash_to_unsigned(np.array([int(hi)], dtype=np.int64))[0])
+            lo, hi = min(lo2, hi2), max(lo2, hi2)
+        bounds.append((lo, hi))
+    for e in folded:
+        cols = pq.read_table(e.path, columns=dims)
+        arrays = []
+        for d in dims:
+            a = np.asarray(cols[d].to_pandas(), dtype=np.float64)
+            if "phash" in d:
+                a = phash_to_unsigned(
+                    np.asarray(cols[d].to_pandas(), dtype=np.int64)
+                ).astype(np.float64)
+            arrays.append(np.nan_to_num(a))
+        keys = zorder_key(arrays, bounds, bits=bits)
+        assert (np.diff(keys) >= 0).all(), f"unsorted fold output {e.path}"
+
+
+def _four_criteria_state(spark, root, thresh=None):
+    """Unpartitioned table whose metadata exercises every victim
+    criterion: sorted seq-A files (delete-hit), a small sorted seq-B file
+    (undersized / level-compaction fodder), fresh unsorted appends, MoR
+    delete files."""
+    import os
+
+    from airbyte_spark.operators.merge import merge_into
+
+    props = {"write.target-file-size-bytes": TARGET}
+    if thresh is not None:
+        props["cluster.planning.distributed-threshold"] = thresh
+    t = LakeTable.create(
+        spark, root, IMAGES_SCHEMA, primary_key=["image_id"], properties=props
+    )
+    t.append(generate_images(spark, 240, num_partitions=4))
+    cluster(t, target_file_bytes=TARGET)  # sorted @ seq A
+    t.append(generate_images(spark, 12, id_offset=10_000, num_partitions=2))
+    cluster(t, scope="dirty", target_file_bytes=TARGET)  # absorb @ seq B
+    t.append(generate_images(spark, 12, id_offset=20_000, num_partitions=2))
+    cluster(t, scope="dirty", target_file_bytes=TARGET)  # small sorted @ C
+    t.append(generate_images(spark, 12, id_offset=30_000, num_partitions=2))
+    merge_into(
+        t,
+        generate_update_batch(spark, 240, 24, seed=11, num_partitions=2),
+        mode="mor",
+    )
+    return t
+
+
+def test_distributed_victims_match_driver(spark, tmp_table_dir):
+    """r4 verdict top item: past cluster.planning.distributed-threshold
+    the victim predicates run over executor-parsed manifest entries — on
+    an UNPARTITIONED table too — and must select EXACTLY the driver
+    selector's victims (paths + reason counts + totals), across configs
+    that exercise all four criteria."""
+    from airbyte_spark.operators.cluster import (
+        select_cluster_victims,
+        select_cluster_victims_distributed,
+    )
+
+    t = _four_criteria_state(spark, tmp_table_dir)
+    entries = t.data_files()
+    deletes = t.delete_files()
+    assert deletes
+    order_id = t.ensure_sort_order(["phash", "w", "h"], "zorder", 21)
+    for fold, levels in ((True, 0), (False, 1), (True, 8)):
+        dv, dr = select_cluster_victims(
+            t, entries, deletes, order_id, TARGET,
+            fold_deletes=fold, max_sorted_levels=levels,
+        )
+        xv, xr, files_before, bytes_before = (
+            select_cluster_victims_distributed(
+                t, deletes, order_id, TARGET,
+                fold_deletes=fold, max_sorted_levels=levels,
+            )
+        )
+        assert {e.path for e in xv} == {e.path for e in dv}, (fold, levels)
+        assert xr == dr, (fold, levels)
+        assert files_before == len(entries)
+        assert bytes_before == sum(e.bytes for e in entries)
+    # every criterion fires somewhere across the compared configs
+    _, r_fold = select_cluster_victims(
+        t, entries, deletes, order_id, TARGET,
+        fold_deletes=True, max_sorted_levels=0,
+    )
+    assert r_fold["unsorted"] >= 1 and r_fold["delete-hit"] >= 1
+    _, r_lvl = select_cluster_victims(
+        t, entries, deletes, order_id, TARGET,
+        fold_deletes=False, max_sorted_levels=1,
+    )
+    assert r_lvl["undersized"] >= 1 and r_lvl["level-compaction"] >= 1
+
+
+def test_dirty_cluster_distributed_end_to_end(spark, tmp_table_dir):
+    """cluster(scope='dirty') past the planning threshold (threshold=0)
+    makes the same rewrite decisions and converges to the same scan state
+    as the driver-planned pass, unpartitioned."""
+    import os
+
+    res = {}
+    content = {}
+    for name, thresh in (("driver", 10**9), ("dist", 0)):
+        t = _four_criteria_state(
+            spark, os.path.join(tmp_table_dir, name), thresh=thresh
+        )
+        r = cluster(
+            t, scope="dirty", target_file_bytes=TARGET, fold_deletes="always"
+        )
+        res[name] = r
+        content[name] = _content(t)
+    assert res["dist"].victim_reasons == res["driver"].victim_reasons
+    assert res["dist"].rewritten_files == res["driver"].rewritten_files
+    assert res["dist"].files_before == res["driver"].files_before
+    assert res["dist"].dropped_delete_files == res["driver"].dropped_delete_files
+    assert content["dist"] == content["driver"]

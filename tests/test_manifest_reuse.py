@@ -342,3 +342,85 @@ def test_mixed_content_manifest_never_partition_pruned():
     assert _manifest_may_match(info, {"p": "us"}, None, None)
     data_only = dict(info, content=["data"])
     assert not _manifest_may_match(data_only, {"p": "us"}, None, None)
+
+
+def test_manifest_summary_drops_stringified_numeric_stats():
+    """Decimal/float stats come back from the JSON round-trip as STRINGS
+    (atomic_write_json default=str); min/max over those is lexicographic
+    ('9.5' > '10.2'), so a summary built from them would mis-prune
+    manifests whose entries DO intersect the scan range — silent row
+    loss. The summary must omit such columns (conservative: unprunable);
+    ISO temporal strings and true strings stay summarized because their
+    lexicographic order IS the column's order."""
+    from airbyte_spark.lake.format import DataFileEntry
+
+    e1 = DataFileEntry(
+        path="/d/x/f1.parquet", rows=1, bytes=10,
+        stats={
+            "amt": {"min": "9.5", "max": "9.5", "null_count": 0},
+            "ts": {"min": "2026-01-02T00:00:00", "max": "2026-01-03T00:00:00"},
+            "name": {"min": "alice", "max": "bob"},
+        },
+    )
+    e2 = DataFileEntry(
+        path="/d/x/f2.parquet", rows=1, bytes=10,
+        stats={
+            "amt": {"min": "10.2", "max": "10.2", "null_count": 0},
+            "ts": {"min": "2026-01-01T00:00:00", "max": "2026-01-01T12:00:00"},
+            "name": {"min": "carol", "max": "dave"},
+        },
+    )
+    info = manifest_summary([e1, e2])
+    assert "amt" not in info["stats"], "lexicographic numeric-string bounds"
+    assert info["stats"]["ts"] == {
+        "min": "2026-01-01T00:00:00", "max": "2026-01-03T00:00:00"
+    }
+    assert info["stats"]["name"] == {"min": "alice", "max": "dave"}
+    # native numeric stats (fresh, pre-round-trip) still summarize
+    f1 = DataFileEntry(path="/d/x/g1.parquet", rows=1, bytes=1,
+                       stats={"v": {"min": 9.5, "max": 9.5}})
+    f2 = DataFileEntry(path="/d/x/g2.parquet", rows=1, bytes=1,
+                       stats={"v": {"min": 10.2, "max": 10.2}})
+    assert manifest_summary([f1, f2])["stats"]["v"] == {"min": 9.5, "max": 10.2}
+
+
+def test_removal_survivors_slice_into_target_sized_manifests(
+    spark, tmp_table_dir
+):
+    """A removal spanning many manifests must NOT fold every survivor into
+    one giant manifest: an oversized manifest never rebalances (merging
+    only folds small manifests) and every later removal would reopen it —
+    survivors are sliced to commit.manifest-target-entries like added
+    entries (ADVICE r4)."""
+    t = _mk(
+        spark,
+        tmp_table_dir,
+        properties={
+            "commit.manifest-target-entries": 16,
+            "commit.manifest-min-count-to-merge": 1000,
+        },
+    )
+    # 4 appends x 12 files = 4 manifests of 12 entries
+    for b in range(4):
+        t.append(
+            _df(spark, [(f"k{b}-{i}", b * 10 + i) for i in range(24)]).repartition(12)
+        )
+    assert all(i["entry_count"] <= 16 for i in t.snapshot().manifest_infos)
+    # remove one file from every manifest in ONE commit
+    per_manifest_victim = []
+    snap = t.snapshot()
+    for name in snap.manifests:
+        entries = t._read_entries_of(name)
+        per_manifest_victim.append(entries[0].path)
+    t.commit("delete", [], remove_paths=set(per_manifest_victim))
+    after = t.snapshot()
+    sizes = [i["entry_count"] for i in after.manifest_infos]
+    assert sum(sizes) == 44  # 48 files - 4 removed
+    assert max(sizes) <= 16, f"oversized survivor manifest: {sizes}"
+    assert len(sizes) >= 3, f"survivors folded into too few manifests: {sizes}"
+    # and no rows were lost
+    assert t.scan().count() == sum(
+        e.rows
+        for n in after.manifests
+        for e in t._read_entries_of(n)
+    )
