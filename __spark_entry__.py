@@ -665,13 +665,55 @@ def _lsh_oracle_sql() -> str:
 
 
 def q_image_features(spark, sf):
-    """Multimodal plumbing (rows-only): decode-side feature extraction over
-    mapInPandas on a deterministic synthetic image batch."""
-    from airbyte_spark.datagen import generate_images
+    """Image decode + feature extraction, ORACLE-CHECKED (r4 verdict #8):
+    deterministic two-tone checkerboard images are built from the events
+    table (even width -> exactly half the pixels at value a, half at
+    a+40, all channels equal, so after the LOSSLESS codec roundtrip the
+    decoded luma mean is a+20 and the std is 20 in closed form), pushed
+    through the real encode -> mapInPandas decode/extract path
+    (functions/images.py), and compared against the SQL closed form.
+    Texture-realistic payloads stay pinned by the PSNR fidelity tests
+    (tests/test_images_pipeline.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.codecs import encode_image
     from airbyte_spark.functions.images import image_feature_df
 
-    df = generate_images(spark, 200, num_partitions=4)
-    return image_feature_df(df)
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id")
+    )
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["event_id"]:
+                i = int(i)
+                w = 32 + 2 * (i % 31)  # even -> equal parity counts
+                h = 16 + (i % 17)
+                a = i % 200
+                yy, xx = np.mgrid[0:h, 0:w]
+                v = (a + 40 * ((xx + yy) % 2)).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": f"e{i}",
+                        "bytes": encode_image(
+                            np.stack([v, v, v], axis=-1), "png"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    df = ev.mapInPandas(make, "image_id string, bytes binary")
+    return image_feature_df(df).select(
+        "image_id",
+        "dec_w",
+        "dec_h",
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    )
 
 
 def _tmp_images_table(spark, n=120, files=6, target_bytes=512 * 1024):
@@ -805,6 +847,83 @@ def q_merge_mor_upsert(spark, sf):
         )
         return spark.createDataFrame(
             rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_merge_soft_delete(spark, sf):
+    """CDC soft-delete merge, ORACLE-CHECKED (CdcDeletionMode.SOFT_DELETE,
+    DatabricksSqlGenerator.kt:140; BasicFunctionalityIntegrationTest.kt:
+    260-276,3251-3262): the winning deletion record upserts WHOLESALE —
+    payload nulled by the source, `_ab_cdc_deleted_at` kept — instead of
+    dropping the row. The oracle reproduces the same upsert keeping
+    tombstone rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-soft-")
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(base)
+        is_del = F.col("event_id") % 15 == 0
+        batch = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            F.when(is_del, F.lit(None).cast("string"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(is_del, F.lit(None).cast("double"))
+            .otherwise(F.col("value") + 1000)
+            .alias("value"),
+            F.concat(F.lit("s"), F.col("event_id")).alias("_airbyte_raw_id"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
+            F.when(is_del, F.col("ts")).alias("_ab_cdc_deleted_at"),
+        )
+        merge_into(t, batch, mode="mor", cdc_mode="soft")
+        rows = (
+            t.scan()
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+                F.col("_ab_cdc_deleted_at").isNotNull().cast("int")
+                .alias("is_deleted"),
+            )
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, event_type string, value double, is_deleted int",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1290,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_cluster_hilbert": q_images_cluster_hilbert,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "merge_mor_upsert": q_merge_mor_upsert,
+        "merge_soft_delete": q_merge_soft_delete,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
         "audio_features": q_audio_features,
@@ -1651,6 +1771,36 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, e.value), 4) AS value
             FROM events e LEFT JOIN batch b USING (event_id)
             WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        # closed-form decode stats: two-tone checkerboard (a, a+40) with
+        # even width -> mean a+20, population std exactly 20; luma weights
+        # sum to 1.0 so equal RGB channels pass through unchanged
+        "image_features": """
+            SELECT 'e' || CAST(event_id AS VARCHAR) AS image_id,
+                   CAST(32 + 2 * (event_id % 31) AS INT) AS dec_w,
+                   CAST(16 + (event_id % 17) AS INT) AS dec_h,
+                   round(CAST(event_id % 200 + 20 AS DOUBLE), 4) AS luma_mean,
+                   round(CAST(20 AS DOUBLE), 4) AS luma_std
+            FROM events WHERE event_id % 7 = 0
+        """,
+        # soft mode: every batch row (cursor ts+1day) wins; deletion
+        # records survive as tombstones with nulled payload
+        "merge_soft_delete": """
+            WITH batch AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 15 = 0 THEN NULL
+                          ELSE event_type END AS event_type,
+                     CASE WHEN event_id % 15 = 0 THEN NULL
+                          ELSE value + 1000 END AS value,
+                     (event_id % 15 = 0) AS is_del
+              FROM events WHERE event_id % 5 = 0)
+            SELECT e.event_id,
+                   CASE WHEN b.event_id IS NOT NULL THEN b.event_type
+                        ELSE e.event_type END AS event_type,
+                   round(CASE WHEN b.event_id IS NOT NULL THEN b.value
+                              ELSE e.value END, 4) AS value,
+                   CAST(COALESCE(b.is_del, FALSE) AS INT) AS is_deleted
+            FROM events e LEFT JOIN batch b USING (event_id)
         """,
         "scd2_materialize": """
             WITH b1 AS (

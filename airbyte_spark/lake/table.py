@@ -28,7 +28,14 @@ from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from airbyte_spark.lake.format import (
     DataFileEntry,
@@ -178,6 +185,29 @@ class LakeTable:
         prop_errors = validate_table_properties(properties or {})
         if prop_errors:
             raise ConfigValidationError(prop_errors)
+        # float/double identifier fields are forbidden by Iceberg; the
+        # reference silently converts them to string at table creation
+        # (AirbyteTypeToIcebergSchema.kt:111-117, documented in
+        # docs/integrations/destinations/s3-data-lake.md:331-334). Same
+        # here — range/bloom pruning semantics on a float PK would
+        # otherwise be silently wrong (NaN ordering, JSON round-trip).
+        from pyspark.sql.types import DoubleType, FloatType
+
+        forced = [
+            f.name
+            for f in schema.fields
+            if f.name in primary_key
+            and isinstance(f.dataType, (FloatType, DoubleType))
+        ]
+        if forced:
+            schema = StructType(
+                [
+                    StructField(f.name, StringType(), f.nullable, f.metadata)
+                    if f.name in forced
+                    else f
+                    for f in schema.fields
+                ]
+            )
         t = LakeTable(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -768,6 +798,17 @@ class LakeTable:
     def append(
         self, df: DataFrame, generation_id: int = 0, branch: str = MAIN
     ) -> Snapshot:
+        # same column names, different types (e.g. a double-typed source
+        # PK against the create-time string override, or a pre-widening
+        # source): cast to the registered schema so the written files
+        # always match the schema id they are stamped with
+        tgt = self.schema(branch=branch)
+        if set(df.columns) == set(tgt.fieldNames()) and [
+            (f.name, f.dataType) for f in df.schema.fields
+        ] != [(f.name, f.dataType) for f in tgt.fields]:
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt.fields]
+            )
         entries = self.write_dataframe(df, generation_id)
         return self.commit("append", entries, branch=branch)
 
@@ -780,14 +821,69 @@ class LakeTable:
         new_schema: StructType,
         new_primary_key: list[str] | None = None,
         branch: str = MAIN,
+        drop_behavior: str = "drop",
     ) -> Snapshot:
         """Validate and commit a schema change (see lake/evolve.py). Data
         files are untouched; old files stay readable via the schema registry.
         A PK change flags a sort-order rebuild in the snapshot summary
-        (the caller should run a clustering rewrite to restore O1 order)."""
+        (the caller should run a clustering rewrite to restore O1 order).
+
+        `drop_behavior` is the reference's ColumnDropBehavior
+        (BasicFunctionalityIntegrationTest.kt:246-258): "drop" (default)
+        removes top-level columns missing from `new_schema`; "retain"
+        keeps them in the registered schema — readable with their old
+        values, NULL for rows written afterwards — while writers simply
+        stop providing them. Nested (struct-field) drops always follow
+        `new_schema` — the reference models the behavior per top-level
+        column only."""
         from airbyte_spark.lake.evolve import diff_schemas
 
+        if drop_behavior not in ("drop", "retain"):
+            raise ValueError(
+                f"drop_behavior must be 'drop' or 'retain': {drop_behavior!r}"
+            )
         old_schema = self.schema(branch=branch)
+        if drop_behavior == "retain":
+            names = set(new_schema.fieldNames())
+            retained = [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in old_schema.fields
+                if f.name not in names
+            ]
+            if retained:
+                new_schema = StructType(list(new_schema.fields) + retained)
+        if new_primary_key:
+            from pyspark.sql.types import DoubleType, FloatType
+
+            bad = [
+                c
+                for c in new_primary_key
+                if c in new_schema.fieldNames()
+                and isinstance(
+                    new_schema[c].dataType, (FloatType, DoubleType)
+                )
+            ]
+            if bad:
+                from airbyte_spark.lake.spec import ConfigValidationError
+
+                raise ConfigValidationError(
+                    [
+                        {
+                            "field": c,
+                            "error": "float-identifier",
+                            "message": (
+                                "float/double identifier fields are not "
+                                "supported; the reference converts them to "
+                                "string AT TABLE CREATION (AirbyteType"
+                                "ToIcebergSchema.kt:111-117, s3-data-lake"
+                                ".md:331-334) — an existing float column "
+                                "cannot become a key without retyping it "
+                                "first (evolve_schema to string)"
+                            ),
+                        }
+                        for c in bad
+                    ]
+                )
         d = diff_schemas(old_schema, new_schema)
         with _refs_lock(self.root):
             # whole-dict rewrite: must not interleave with a concurrent

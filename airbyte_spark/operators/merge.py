@@ -405,8 +405,18 @@ def merge_into(
     generation_id: int = 0,
     broadcast_threshold_bytes: int = 256 * 1024 * 1024,
     mode: str = "cow",
+    cdc_mode: str = "hard",
 ) -> MergeResult:
     """MERGE of a source batch into the lake table.
+
+    cdc_mode (the reference's CdcDeletionMode, DatabricksSqlGenerator.kt:
+    140; behavior pinned by BasicFunctionalityIntegrationTest.kt:260-276,
+    3251-3262): "hard" (default) removes the matched row when the winning
+    source record is a CDC delete (`cdc_col` non-null); "soft" upserts the
+    deletion record WHOLESALE — the tombstone row (source-nulled fields,
+    `_ab_cdc_*` columns kept) becomes the new row version, retained in the
+    table. The CDC column still participates in dedup/fetch identity in
+    both modes; only the drop-vs-keep decision changes.
 
     mode="cow" (default): copy-on-write — candidate files are rewritten
     with the batch folded in. Scan-cheap, write-amplified.
@@ -433,6 +443,8 @@ def merge_into(
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if cdc_mode not in ("hard", "soft"):
+        raise ValueError(f"cdc_mode must be 'hard' or 'soft', got {cdc_mode!r}")
     spark = table.spark
     pk = table.primary_key
     if cursor_col and cursor_col not in source.columns:
@@ -623,6 +635,7 @@ def merge_into(
                 pk=pk,
                 cursor_col=cursor_col,
                 cdc_col=cdc_col,
+                cdc_mode=cdc_mode,
                 branch=branch,
                 generation_id=generation_id,
                 planned_parent=planned_parent,
@@ -674,7 +687,9 @@ def merge_into(
             has_extracted=EXTRACTED_COL in target_schema.fieldNames(),
         )
         src_is_delete = (
-            F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
+            F.col(f"s.{cdc_col}").isNotNull()
+            if cdc_col and cdc_mode == "hard"
+            else F.lit(False)
         )
         if src_bytes_est <= broadcast_threshold_bytes:
             j = touched.join(F.broadcast(s), cond, "left")
@@ -692,7 +707,11 @@ def merge_into(
             key_scan = table.read_entries(
                 candidates, target_schema, deletes=live_deletes
             ).select(*pk)
-            not_deleted = ~F.col(cdc_col).isNotNull() if cdc_col else F.lit(True)
+            not_deleted = (
+                ~F.col(cdc_col).isNotNull()
+                if cdc_col and cdc_mode == "hard"
+                else F.lit(True)
+            )
             inserts = (
                 s.join(key_scan, on=pk, how="left_anti")
                 .filter(not_deleted)
@@ -783,6 +802,7 @@ def _merge_mor(
     pk: list[str],
     cursor_col: str | None,
     cdc_col: str | None,
+    cdc_mode: str,
     branch: str,
     generation_id: int,
     planned_parent: str,
@@ -835,7 +855,11 @@ def _merge_mor(
         "t", "s", cursor_col,
         has_extracted=EXTRACTED_COL in target_schema.fieldNames(),
     )
-    src_is_delete = F.col(f"s.{cdc_col}").isNotNull() if cdc_col else F.lit(False)
+    src_is_delete = (
+        F.col(f"s.{cdc_col}").isNotNull()
+        if cdc_col and cdc_mode == "hard"
+        else F.lit(False)
+    )
     winners = (
         j.filter(win)
         .select(

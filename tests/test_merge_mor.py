@@ -513,3 +513,49 @@ def test_colliding_raw_ids_resolve_to_the_slim_winner(spark, tmp_table_dir):
         ]
         merge_into(t, spark.createDataFrame(batch, SRC_SCHEMA), mode=mode)
         assert _state(t) == {"a": ("winner", 1)}, f"mode={mode}"
+
+
+def test_soft_delete_matrix_matches_cow(spark, tmp_table_dir):
+    """CdcDeletionMode.SOFT_DELETE (DatabricksSqlGenerator.kt:140; behavior
+    pinned by BasicFunctionalityIntegrationTest.kt:260-276,3251-3262): the
+    winning deletion record upserts WHOLESALE — nulled payload kept,
+    _ab_cdc_deleted_at retained — and a delete for an unseen PK INSERTS
+    the tombstone instead of vanishing. CoW and MoR must agree exactly."""
+    cow = _target(spark, os.path.join(tmp_table_dir, "cow"), "cow")
+    mor = _target(spark, os.path.join(tmp_table_dir, "mor"), "mor")
+    batch = spark.createDataFrame(MATRIX, SRC_SCHEMA)
+    merge_into(cow, batch, mode="cow", cdc_mode="soft")
+    res = merge_into(mor, batch, mode="mor", cdc_mode="soft")
+    assert res.rewritten_files == 0
+    expected = dict(
+        EXPECTED, gone=(None, 0), flash=(None, 0), ghost=(None, 0)
+    )
+    assert _state(cow) == expected
+    assert _state(mor) == expected
+    for t in (cow, mor):
+        tombstones = {
+            r["image_id"]
+            for r in t.scan().collect()
+            if r["_ab_cdc_deleted_at"] is not None
+        }
+        assert tombstones == {"gone", "flash", "ghost"}
+
+
+def test_soft_delete_keeps_stale_tombstone_out(spark, tmp_table_dir):
+    """Soft mode still resolves by cursor: a STALE deletion record loses
+    to the newer target row — no tombstone, row unchanged."""
+    t = _target(spark, tmp_table_dir, "mor")
+    stale_del = [("stale", None, 0, "sx", ts(3), ts(4), ts(6))]
+    merge_into(
+        t, spark.createDataFrame(stale_del, SRC_SCHEMA),
+        mode="mor", cdc_mode="soft",
+    )
+    assert _state(t)["stale"] == ("current", 5)
+
+
+def test_cdc_mode_validation(spark, tmp_table_dir):
+    t = _target(spark, tmp_table_dir, "cow")
+    with pytest.raises(ValueError, match="cdc_mode"):
+        merge_into(
+            t, spark.createDataFrame(MATRIX, SRC_SCHEMA), cdc_mode="nope"
+        )
