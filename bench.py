@@ -29,12 +29,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: repeats per headline query; min is reported (box noise is up to 2.3x
 #: run-to-run — single runs are anecdotes, CLAUDE.md gotcha #8)
-QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "3"))
+#: 5 runs: the r4 driver window showed a uniform 10-130% co-tenant
+#: inflation across every query; min-of-5 defeats a 2.3x spread with
+#: ~+10 s of sub-second queries (r4 verdict item 3)
+QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "5"))
 #: maintenance input multiplier over the 60k*sf base: the 8k-image r2
 #: default was orchestration-floor-bound and under-reported the engine
 #: (r3 verdict item); 8x -> 64k images at the driver's sf0.1
 MAINT_SCALE = int(os.environ.get("SPARK_GRAFT_MAINT_SCALE", "8"))
-MAINT_RUNS = int(os.environ.get("SPARK_GRAFT_MAINT_RUNS", "2"))
+MAINT_RUNS = int(os.environ.get("SPARK_GRAFT_MAINT_RUNS", "3"))
 #: merge mode for the maintenance pipeline. Default mor: the reference's
 #: actual S13 rowDelta path (insert + equality-delete, O(batch) writes);
 #: the downstream compact+cluster stages fold the deletes, so the final
