@@ -734,8 +734,11 @@ def _tmp_images_table(spark, n=120, files=6, target_bytes=512 * 1024):
 
 
 def q_images_compact_ffd(spark, sf):
-    """FFD bin-packing compaction in isolation (rows-only): returns the
-    before/after file inventory proving bins respect the target size."""
+    """FFD bin-packing compaction, ORACLE-CHECKED on the north rule's core
+    invariant: the post-maintenance scan output is IDENTICAL to the input
+    row set (ids are deterministic, so DuckDB rebuilds the expected set);
+    the file-inventory claims (fewer files, bins planned) stay asserted
+    inline."""
     import shutil
 
     from airbyte_spark.operators.compact import compact
@@ -744,20 +747,18 @@ def q_images_compact_ffd(spark, sf):
     try:
         before = len(t.data_files())
         res = compact(t)
-        rows = [
-            ("before_files", before),
-            ("after_files", len(t.data_files())),
-            ("bins", len(res.plan.bins)),
-            ("rows_preserved", int(t.scan().count())),
-        ]
-        return spark.createDataFrame(rows, "metric string, value long")
+        assert len(t.data_files()) < before, "compaction must reduce files"
+        assert res.plan.bins, "FFD must plan at least one bin"
+        rows = t.scan().select("image_id").collect()
+        return spark.createDataFrame(rows, "image_id string")
     finally:
         shutil.rmtree(t.root, ignore_errors=True)
 
 
 def q_images_cluster_hilbert(spark, sf):
-    """Hilbert clustering in isolation (rows-only): per-file phash spans
-    after the rewrite (tight spans = pruning works)."""
+    """Hilbert clustering, ORACLE-CHECKED on content preservation (the
+    north rule's identical-scan-output invariant); per-file stats and
+    pruning quality stay pinned by tests/test_compact_cluster.py."""
     import shutil
 
     from pyspark.sql import functions as F2
@@ -770,16 +771,13 @@ def q_images_cluster_hilbert(spark, sf):
         cluster(t, dims=["phash", "w", "h"], curve="hilbert",
                 target_file_bytes=512 * 1024)
         entries = t.data_files()
-        rows = [
-            (e.path.split("/")[-1], int(e.rows),
-             int(e.stats["phash"]["min"]), int(e.stats["phash"]["max"]))
-            for e in entries
-        ]
-        assert sum(r[1] for r in rows) == n0
-        return spark.createDataFrame(
-            rows, "file string, rows long, phash_min long, phash_max long"
-        ).select(F2.count("file").alias("files"),
-                 F2.sum("rows").alias("rows"))
+        assert sum(e.rows for e in entries) == n0
+        assert all(e.stats["phash"]["min"] is not None for e in entries)
+        # ORACLE-CHECKED content preservation: the clustering rewrite must
+        # not add, drop, or duplicate a single row — DuckDB rebuilds the
+        # deterministic id set
+        rows = t.scan().select("image_id").collect()
+        return spark.createDataFrame(rows, "image_id string")
     finally:
         shutil.rmtree(t.root, ignore_errors=True)
 
@@ -930,23 +928,112 @@ def q_merge_soft_delete(spark, sf):
 
 
 def q_audio_features(spark, sf):
-    """Audio modality plumbing (rows-only; SAUD deterministic codec):
-    waveform features per clip via one Arrow-batched pandas UDF."""
-    from airbyte_spark.datagen import generate_audio
-    from airbyte_spark.functions.multimodal import audio_features
+    """Audio decode + waveform features, ORACLE-CHECKED (same closed-form
+    pattern as image_features): k-period square waves of amplitude A are
+    built from the events table, pushed through the REAL SAUD encode ->
+    Arrow-UDF decode/extract path (functions/multimodal.py), and compared
+    against the SQL closed form — rms = peak = A/32768 exactly,
+    zero_cross_rate = floor((n-1)/k)/(n-1). The synth sine+noise payload
+    stays pinned by tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
 
-    return audio_features(generate_audio(spark, 120, num_partitions=4))
+    from airbyte_spark.functions.multimodal import audio_features, encode_audio
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id")
+    )
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["event_id"]:
+                i = int(i)
+                n = 256 + (i % 100)
+                k = 1 + (i % 7)
+                amp = 1000 + (i % 20000)
+                idx = np.arange(n)
+                x = np.where((idx // k) % 2 == 0, amp, -amp).astype(np.int16)
+                rows.append(
+                    {
+                        "clip_id": f"a{i}",
+                        "sample_rate": 16000,
+                        "n_samples": n,
+                        "bytes": encode_audio(x, 16000),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = ev.mapInPandas(
+        make,
+        "clip_id string, sample_rate int, n_samples int, bytes binary",
+    )
+    return audio_features(clips).select(
+        "clip_id",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    )
 
 
 def q_video_frame_features(spark, sf):
-    """Video modality plumbing (rows-only; SVID deterministic codec):
-    frame-sample every 2nd frame via mapInPandas, phash each SPNG frame
-    with the existing image codec."""
-    from airbyte_spark.datagen import generate_videos
-    from airbyte_spark.functions.multimodal import video_frame_features
+    """Video frame sampling, ORACLE-CHECKED on the sampling arithmetic:
+    videos with a known frame count per id are built from the events
+    table, every 2nd frame is exploded through the real SVID decode path
+    (mapInPandas) and phashed with the image codec; DuckDB rebuilds the
+    exact (video_id, frame_idx) set. phash VALUES are not SQL-expressible
+    (DCT) — non-null is asserted here, the codec itself is pinned by
+    tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
 
-    return video_frame_features(generate_videos(spark, 40, num_partitions=4),
-                                every_k=2)
+    from airbyte_spark.functions.multimodal import (
+        encode_video,
+        video_frame_features,
+    )
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 101 == 0)
+        .select("event_id")
+    )
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["event_id"]:
+                i = int(i)
+                n = 2 + (i % 6)
+                frames = []
+                for fidx in range(n):
+                    yy, xx = np.mgrid[0:16, 0:16]
+                    v = (
+                        (i + 31 * fidx) % 200 + 40 * ((xx + yy) % 2)
+                    ).astype(np.uint8)
+                    frames.append(np.stack([v, v, v], axis=-1))
+                rows.append(
+                    {
+                        "video_id": f"v{i}",
+                        "bytes": encode_video(frames, fps=8.0),
+                        "w": 16,
+                        "h": 16,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    videos = ev.mapInPandas(
+        make, "video_id string, bytes binary, w int, h int"
+    )
+    feats = video_frame_features(videos, every_k=2)
+    return feats.select(
+        "video_id",
+        "frame_idx",
+        F.col("phash").isNotNull().cast("int").alias("has_phash"),
+    )
 
 
 def q_cdc_log_sync(spark, sf):
@@ -1169,24 +1256,23 @@ def q_schema_evolution_roundtrip(spark, sf):
                 ),
             )
         )
+        # per-row output (ORACLE-CHECKED, r5): generated image ids are
+        # deterministic ('img-%012d' over known offset ranges), so DuckDB
+        # can rebuild the exact post-evolution alignment — v1 rows read
+        # the added columns as NULL, v2 reads nested iso widened to long
+        # with fnum NULL, v3 reads both
         rows = (
             t.scan()
-            .groupBy("alt_text")
-            .agg(
-                F2.count(F2.lit(1)).alias("cnt"),
-                F2.count("exif.iso").alias("with_iso"),
-                F2.count("exif.fnum").alias("with_fnum"),
-            )
             .select(
+                "image_id",
                 F2.coalesce("alt_text", F2.lit("v1")).alias("generation"),
-                F2.col("cnt").alias("rows"),
-                "with_iso",
-                "with_fnum",
+                F2.col("exif.iso").alias("iso"),
+                F2.col("exif.fnum").alias("fnum"),
             )
             .collect()  # materialize before the table dir is removed
         )
         return spark.createDataFrame(
-            rows, "generation string, rows long, with_iso long, with_fnum long"
+            rows, "image_id string, generation string, iso long, fnum string"
         )
     finally:
         shutil.rmtree(t.root, ignore_errors=True)
@@ -1771,6 +1857,59 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, e.value), 4) AS value
             FROM events e LEFT JOIN batch b USING (event_id)
             WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        # every-2nd-frame sampling over a known per-video frame count
+        "video_frame_features": """
+            WITH v AS (
+              SELECT event_id, 2 + (event_id % 6) AS n
+              FROM events WHERE event_id % 101 = 0)
+            SELECT 'v' || CAST(v.event_id AS VARCHAR) AS video_id,
+                   CAST(u.range AS INT) AS frame_idx,
+                   CAST(1 AS INT) AS has_phash
+            FROM v CROSS JOIN range(0, 8, 2) u
+            WHERE u.range < v.n
+        """,
+        # content preservation: maintenance must return EXACTLY the input
+        # id set (ids deterministic over known ranges)
+        "images_compact_ffd": """
+            SELECT printf('img-%012d', CAST(r.range AS INT)) AS image_id
+            FROM range(0, 120) r
+        """,
+        "images_cluster_hilbert": """
+            SELECT printf('img-%012d', CAST(r.range AS INT)) AS image_id
+            FROM range(0, 240) r
+        """,
+        # deterministic generated ids over known offset ranges; the three
+        # file generations' post-evolution alignment is pure set algebra
+        "schema_evolution_roundtrip": """
+            SELECT printf('img-%012d', CAST(r.range AS INT)) AS image_id,
+                   'v1' AS generation,
+                   CAST(NULL AS BIGINT) AS iso,
+                   CAST(NULL AS VARCHAR) AS fnum
+            FROM range(0, 40) r
+            UNION ALL
+            SELECT printf('img-%012d', CAST(1000 + r.range AS INT)),
+                   'v2', CAST(100 AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM range(0, 10) r
+            UNION ALL
+            SELECT printf('img-%012d', CAST(2000 + r.range AS INT)),
+                   'v3', CAST(200 AS BIGINT), 'f2.8'
+            FROM range(0, 5) r
+        """,
+        # closed-form waveform stats: k-period square wave of amplitude A
+        # -> rms = peak = A/32768 exactly (power-of-two division);
+        # sign flips at each multiple of k in [1, n-1]
+        "audio_features": """
+            SELECT 'a' || CAST(event_id AS VARCHAR) AS clip_id,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(256 + (event_id % 100) AS INT) AS n_samples,
+                   round((1000 + (event_id % 20000)) / 32768.0, 6) AS rms,
+                   round((1000 + (event_id % 20000)) / 32768.0, 6) AS peak,
+                   round(
+                     CAST((256 + (event_id % 100) - 1) // (1 + (event_id % 7))
+                          AS DOUBLE)
+                     / (256 + (event_id % 100) - 1), 6) AS zero_cross_rate
+            FROM events WHERE event_id % 11 = 0
         """,
         # closed-form decode stats: two-tone checkerboard (a, a+40) with
         # even width -> mean a+20, population std exactly 20; luma weights
