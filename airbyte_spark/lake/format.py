@@ -45,12 +45,24 @@ class DataFileEntry:
     filtering) and are recomputed by the manifest-rewrite maintenance job
     (SURVEY.md §2.11 "Manifest rewrite w/ stats").
 
-    `content`: "data" | "equality-deletes". A delete file holds only the
-    table's primary-key columns; at scan time its keys remove matching
-    rows from every data file with a strictly smaller `sequence` (Iceberg
-    equality-delete semantics; the reference writes them via
-    BaseDeltaTaskWriter.java:86-98 / S3DataLakeAggregate.kt:53-58
-    `newRowDelta()`).
+    `content`: "data" | "equality-deletes" | "position-deletes". An
+    equality-delete file holds only the table's primary-key columns; at
+    scan time its keys remove matching rows from every data file with a
+    strictly smaller `sequence` (Iceberg equality-delete semantics; the
+    reference writes them via BaseDeltaTaskWriter.java:86-98 /
+    S3DataLakeAggregate.kt:53-58 `newRowDelta()`). A position-delete
+    file holds (file_path, pos) rows — Iceberg v2 position deletes
+    (format spec "Position Delete Files"): each row removes the pos-th
+    row of the named data file. Path identity subsumes the sequence
+    rule (a path can only be deleted by a commit that could see it, and
+    rewrites mint new paths), so position deletes apply by path alone.
+
+    `referenced`: position-delete entries only — the distinct data-file
+    paths the delete file names (Iceberg's `referenced_data_file` field,
+    generalized to a list). None on data/equality entries, and None when
+    the set exceeded REFERENCED_PATHS_CAP at write time ("unknown —
+    read the delete file"); readers must treat None as referencing
+    everything (conservative: applies everywhere, never auto-retired).
 
     `sequence`: the commit sequence the file was added in. `None` means
     "stamp me at commit time" (LakeTable.commit fills in the new
@@ -83,6 +95,7 @@ class DataFileEntry:
     sequence: int | None = None
     sort_order_id: int = 0
     bloom: dict | None = None
+    referenced: list[str] | None = None  # position-deletes: named data files
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -101,7 +114,14 @@ class DataFileEntry:
             sequence=d.get("sequence", 0),
             sort_order_id=d.get("sort_order_id", 0),
             bloom=d.get("bloom"),
+            referenced=d.get("referenced"),
         )
+
+
+#: above this many distinct referenced data files, a position-delete
+#: entry stores referenced=None ("unknown") — manifests stay bounded and
+#: readers fall back to conservative apply-everywhere semantics.
+REFERENCED_PATHS_CAP = 1000
 
 
 #: caps on the per-manifest summary lists kept in the snapshot: above

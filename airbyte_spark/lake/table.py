@@ -442,6 +442,19 @@ class LakeTable:
             if e.content == "equality-deletes"
         ]
 
+    def position_delete_files(
+        self, branch: str = MAIN, snapshot_id: str | None = None
+    ) -> list[DataFileEntry]:
+        """Live position-delete files (Iceberg v2 'Position Delete Files':
+        each (file_path, pos) row removes the pos-th row of the named data
+        file). Written by operators/posdeletes.py (delete_where,
+        retire_equality_deletes); applied by read_entries/scan."""
+        return [
+            e
+            for e in self.all_files(branch, snapshot_id)
+            if e.content == "position-deletes"
+        ]
+
     def history(self, branch: str = MAIN) -> list[Snapshot]:
         out = []
         sid = self.current_snapshot_id(branch)
@@ -618,6 +631,53 @@ class LakeTable:
         live = [e for e in entries if e.rows > 0]
         self._attach_delete_key_hashes(live)
         return live
+
+    def write_position_delete_files(
+        self,
+        pairs: DataFrame,
+        referenced: list[str] | None,
+        generation_id: int = 0,
+    ) -> list[DataFileEntry]:
+        """Materialize a position-delete file (Iceberg v2 'Position Delete
+        Files'): rows are (file_path, pos) where `file_path` is the
+        depth-POS_KEY_DEPTH path tail of a live data file (the same
+        <...>/<dir>/<file> identity every rewrite operator keys on —
+        operators/fileid.py; the commit-uuid dir segment makes it unique
+        table-wide) and `pos` is the parquet row ordinal within that file
+        (Spark's `_metadata.row_index`). `referenced` lists the FULL paths
+        of the data files the rows name, so retirement and victim selection
+        never open the delete file; above REFERENCED_PATHS_CAP it is
+        stored as None = "references everything" (conservative). No commit
+        yet — pass the entries to `commit(add_entries=...)`."""
+        from airbyte_spark.lake.format import REFERENCED_PATHS_CAP
+
+        commit_dir = os.path.join(
+            self.data_dir, f"{new_id()}-g{generation_id}-posdel"
+        )
+        (
+            pairs.select(
+                F.col("file_path").cast("string").alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+            .coalesce(1)
+            .write.mode("errorifexists")
+            .parquet(commit_dir)
+        )
+        _drop_markers(commit_dir)
+        paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        entries = collect_file_entries(
+            self.spark, paths, [], generation_id, schema_id=self.current_schema_id
+        )
+        if referenced is not None:
+            referenced = sorted(set(referenced))
+            if len(referenced) > REFERENCED_PATHS_CAP:
+                referenced = None
+        for e in entries:
+            e.content = "position-deletes"
+            e.referenced = referenced
+            if e.rows == 0:
+                os.unlink(e.path)
+        return [e for e in entries if e.rows > 0]
 
     def _attach_delete_key_hashes(self, entries: list[DataFileEntry]) -> None:
         """Write `<file>.keyhashes` next to each fresh equality-delete
@@ -973,6 +1033,7 @@ class LakeTable:
             e.sequence = o.sequence
             e.sort_order_id = o.sort_order_id
             e.bloom = o.bloom  # sidecar is untouched; keep its descriptor
+            e.referenced = o.referenced  # position-delete file inventory
         return self.commit(
             "rewrite-manifests",
             fresh,
@@ -1085,6 +1146,9 @@ class LakeTable:
         )
         entries = [e for e in live if e.content == "data"]
         deletes = [e for e in live if e.content == "equality-deletes"]
+        # position deletes carry no key stats and match by exact file path,
+        # so read_entries' referenced-path intersection is their pruning
+        pos_deletes = [e for e in live if e.content == "position-deletes"]
         if partition_filter:
             entries = [e for e in entries if partition_matches(e, partition_filter)]
         schema = self.schema(branch=branch, snapshot_id=snapshot_id)
@@ -1097,7 +1161,7 @@ class LakeTable:
             deletes = [d for d in deletes if _intersects(d.stats.get(col), lo, hi, dt)]
         if not entries:
             return self.spark.createDataFrame([], schema)
-        df = self.read_entries(entries, schema, deletes=deletes)
+        df = self.read_entries(entries, schema, deletes=deletes + pos_deletes)
         if key_range is not None:
             col, lo, hi = key_range
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -1117,29 +1181,58 @@ class LakeTable:
         schema and unioned — keeps pre-evolution files readable after
         add-column / int->long widening (IcebergSuperTypeFinder.kt:89-121).
 
-        `deletes`: equality-delete entries to apply (Iceberg semantics: a
-        delete key removes matching rows from every data file whose commit
-        sequence is STRICTLY smaller than the delete file's). Applied as
-        one anti-join against the max delete sequence per key — broadcast
-        when the delete set is micro-batch-sized, which it is by
-        construction in the MoR merge path."""
+        `deletes`: delete entries to apply — a MIXED list is fine, kinds
+        are dispatched by `content`. Equality deletes (Iceberg semantics:
+        a delete key removes matching rows from every data file whose
+        commit sequence is STRICTLY smaller than the delete file's) apply
+        as one anti-join against the max delete sequence per key —
+        broadcast when the delete set is micro-batch-sized, which it is by
+        construction in the MoR merge path. Position deletes (Iceberg v2)
+        apply as a (file, row-ordinal) anti-join over ONLY the data files
+        their `referenced` lists name — unreferenced files never pay the
+        probe, and the extra columns are a metadata projection
+        (`_metadata.row_index`) plus a codegen'd path-tail concat."""
         schema = schema or self.schema()
         entries = [e for e in entries if e.content == "data"]
         if not entries:
             return self.spark.createDataFrame([], schema)
-        deletes = [d for d in (deletes or []) if d.rows > 0]
-        # a delete only bites data files with a smaller sequence — if every
-        # requested file is at least as new as every delete, skip the join
+        all_deletes = [d for d in (deletes or []) if d.rows > 0]
+        eq_deletes = [d for d in all_deletes if d.content == "equality-deletes"]
+        pos_deletes = [d for d in all_deletes if d.content == "position-deletes"]
+        # an equality delete only bites data files with a smaller sequence —
+        # if every requested file is at least as new as every delete, skip
         min_data_seq = min(e.sequence or 0 for e in entries)
-        deletes = [d for d in deletes if (d.sequence or 0) > min_data_seq]
-        by_schema: dict[int, list[DataFileEntry]] = {}
+        eq_deletes = [d for d in eq_deletes if (d.sequence or 0) > min_data_seq]
+        # a position delete names exact file paths: drop delete files that
+        # reference none of the requested entries (referenced=None means
+        # "unknown — applies everywhere", the writer's over-cap fallback)
+        paths = {e.path for e in entries}
+        pos_deletes = [
+            d
+            for d in pos_deletes
+            if d.referenced is None or paths & set(d.referenced)
+        ]
+        ref_union: set[str] | None = set()
+        for d in pos_deletes:
+            if d.referenced is None:
+                ref_union = None
+                break
+            ref_union.update(d.referenced)
+
+        def _pos_dirty(e: DataFileEntry) -> bool:
+            return bool(pos_deletes) and (
+                ref_union is None or e.path in ref_union
+            )
+
+        by_schema: dict[tuple[int, bool], list[DataFileEntry]] = {}
         for e in entries:
-            by_schema.setdefault(e.schema_id, []).append(e)
+            by_schema.setdefault((e.schema_id, _pos_dirty(e)), []).append(e)
         parts: list[DataFrame] = []
-        for sid, group in sorted(by_schema.items()):
+        for (sid, dirty), group in sorted(by_schema.items()):
             physical = self.registered_schema(sid)
             part = self.spark.read.schema(physical).parquet(*(e.path for e in group))
-            if deletes:
+            keep: list[str] = []
+            if eq_deletes:
                 # per-row commit sequence via the <dir>/<file>-keyed map
                 # (operators/fileid.py): ONE multi-path scan per schema, not
                 # one scan node per (schema, sequence) — after thousands of
@@ -1150,13 +1243,26 @@ class LakeTable:
                 part = part.withColumn(
                     "_mor_seq", tail_map({e.path: e.sequence or 0 for e in group})
                 )
-            parts.append(_align_keep(part, schema, ["_mor_seq"] if deletes else []))
+                keep.append("_mor_seq")
+            if dirty:
+                from airbyte_spark.operators.fileid import input_file_tail
+
+                part = part.withColumn(
+                    "_pos_file", input_file_tail(POS_KEY_DEPTH)
+                ).withColumn("_pos_idx", F.col("_metadata.row_index"))
+                part = _align_keep(part, schema, keep + ["_pos_file", "_pos_idx"])
+                part = apply_position_deletes(self, part, pos_deletes).drop(
+                    "_pos_file", "_pos_idx"
+                )
+            else:
+                part = _align_keep(part, schema, keep)
+            parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if not deletes:
+        if not eq_deletes:
             return df
-        return apply_equality_deletes(self, df, deletes)
+        return apply_equality_deletes(self, df, eq_deletes)
 
     def scan_incremental(
         self,
@@ -1607,6 +1713,38 @@ def _drop_markers(commit_dir: str) -> None:
                 os.unlink(os.path.join(d, f))
 
 
+#: path-tail depth used as the file identity in position-delete rows: 6
+#: trailing segments always include the commit-uuid data dir
+#: (`<table>/data/<uuid>-g<gen>/[partition dirs]/part-*.parquet`), which is
+#: unique table-wide, so a fixed depth never aliases two files and both the
+#: writer (file_tail) and the reader (input_file_tail) agree by construction.
+POS_KEY_DEPTH = 6
+
+
+def apply_position_deletes(
+    table: "LakeTable",
+    df: DataFrame,
+    pos_deletes: list[DataFileEntry],
+) -> DataFrame:
+    """Remove rows named by position-delete files (Iceberg v2 semantics:
+    a (file, pos) pair removes the pos-th row of that data file; path
+    identity subsumes the sequence rule because rewrites mint new paths).
+    `df` must carry `_pos_file` (depth-POS_KEY_DEPTH path tail) and
+    `_pos_idx` (`_metadata.row_index`). One anti-join; the delete side is
+    two slim columns and broadcast below 10M rows (a delete_where pass
+    names O(matched rows), micro-batch-scale by construction)."""
+    keys = (
+        table.spark.read.schema("file_path string, pos long")
+        .parquet(*(d.path for d in pos_deletes))
+        .select(
+            F.col("file_path").alias("_pos_file"), F.col("pos").alias("_pos_idx")
+        )
+    )
+    if sum(d.rows for d in pos_deletes) <= 10_000_000:
+        keys = F.broadcast(keys)
+    return df.join(keys, on=["_pos_file", "_pos_idx"], how="left_anti")
+
+
 def apply_equality_deletes(
     table: "LakeTable",
     df: DataFrame,
@@ -1621,6 +1759,23 @@ def apply_equality_deletes(
     current pk types — an id int->long evolution must not misread older
     delete files), with per-file sequences from the tail map (no per-batch
     union nodes as delete files accumulate)."""
+    newest = equality_delete_keys(table, deletes)
+    if sum(d.rows for d in deletes) <= 2_000_000:
+        newest = F.broadcast(newest)
+    return (
+        df.join(newest, on=table.primary_key, how="left")
+        .filter(F.col("_del_seq").isNull() | (F.col("_mor_seq") >= F.col("_del_seq")))
+        .drop("_mor_seq", "_del_seq")
+    )
+
+
+def equality_delete_keys(
+    table: "LakeTable", deletes: list[DataFileEntry]
+) -> DataFrame:
+    """(pk..., _del_seq=max delete sequence per key) over a set of
+    equality-delete files — the slim key side of every delete anti-join.
+    Delete files are read in one multi-path scan PER WRITE-TIME SCHEMA and
+    cast to the current pk types (see apply_equality_deletes)."""
     from airbyte_spark.operators.fileid import tail_map
 
     spark = table.spark
@@ -1647,14 +1802,7 @@ def apply_equality_deletes(
     keys = key_parts[0]
     for p in key_parts[1:]:
         keys = keys.unionByName(p)
-    newest = keys.groupBy(*pk).agg(F.max("_del_seq").alias("_del_seq"))
-    if sum(d.rows for d in deletes) <= 2_000_000:
-        newest = F.broadcast(newest)
-    return (
-        df.join(newest, on=pk, how="left")
-        .filter(F.col("_del_seq").isNull() | (F.col("_mor_seq") >= F.col("_del_seq")))
-        .drop("_mor_seq", "_del_seq")
-    )
+    return keys.groupBy(*pk).agg(F.max("_del_seq").alias("_del_seq"))
 
 
 def _partition_values(path: str, part_cols: list[str]) -> dict:

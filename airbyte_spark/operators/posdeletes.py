@@ -1,0 +1,319 @@
+"""Position deletes — Iceberg v2 "Position Delete Files" for this format.
+
+Two writers and the retirement predicate:
+
+- ``delete_where``: merge-on-read DELETE FROM. Instead of rewriting every
+  file containing a matching row (CoW write amplification ∝ touched-file
+  bytes), record (file, row-ordinal) tombstones — O(matched rows) written —
+  and drop files whose EVERY physical row matches as a pure metadata
+  removal (Iceberg's metadata delete). Scans afterwards apply a slim
+  per-file anti-join (lake/table.py::apply_position_deletes) pruned to the
+  referenced files only.
+
+- ``retire_equality_deletes``: minor compaction converting accumulated
+  equality-delete debt into position deletes (the Iceberg
+  `convert-equality-deletes` rewrite role Flink writers rely on). An
+  equality delete costs every scan a PK join against EVERY older data
+  file; after conversion the cost is an exact-path anti-join over only the
+  files that actually contain deleted keys. The conversion scan is pruned
+  by the same range + PK-bloom-sidecar test the cluster victim selector
+  uses (operators/cluster.py::delete_may_hit) — proportional to the
+  update, not the table — and reads only the PK columns.
+
+- ``dead_position_deletes``: a position-delete entry is retireable once
+  no LIVE data file is in its ``referenced`` list (rewrites mint new
+  paths, so rows naming dead paths are inert). Entries with
+  referenced=None (writer over-cap) are never auto-retired.
+
+Reference anchors: Iceberg format spec "Position Delete Files" /
+"Scan Planning"; the reference delegates delete maintenance to the
+Iceberg engine (docs/integrations/destinations/s3-data-lake.md:359-369) —
+this module is that engine's position-delete role.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airbyte_spark.lake.format import DataFileEntry, Snapshot
+from airbyte_spark.lake.table import (
+    MAIN,
+    POS_KEY_DEPTH,
+    LakeTable,
+    _align_keep,
+    equality_delete_keys,
+)
+from airbyte_spark.operators.fileid import file_tail, input_file_tail, tail_map
+
+
+@dataclass
+class PositionDeleteResult:
+    snapshot: Snapshot | None
+    matched_rows: int = 0
+    delete_rows: int = 0
+    removed_files: int = 0  # fully-matched files dropped metadata-only
+    referenced_files: int = 0
+
+
+@dataclass
+class RetireResult:
+    snapshot: Snapshot | None
+    converted_delete_files: int = 0
+    position_delete_rows: int = 0
+    scanned_files: int = 0
+    referenced_files: int = 0
+    removed_files: int = 0  # fully-dead data files dropped metadata-only
+    reasons: dict = field(default_factory=dict)
+
+
+def _pos_scan(
+    table: LakeTable, entries: list[DataFileEntry], keep_mor_seq: bool
+) -> DataFrame:
+    """Current-schema view of `entries` carrying `_pos_file`/`_pos_idx`
+    (and `_mor_seq` when asked) — the row-identity projection every
+    position-delete writer filters. Grouped per write-time schema like
+    read_entries so pre-evolution files stay readable."""
+    schema = table.schema()
+    by_schema: dict[int, list[DataFileEntry]] = {}
+    for e in entries:
+        by_schema.setdefault(e.schema_id, []).append(e)
+    parts: list[DataFrame] = []
+    for sid, group in sorted(by_schema.items()):
+        physical = table.registered_schema(sid)
+        part = (
+            table.spark.read.schema(physical)
+            .parquet(*(e.path for e in group))
+            .withColumn("_pos_file", input_file_tail(POS_KEY_DEPTH))
+            .withColumn("_pos_idx", F.col("_metadata.row_index"))
+        )
+        keep = ["_pos_file", "_pos_idx"]
+        if keep_mor_seq:
+            part = part.withColumn(
+                "_mor_seq", tail_map({e.path: e.sequence or 0 for e in group})
+            )
+            keep.append("_mor_seq")
+        parts.append(_align_keep(part, schema, keep))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def delete_where(
+    table: LakeTable,
+    condition: Column | str,
+    branch: str = MAIN,
+) -> PositionDeleteResult:
+    """MoR ``DELETE FROM table WHERE condition``. Writes one
+    position-delete file naming the matched (file, pos) pairs; files whose
+    every physical row matches are removed metadata-only instead. The
+    condition is evaluated against the CURRENT logical schema (older files
+    are aligned first). Rows an equality delete already hides may be
+    re-tombstoned — both kinds are subtractive, so that is harmless, and
+    the full-file test uses PHYSICAL row counts so a metadata removal is
+    always safe."""
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    planned_parent = table.current_snapshot_id(branch)
+    entries = table.data_files(branch=branch)
+    if not entries:
+        return PositionDeleteResult(snapshot=None)
+    by_tail = {file_tail(e.path, POS_KEY_DEPTH): e for e in entries}
+    scan = _pos_scan(table, entries, keep_mor_seq=False)
+    # job 1: per-file matched counts — slim (Catalyst prunes everything but
+    # the condition's columns + the two identity columns), metadata-sized
+    # result (one row per AFFECTED file)
+    counts = {
+        r["_pos_file"]: r["n"]
+        for r in scan.filter(condition)
+        .groupBy("_pos_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return PositionDeleteResult(snapshot=None)
+    matched = int(sum(counts.values()))
+    full_tails = {t for t, n in counts.items() if n == by_tail[t].rows}
+    partial_tails = sorted(set(counts) - full_tails)
+    add: list[DataFileEntry] = []
+    delete_rows = 0
+    if partial_tails:
+        # job 2: the tombstone write, scanning only the partially-matched
+        # files (fully-matched ones are being dropped metadata-only)
+        partial_entries = [by_tail[t] for t in partial_tails]
+        pairs = (
+            _pos_scan(table, partial_entries, keep_mor_seq=False)
+            .filter(condition)
+            .select(
+                F.col("_pos_file").alias("file_path"),
+                F.col("_pos_idx").alias("pos"),
+            )
+        )
+        add = table.write_position_delete_files(
+            pairs, referenced=[by_tail[t].path for t in partial_tails]
+        )
+        delete_rows = sum(e.rows for e in add)
+    snap = table.commit(
+        "delete",
+        add,
+        remove_paths={by_tail[t].path for t in full_tails},
+        branch=branch,
+        expected_parent=planned_parent,
+        summary={
+            "matched_rows": matched,
+            "delete_rows": delete_rows,
+            "removed_files": len(full_tails),
+            "referenced_files": len(partial_tails),
+        },
+    )
+    return PositionDeleteResult(
+        snapshot=snap,
+        matched_rows=matched,
+        delete_rows=delete_rows,
+        removed_files=len(full_tails),
+        referenced_files=len(partial_tails),
+    )
+
+
+def retire_equality_deletes(
+    table: LakeTable, branch: str = MAIN
+) -> RetireResult:
+    """Convert every live equality-delete file into position deletes in
+    one atomic commit. Candidate data files are pruned by sequence +
+    PK-range + bloom-sidecar membership (delete_may_hit — false positives
+    only cost a key-column scan; false negatives impossible), then ONE
+    slim scan of their PK columns joins the delete keys to material
+    (file, pos) tombstones. Data files whose every physical row is deleted
+    are removed metadata-only. Scan output is identical before and after
+    (pinned by tests): the eq anti-join over all older files becomes an
+    exact-path anti-join over only the files that contain deleted keys."""
+    deletes = table.delete_files(branch=branch)
+    if not deletes:
+        return RetireResult(snapshot=None)
+    planned_parent = table.current_snapshot_id(branch)
+    from airbyte_spark.operators.cluster import delete_may_hit
+
+    schema = table.schema(branch=branch)
+    pk = table.primary_key
+    data = table.data_files(branch=branch)
+    cache: dict = {}
+    affected = [
+        e
+        for e in data
+        if any(delete_may_hit(e, d, pk, schema, cache=cache) for d in deletes)
+    ]
+    add: list[DataFileEntry] = []
+    remove = {d.path for d in deletes}
+    full_paths: set[str] = set()
+    pos_rows = 0
+    referenced = 0
+    if affected:
+        by_tail = {file_tail(e.path, POS_KEY_DEPTH): e for e in affected}
+        scan = _pos_scan(table, affected, keep_mor_seq=True).select(
+            *pk, "_pos_file", "_pos_idx", "_mor_seq"
+        )
+        keys = equality_delete_keys(table, deletes)
+        if sum(d.rows for d in deletes) <= 2_000_000:
+            keys = F.broadcast(keys)
+        pairs = (
+            scan.join(keys, on=pk, how="inner")
+            .filter(F.col("_mor_seq") < F.col("_del_seq"))
+            .select(
+                F.col("_pos_file").alias("file_path"),
+                F.col("_pos_idx").alias("pos"),
+            )
+        )
+        add = table.write_position_delete_files(
+            pairs, referenced=[e.path for e in affected]
+        )
+        # the written tombstone set is micro-batch-scale; one cheap read
+        # refines `referenced` to the files that actually matched and
+        # surfaces fully-dead files for metadata removal
+        if add:
+            counts = {
+                r["file_path"]: r["n"]
+                for r in table.spark.read.parquet(*(e.path for e in add))
+                .groupBy("file_path")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            pos_rows = int(sum(counts.values()))
+            referenced = len(counts)
+            full_tails = {
+                t for t, n in counts.items() if n == by_tail[t].rows
+            }
+            full_paths = {by_tail[t].path for t in full_tails}
+            for e in add:
+                if e.referenced is not None:
+                    e.referenced = sorted(
+                        by_tail[t].path for t in counts if t not in full_tails
+                    )
+            if set(counts) <= full_tails:
+                # every matched file died whole — the tombstones are inert
+                import os as _os
+
+                for e in add:
+                    _os.unlink(e.path)
+                add = []
+                pos_rows = 0
+    snap = table.commit(
+        "retire-deletes",
+        add,
+        remove_paths=remove | full_paths,
+        branch=branch,
+        expected_parent=planned_parent,
+        summary={
+            "converted_delete_files": len(deletes),
+            "position_delete_rows": pos_rows,
+            "scanned_files": len(affected),
+            "removed_files": len(full_paths),
+        },
+    )
+    return RetireResult(
+        snapshot=snap,
+        converted_delete_files=len(deletes),
+        position_delete_rows=pos_rows,
+        scanned_files=len(affected),
+        referenced_files=referenced,
+        removed_files=len(full_paths),
+    )
+
+
+def dead_position_deletes(
+    table: LakeTable,
+    pos_entries: list[DataFileEntry],
+    remove_paths: set[str],
+    survivors: list[DataFileEntry] | None = None,
+    branch: str = MAIN,
+    snapshot_id: str | None = None,
+) -> list[DataFileEntry]:
+    """Position-delete entries none of whose referenced data files survive
+    once this commit removes `remove_paths` — safe to drop alongside.
+    With a driver `survivors` list the check is pure set algebra; without
+    one (distributed planning) liveness of the referenced paths — a
+    bounded set, REFERENCED_PATHS_CAP per entry — is answered by one slim
+    semi-join against executor-parsed manifests (entries_df), never an
+    O(table) driver list. referenced=None is never auto-retired."""
+    cands = [d for d in pos_entries if d.referenced is not None]
+    if not cands:
+        return []
+    need = set().union(*(d.referenced for d in cands)) - set(remove_paths)
+    if not need:
+        live: set[str] = set()
+    elif survivors is not None:
+        live = {e.path for e in survivors} & need
+    else:
+        refs_df = table.spark.createDataFrame(
+            [(p,) for p in sorted(need)], "path string"
+        )
+        live = {
+            r["path"]
+            for r in table.entries_df(branch=branch, snapshot_id=snapshot_id)
+            .join(F.broadcast(refs_df), on="path", how="inner")
+            .select("path")
+            .collect()
+        }
+    return [d for d in cands if not (set(d.referenced) & live)]

@@ -1,0 +1,214 @@
+"""Position deletes (Iceberg v2): delete_where, scan application,
+equality->position retirement, and interaction with MoR merge deletes.
+
+Core invariant (north rule): scan output after any position-delete
+operation equals the same logical filter applied to the pre-op scan, and
+maintenance rewrites never resurrect tombstoned rows.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.posdeletes import (
+    dead_position_deletes,
+    delete_where,
+    retire_equality_deletes,
+)
+
+
+def _rows(df, cols=("id",)):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema=StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("grp", StringType()),
+                StructField("v", LongType()),
+            ]
+        ),
+        primary_key=["id"],
+        stats_columns=["id", "grp"],
+    )
+    # three files with known contents: ids 0-9 / 10-19 / 20-29
+    for lo in (0, 10, 20):
+        df = spark.range(lo, lo + 10).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+            (F.col("id") * 100).alias("v"),
+        )
+        t.append(df.coalesce(1))
+    return t
+
+
+def test_delete_where_scan_matches_filter(spark, table):
+    before = _rows(table.scan())
+    assert len(before) == 30
+    res = delete_where(table, "grp = 'odd' and id < 15")
+    assert res.matched_rows == 7  # 1,3,5,7,9,11,13
+    after = _rows(table.scan())
+    assert after == [(i,) for i in range(30) if not (i % 2 == 1 and i < 15)]
+    # delete files carry their referenced inventory
+    pos = table.position_delete_files()
+    assert len(pos) == 1
+    assert pos[0].referenced is not None and len(pos[0].referenced) == 2
+    assert res.removed_files == 0
+
+
+def test_delete_where_full_file_is_metadata_only(spark, table):
+    files_before = {e.path for e in table.data_files()}
+    res = delete_where(table, F.col("id") >= 20)
+    # the whole 20-29 file matches -> dropped from the snapshot, no
+    # tombstones written at all
+    assert res.removed_files == 1
+    assert res.delete_rows == 0
+    assert table.position_delete_files() == []
+    assert len(table.data_files()) == 2
+    assert {e.path for e in table.data_files()} < files_before
+    assert _rows(table.scan()) == [(i,) for i in range(20)]
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    head = table.current_snapshot_id()
+    res = delete_where(table, F.col("id") > 1000)
+    assert res.snapshot is None
+    assert table.current_snapshot_id() == head
+
+
+def test_delete_where_time_travel_preserves_history(spark, table):
+    pre = table.current_snapshot_id()
+    delete_where(table, "id % 3 = 0")
+    assert len(_rows(table.scan(snapshot_id=pre))) == 30
+    assert _rows(table.scan()) == [(i,) for i in range(30) if i % 3 != 0]
+
+
+def test_delete_where_stacks_and_column_projection(spark, table):
+    delete_where(table, "id in (0, 5)")
+    delete_where(table, "id in (5, 7, 25)")
+    got = table.scan(columns=["id", "v"])
+    assert _rows(got, ("id", "v")) == [
+        (i, i * 100) for i in range(30) if i not in (0, 5, 7, 25)
+    ]
+    assert len(table.position_delete_files()) == 2
+
+
+def test_delete_where_with_key_range_scan(spark, table):
+    delete_where(table, "id in (2, 12, 22)")
+    got = table.scan(key_range=("id", 10, 25))
+    assert _rows(got) == [(i,) for i in range(10, 26) if i not in (12, 22)]
+
+
+def test_mixed_position_and_equality_deletes(spark, table):
+    from airbyte_spark.operators.merge import merge_into
+
+    delete_where(table, "id in (1, 11)")
+    # MoR upsert: updates id 2, deletes id 3 via CDC
+    batch = spark.createDataFrame(
+        [(2, "even", 99999, None), (3, "odd", 88888, "2024-01-01T00:00:00Z")],
+        "id long, grp string, v long, _ab_cdc_deleted_at string",
+    )
+    merge_into(table, batch, cursor_col="v", cdc_col="_ab_cdc_deleted_at", mode="mor")
+    got = {r["id"]: r["v"] for r in table.scan().collect()}
+    assert 1 not in got and 11 not in got and 3 not in got
+    assert got[2] == 99999
+    assert len(got) == 27
+
+
+def test_retire_equality_deletes_scan_identical(spark, table):
+    from airbyte_spark.operators.merge import merge_into
+
+    batch = spark.createDataFrame(
+        [(4, "even", 70000, None), (14, "even", 70000, "del"), (99, "odd", 70000, None)],
+        "id long, grp string, v long, _ab_cdc_deleted_at string",
+    )
+    merge_into(table, batch, cursor_col="v", cdc_col="_ab_cdc_deleted_at", mode="mor")
+    before = _rows(table.scan(), ("id", "v"))
+    assert len(table.delete_files()) == 1
+    res = retire_equality_deletes(table)
+    assert res.converted_delete_files == 1
+    assert table.delete_files() == []
+    pos = table.position_delete_files()
+    assert len(pos) == 1
+    # only the two files containing ids 4 and 14 actually matched
+    assert res.referenced_files == 2
+    assert _rows(table.scan(), ("id", "v")) == before
+    # bloom pruning kept the scan proportional to the update: candidate
+    # files are capped by the bloom probe, and the untouched 20-29 file
+    # (plus the fresh MoR insert file for id 99) was never referenced
+    assert pos[0].referenced is not None
+    assert len(pos[0].referenced) == 2
+
+
+def test_retire_noop_without_deletes(spark, table):
+    head = table.current_snapshot_id()
+    res = retire_equality_deletes(table)
+    assert res.snapshot is None
+    assert table.current_snapshot_id() == head
+
+
+def test_retire_with_stale_deletes_only_drops_them(spark, table):
+    from airbyte_spark.operators.merge import merge_into
+
+    # a delete era whose keys hit nothing that is still live: upsert a new
+    # key (no prior version) -> the MoR delete file's key has no older row
+    batch = spark.createDataFrame([(500, "odd", 1)], "id long, grp string, v long")
+    merge_into(table, batch, cursor_col="v", cdc_col=None, mode="mor")
+    assert len(table.delete_files()) == 1
+    before = _rows(table.scan())
+    res = retire_equality_deletes(table)
+    assert res.snapshot is not None
+    assert table.delete_files() == []
+    assert res.position_delete_rows == 0
+    assert table.position_delete_files() == []
+    assert _rows(table.scan()) == before
+
+
+def test_dead_position_deletes_predicate(spark, table):
+    delete_where(table, "id in (3, 13)")
+    pos = table.position_delete_files()
+    assert len(pos) == 1
+    refs = pos[0].referenced
+    data = table.data_files()
+    # removing only one referenced file keeps the entry alive
+    assert dead_position_deletes(
+        table, pos, {refs[0]}, survivors=[e for e in data if e.path != refs[0]]
+    ) == []
+    # removing every referenced file retires it (driver path)
+    survivors = [e for e in data if e.path not in set(refs)]
+    assert dead_position_deletes(table, pos, set(refs), survivors=survivors) == [
+        pos[0]
+    ]
+    # distributed path (no survivor list) agrees
+    assert dead_position_deletes(table, pos, set(refs)) == [pos[0]]
+    assert dead_position_deletes(table, pos, {refs[0]}) == []
+
+
+def test_delete_where_after_schema_evolution(spark, table):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    table.evolve_schema(
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("grp", StringType()),
+                StructField("v", LongType()),
+                StructField("extra", StringType()),
+            ]
+        )
+    )
+    table.append(
+        spark.createDataFrame([(100, "even", 1, "x"), (101, "odd", 1, "y")],
+                              "id long, grp string, v long, extra string")
+    )
+    # condition touches a column absent from the old files (aligned NULL)
+    res = delete_where(table, "extra = 'y' or id = 5")
+    assert res.matched_rows == 2
+    got = _rows(table.scan())
+    assert (101,) not in got and (5,) not in got and (100,) in got
