@@ -927,6 +927,140 @@ def q_merge_soft_delete(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _events_lake_table(spark, sf, root):
+    """Deterministic lake table from `events` for the position-delete
+    queries: two appends split by event_id % 10 so a DELETE WHERE whose
+    predicate covers the second append whole exercises the metadata-only
+    file drop alongside row-level tombstones."""
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+        ]
+    )
+    t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+    t.append(ev.filter(F.col("event_id") % 10 != 0))
+    t.append(ev.filter(F.col("event_id") % 10 == 0))
+    return t
+
+
+def q_delete_where_scan(spark, sf):
+    """MoR DELETE FROM via position deletes (Iceberg v2 'Position Delete
+    Files', operators/posdeletes.py), ORACLE-CHECKED: tombstone matched
+    (file, row-ordinal) pairs — O(matched rows) written, zero data files
+    rewritten — then scan; the per-file anti-join must reproduce exactly
+    the SQL NOT-filter. Files of the second append match the predicate
+    WHOLE and must be dropped metadata-only (no tombstones for them)."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    root = tempfile.mkdtemp(prefix="entry-posdel-")
+    try:
+        t = _events_lake_table(spark, sf, root)
+        res = delete_where(
+            t, "event_id % 10 = 0 OR event_type = 'error'"
+        )
+        assert res.removed_files >= 1, "whole-file match must drop metadata-only"
+        assert res.delete_rows > 0 and res.delete_rows < res.matched_rows
+        assert t.position_delete_files(), "tombstone entry must be live"
+        rows = (
+            t.scan()
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_retire_eq_deletes(spark, sf):
+    """Equality->position delete retirement (minor compaction,
+    operators/posdeletes.py::retire_equality_deletes), ORACLE-CHECKED by
+    scan invariance: after a MoR merge identical to `merge_mor_upsert`,
+    converting its equality-delete debt to position deletes must leave
+    the scan byte-identical — the oracle is the SAME upsert SQL. The
+    conversion scan is pruned by the PK bloom sidecars and the commit
+    retires every equality-delete entry."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import retire_equality_deletes
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-retire-")
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(base)
+        batch = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            F.concat(F.lit("s"), F.col("event_id")).alias("_airbyte_raw_id"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
+            F.when(F.col("event_id") % 15 == 0, F.col("ts")).alias(
+                "_ab_cdc_deleted_at"
+            ),
+        )
+        merge_into(t, batch, mode="mor")
+        assert t.delete_files(), "MoR merge must add equality-delete files"
+        res = retire_equality_deletes(t)
+        assert res.snapshot is not None
+        assert t.delete_files() == [], "retirement must drop every eq entry"
+        assert t.position_delete_files(), "conversion must add tombstones"
+        rows = (
+            t.scan()
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_audio_features(spark, sf):
     """Audio decode + waveform features, ORACLE-CHECKED (same closed-form
     pattern as image_features): k-period square waves of amplitude A are
@@ -1495,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_cluster_hilbert": q_images_cluster_hilbert,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "merge_mor_upsert": q_merge_mor_upsert,
+        "delete_where_scan": q_delete_where_scan,
+        "retire_eq_deletes": q_retire_eq_deletes,
         "merge_soft_delete": q_merge_soft_delete,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
@@ -1848,6 +1984,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.n_tokens >= 5 AND s.lang = 'en'
         """,
         "merge_mor_upsert": """
+            WITH batch AS (
+              SELECT event_id, event_type, value + 1000 AS value,
+                     (event_id % 15 = 0) AS is_del
+              FROM events WHERE event_id % 5 = 0)
+            SELECT e.event_id,
+                   COALESCE(b.event_type, e.event_type) AS event_type,
+                   round(COALESCE(b.value, e.value), 4) AS value
+            FROM events e LEFT JOIN batch b USING (event_id)
+            WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        # MoR DELETE FROM: the position-delete anti-join must equal the
+        # plain NOT-filter
+        "delete_where_scan": """
+            SELECT event_id, event_type, round(value, 4) AS value
+            FROM events
+            WHERE NOT (event_id % 10 = 0 OR event_type = 'error')
+        """,
+        # eq->pos retirement is scan-invariant: same oracle as the MoR
+        # upsert whose delete debt it converts
+        "retire_eq_deletes": """
             WITH batch AS (
               SELECT event_id, event_type, value + 1000 AS value,
                      (event_id % 15 = 0) AS is_del

@@ -161,6 +161,24 @@ def _bloom_says_may_hit(
     return _bl.might_contain_any(bitmap, hashes, int(eb["k"]))
 
 
+def pos_ref_union(pos_deletes: list[DataFileEntry]) -> set[str] | None:
+    """Union of the data-file paths live position-delete files reference;
+    None when ANY entry has referenced=None (writer over-cap: "references
+    everything" — the conservative hit-all semantics)."""
+    ref: set[str] = set()
+    for d in pos_deletes:
+        if d.referenced is None:
+            return None
+        ref.update(d.referenced)
+    return ref
+
+
+def pos_delete_may_hit(entry: DataFileEntry, ref: set[str] | None) -> bool:
+    """A position delete names exact paths — the hit test is membership in
+    the referenced union (None = unknown inventory, conservative True)."""
+    return ref is None or entry.path in ref
+
+
 def select_cluster_victims(
     table: LakeTable,
     entries: list[DataFileEntry],
@@ -171,6 +189,7 @@ def select_cluster_victims(
     branch: str = MAIN,
     fold_deletes: bool = True,
     max_sorted_levels: int = DEFAULT_MAX_SORTED_LEVELS,
+    pos_deletes: list[DataFileEntry] | None = None,
 ) -> tuple[list[DataFileEntry], dict]:
     """Pick the files a dirty-scoped cluster pass must rewrite. Pure
     manifest metadata — no Spark job. Returns (victims, reason counts).
@@ -210,13 +229,19 @@ def select_cluster_victims(
     pk = table.primary_key
     small: list[DataFileEntry] = []
     sidecar_cache: dict = {}
+    # position deletes hit by exact path (referenced inventory) — same
+    # fold gate as equality deletes; folding one retires its tombstones
+    pref = pos_ref_union(pos_deletes or []) if pos_deletes else set()
     for e in entries:
         if e.sort_order_id != order_id:
             victims[e.path] = e
             reasons["unsorted"] += 1
-        elif fold_deletes and any(
-            delete_may_hit(e, d, pk, schema, cache=sidecar_cache)
-            for d in deletes
+        elif fold_deletes and (
+            (bool(pos_deletes) and pos_delete_may_hit(e, pref))
+            or any(
+                delete_may_hit(e, d, pk, schema, cache=sidecar_cache)
+                for d in deletes
+            )
         ):
             victims[e.path] = e
             reasons["delete-hit"] += 1
@@ -264,6 +289,7 @@ def select_cluster_victims_distributed(
     max_sorted_levels: int = DEFAULT_MAX_SORTED_LEVELS,
     partition_filter: dict | None = None,
     snapshot_id: str | None = None,
+    pos_deletes: list[DataFileEntry] | None = None,
 ) -> tuple[list[DataFileEntry], dict, int, int]:
     """select_cluster_victims without the O(table) driver pass (r4 verdict
     top item; Iceberg SparkDistributedDataScan / rewrite_data_files
@@ -298,6 +324,13 @@ def select_cluster_victims_distributed(
     del_blobs = (
         [_json.dumps(d.to_json()) for d in deletes] if fold_deletes else []
     )
+    # position-delete hit test = membership in the referenced union; the
+    # inventory is writer-capped (REFERENCED_PATHS_CAP per file) so the
+    # closure ships O(tombstoned files), not O(table). has_pos + None
+    # encodes "unknown inventory -> every file is hit" exactly like the
+    # driver selector.
+    has_pos = bool(pos_deletes) and fold_deletes
+    pref = pos_ref_union(pos_deletes or []) if has_pos else set()
     small_cut = float(min_size_ratio) * float(target_file_bytes)
     pf = dict(partition_filter) if partition_filter else None
     oid = int(order_id)
@@ -330,9 +363,12 @@ def select_cluster_victims_distributed(
                     continue
                 if e.sort_order_id != oid:
                     cls = "unsorted"
-                elif dels and any(
-                    delete_may_hit(e, d, pk, schema, cache=cache)
-                    for d in dels
+                elif (has_pos and pos_delete_may_hit(e, pref)) or (
+                    dels
+                    and any(
+                        delete_may_hit(e, d, pk, schema, cache=cache)
+                        for d in dels
+                    )
                 ):
                     cls = "delete-hit"
                 elif e.bytes < small_cut:
@@ -628,6 +664,7 @@ def cluster(
     order_id = table.ensure_sort_order(dims, curve, bits)
     planned_parent = table.current_snapshot_id(branch)
     deletes = table.delete_files(branch=branch)
+    pos_deletes = table.position_delete_files(branch=branch)
     # Dead-delete retirement must see the WHOLE table's survivors — a
     # delete that no longer hits THIS partition may still hit another
     # one; a partition-pruned survivor list resurrects deleted rows
@@ -653,7 +690,11 @@ def cluster(
     if scope == "dirty":
         if fold_deletes == "auto":
             max_eras = int(table.properties.get("cluster.max-delete-eras", 8) or 0)
-            eras = {d.sequence or 0 for d in deletes}
+            # position-delete eras count toward the same debt gate: each is
+            # one more anti-join input every scan folds in
+            eras = {d.sequence or 0 for d in deletes} | {
+                d.sequence or 0 for d in pos_deletes
+            }
             # 0 disables the auto fold, mirroring merge.mor.max-delete-eras
             fold = bool(max_eras) and len(eras) > max_eras
         else:
@@ -677,6 +718,7 @@ def cluster(
                     fold_deletes=fold, max_sorted_levels=max_levels,
                     partition_filter=partition_filter,
                     snapshot_id=planned_parent,
+                    pos_deletes=pos_deletes,
                 )
             )
             if not files_before:
@@ -694,6 +736,7 @@ def cluster(
                 table, entries, deletes, order_id, target_file_bytes,
                 min_size_ratio=min_size_ratio, branch=branch,
                 fold_deletes=fold, max_sorted_levels=max_levels,
+                pos_deletes=pos_deletes,
             )
             files_before = len(entries)
             bytes_before = sum(e.bytes for e in entries)
@@ -736,7 +779,10 @@ def cluster(
             victim_reasons=reasons,
         )
 
-    df = table.read_entries(victims, schema, deletes=deletes)
+    # position deletes MUST fold into any victim rewrite regardless of why
+    # the victim was chosen — a rewritten file gets a new path, so an
+    # unapplied tombstone would silently resurrect its rows
+    df = table.read_entries(victims, schema, deletes=deletes + pos_deletes)
     key = curve_key_udf(
         dims, _dim_bounds_entries(victims, df.select(*dims), dims), curve, bits
     )
@@ -778,13 +824,21 @@ def cluster(
     # a rewritten victim restamps its rows at the new commit sequence; any
     # delete file no SURVIVING data file can be subject to is dead — drop
     # it in the same commit (for a full-table pass that is all of them)
+    from airbyte_spark.operators.posdeletes import dead_position_deletes
+
     if all_entries is None:
         dead = dead_delete_files_distributed(
             table, remove, deletes, pk, schema, branch, planned_parent
         )
+        dead += dead_position_deletes(
+            table, pos_deletes, remove, branch=branch, snapshot_id=planned_parent
+        )
     else:
         survivors = [e for e in all_entries if e.path not in remove]
         dead = dead_delete_files(survivors, deletes, pk, schema)
+        dead += dead_position_deletes(
+            table, pos_deletes, remove, survivors=survivors
+        )
     remove |= {d.path for d in dead}
     snap = table.commit(
         "cluster",

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql import functions as F
+
 from airbyte_spark.lake.format import Snapshot
 from airbyte_spark.lake.table import MAIN, LakeTable
 from airbyte_spark.plans.ffd import CompactionPlan, plan_ffd
@@ -64,6 +66,7 @@ def compact(
 
         entries = [e for e in entries if partition_matches(e, partition_filter)]
     deletes = table.delete_files(branch=branch)
+    pos_deletes = table.position_delete_files(branch=branch)
     # group by (generation, schema, partition) — files may only be packed
     # with peers of the same schema + generation (generation-tagged naming
     # S14, IcebergUtil.kt:58-69) and the same partition (partition-scoped
@@ -85,7 +88,9 @@ def compact(
         if not plan.bins:
             continue
         seq_by_path = {e.path: e.sequence or 0 for e in group}
-        new_entries = _execute_bins(table, plan, gen, sid, deletes, seq_by_path)
+        new_entries = _execute_bins(
+            table, plan, gen, sid, deletes, seq_by_path, pos_deletes
+        )
         all_new.extend(new_entries)
         for b in plan.bins:
             all_victims.update(b.paths)
@@ -97,10 +102,24 @@ def compact(
     if not all_new:
         return CompactionResult(None, merged_plan, len(entries), len(entries), 0)
 
+    # a position-delete entry none of whose referenced files survive this
+    # commit is retired alongside (its tombstones were folded into the bins)
+    from airbyte_spark.operators.posdeletes import dead_position_deletes
+
+    if partition_filter is None:
+        survivors = [e for e in entries if e.path not in all_victims]
+        dead_pos = dead_position_deletes(
+            table, pos_deletes, all_victims, survivors=survivors
+        )
+    else:
+        dead_pos = dead_position_deletes(
+            table, pos_deletes, all_victims, branch=branch,
+            snapshot_id=planned_parent,
+        )
     snap = table.commit(
         "compact",
         all_new,
-        remove_paths=all_victims,
+        remove_paths=all_victims | {d.path for d in dead_pos},
         branch=branch,
         expected_parent=planned_parent,
         summary={
@@ -125,8 +144,9 @@ def _execute_bins(
     schema_id: int,
     deletes=None,
     seq_by_path: dict | None = None,
+    pos_deletes=None,
 ):
-    from airbyte_spark.operators.fileid import tail_map
+    from airbyte_spark.operators.fileid import input_file_tail, tail_map
 
     spark = table.spark
     physical = table.registered_schema(schema_id)
@@ -140,6 +160,26 @@ def _execute_bins(
             "_bin", tail_map({p: b.bin_id for b in plan.bins for p in b.paths})
         )
     )
+    # position deletes naming any victim MUST fold in — packed files carry
+    # new paths, so an unapplied tombstone would resurrect its rows
+    vset = set(victims)
+    applicable_pos = [
+        d
+        for d in (pos_deletes or [])
+        if d.referenced is None or vset & set(d.referenced)
+    ]
+    if applicable_pos:
+        from airbyte_spark.lake.table import (
+            POS_KEY_DEPTH,
+            apply_position_deletes,
+        )
+
+        df = df.withColumn("_pos_file", input_file_tail(POS_KEY_DEPTH)).withColumn(
+            "_pos_idx", F.col("_metadata.row_index")
+        )
+        df = apply_position_deletes(table, df, applicable_pos).drop(
+            "_pos_file", "_pos_idx"
+        )
     # MoR tables: packed output files get a NEW commit sequence, so live
     # equality-deletes would stop applying to them — fold the applicable
     # deletes in during the rewrite (Iceberg rewrite-data-files behavior)

@@ -60,12 +60,16 @@ def rewrite_deletes(
     """Rewrite delete-affected data files with deletes applied; drop all
     delete entries atomically. No-op when the table has no delete files."""
     deletes = table.delete_files(branch=branch)
-    if not deletes:
+    pos_deletes = table.position_delete_files(branch=branch)
+    if not deletes and not pos_deletes:
         return DeleteFoldResult(None, 0, 0)
     planned_parent = table.current_snapshot_id(branch)
     pk = table.primary_key
     pk0 = pk[0]
     data = table.data_files(branch=branch)
+    from airbyte_spark.operators.cluster import pos_ref_union
+
+    pref = pos_ref_union(pos_deletes) if pos_deletes else set()
     victims = [
         e
         for e in data
@@ -74,6 +78,10 @@ def rewrite_deletes(
             and _ranges_intersect(e.stats.get(pk0), d.stats.get(pk0))
             for d in deletes
         )
+        # position deletes name exact files; folding every referenced file
+        # lets the commit drop ALL tombstone entries (None inventory means
+        # "unknown" -> every data file joins the rewrite)
+        or (pos_deletes and (pref is None or e.path in pref))
     ]
     new_entries: list[DataFileEntry] = []
     if victims:
@@ -104,7 +112,29 @@ def rewrite_deletes(
                     tail_map({e.path: e.sequence or 0 for e in group}),
                 )
             )
-            df = apply_equality_deletes(table, df, deletes)
+            gpaths = {e.path for e in group}
+            applicable_pos = [
+                d
+                for d in pos_deletes
+                if d.referenced is None or gpaths & set(d.referenced)
+            ]
+            if applicable_pos:
+                from airbyte_spark.lake.table import (
+                    POS_KEY_DEPTH,
+                    apply_position_deletes,
+                )
+                from airbyte_spark.operators.fileid import input_file_tail
+
+                df = df.withColumn(
+                    "_pos_file", input_file_tail(POS_KEY_DEPTH)
+                ).withColumn("_pos_idx", F.col("_metadata.row_index"))
+                df = apply_position_deletes(table, df, applicable_pos).drop(
+                    "_pos_file", "_pos_idx"
+                )
+            if deletes:
+                df = apply_equality_deletes(table, df, deletes)
+            else:
+                df = df.drop("_mor_seq")
             out = df.repartition(
                 max(len(group), spark.sparkContext.defaultParallelism), "_fold_bin"
             )
@@ -159,18 +189,20 @@ def rewrite_deletes(
     snap = table.commit(
         "rewrite-deletes",
         new_entries,
-        remove_paths={e.path for e in victims} | {d.path for d in deletes},
+        remove_paths={e.path for e in victims}
+        | {d.path for d in deletes}
+        | {d.path for d in pos_deletes},
         branch=branch,
         expected_parent=planned_parent,
         summary={
             "rewritten_files": len(victims),
-            "dropped_delete_files": len(deletes),
+            "dropped_delete_files": len(deletes) + len(pos_deletes),
         },
     )
     return DeleteFoldResult(
         snapshot=snap,
         rewritten_files=len(victims),
-        dropped_delete_files=len(deletes),
+        dropped_delete_files=len(deletes) + len(pos_deletes),
     )
 
 

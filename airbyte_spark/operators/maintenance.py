@@ -248,14 +248,19 @@ def run_partitioned_maintenance(
                 )
             )
             deletes = table.delete_files()
+            pos_deletes = table.position_delete_files()
             max_eras = int(table.properties.get("cluster.max-delete-eras", 8) or 0)
-            fold = bool(max_eras) and len({d.sequence or 0 for d in deletes}) > max_eras
+            eras = {d.sequence or 0 for d in deletes} | {
+                d.sequence or 0 for d in pos_deletes
+            }
+            fold = bool(max_eras) and len(eras) > max_eras
             victims, _ = select_cluster_victims(
                 table, table.data_files(), deletes, order_id, tfb,
                 fold_deletes=fold,
                 max_sorted_levels=int(
                     table.properties.get("cluster.max-sorted-levels", 8) or 0
                 ),
+                pos_deletes=pos_deletes,
             )
             dirty = {tuple(sorted(v.partition.items())) for v in victims}
             skipped_partitions = len(seen) - len(dirty & set(seen))
@@ -317,7 +322,7 @@ def run_partitioned_maintenance(
     # un-folded deletes correct meanwhile — same policy as the dirty
     # cluster and the MoR merge). Cheap when it runs: the per-partition
     # rewrites already restamped most data files to a newer sequence
-    leftover = table.delete_files()
+    leftover = table.delete_files() + table.position_delete_files()
     max_eras = int(table.properties.get("cluster.max-delete-eras", 8) or 0)
     if leftover and (
         cluster_scope == "full"

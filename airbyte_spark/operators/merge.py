@@ -225,8 +225,8 @@ def _plan_candidates_distributed(
 ) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
     """Candidate data files + live delete files for a merge, planned
     WITHOUT an O(table) driver entry list: LakeTable.entries_df parses
-    manifests on executors; Catalyst filters keep (a) every
-    equality-delete entry (they must all apply during the rewrite,
+    manifests on executors; Catalyst filters keep (a) every delete entry,
+    equality AND position (they must all apply during the rewrite,
     whatever their key range), (b) data entries whose partition is in
     the batch (only under merge.partition-pruning), and (c) data entries
     whose [min,max] PK range intersects the batch's overall [lo,hi].
@@ -253,7 +253,9 @@ def _plan_candidates_distributed(
         )
     edf = table.entries_df(branch=branch, snapshot_id=snapshot_id, stats_col=pk0)
     rows = (
-        edf.where((F.col("content") == "equality-deletes") | cond)
+        edf.where(
+            F.col("content").isin("equality-deletes", "position-deletes") | cond
+        )
         .select("content", "entry_json")
         .collect()
     )
@@ -265,7 +267,7 @@ def _plan_candidates_distributed(
     deletes = [
         DataFileEntry.from_json(_json.loads(r["entry_json"]))
         for r in rows
-        if r["content"] == "equality-deletes"
+        if r["content"] != "data"
     ]
     return _bloom_prune_candidates(table, src_keys, cands, pk0), deletes
 
@@ -621,7 +623,11 @@ def merge_into(
                 table, key_set, prunable, pk[0],
                 pk_type=target_schema[pk[0]].dataType,
             )
-            live_deletes = table.delete_files(branch=branch)
+            # position deletes ride the same list: read_entries dispatches
+            # by content, and a CoW candidate rewrite must fold them in
+            live_deletes = table.delete_files(
+                branch=branch
+            ) + table.position_delete_files(branch=branch)
         _tick("candidates")
 
         if mode == "mor":
@@ -761,10 +767,22 @@ def merge_into(
             out, generation_id=generation_id, partition_by="_pid"
         )
         _tick("write")
+        # rewritten candidates may exhaust a position-delete file's
+        # referenced inventory — retire it in the same commit
+        from airbyte_spark.operators.posdeletes import dead_position_deletes
+
+        remove = {e.path for e in candidates}
+        dead_pos = dead_position_deletes(
+            table,
+            [d for d in live_deletes if d.content == "position-deletes"],
+            remove,
+            branch=branch,
+            snapshot_id=planned_parent,
+        )
         snap = table.commit(
             "merge",
             new_entries,
-            remove_paths={e.path for e in candidates},
+            remove_paths=remove | {d.path for d in dead_pos},
             branch=branch,
             expected_parent=planned_parent,
             summary={

@@ -212,3 +212,131 @@ def test_delete_where_after_schema_evolution(spark, table):
     assert res.matched_rows == 2
     got = _rows(table.scan())
     assert (101,) not in got and (5,) not in got and (100,) in got
+
+
+def test_compact_folds_position_deletes(spark, table):
+    from airbyte_spark.operators.compact import compact
+
+    delete_where(table, "id in (1, 11, 21)")
+    before = _rows(table.scan(), ("id", "v"))
+    res = compact(table, target_file_bytes=1 << 20)
+    assert res.snapshot is not None and res.files_after < 3
+    # packed files carry new paths: tombstones were folded, not dropped
+    assert _rows(table.scan(), ("id", "v")) == before
+    # every referenced file was rewritten -> the tombstone entry retired
+    assert table.position_delete_files() == []
+
+
+def test_cluster_folds_position_deletes(spark, table):
+    from airbyte_spark.operators.cluster import cluster
+
+    delete_where(table, "grp = 'odd'")
+    before = _rows(table.scan(), ("id", "v"))
+    assert len(before) == 15
+    res = cluster(table, dims=["id", "v"], curve="zorder")
+    assert res.snapshot is not None
+    assert _rows(table.scan(), ("id", "v")) == before
+    assert table.position_delete_files() == []
+    assert res.dropped_delete_files == 1
+
+
+def test_cluster_dirty_keeps_live_position_deletes(spark, table):
+    from airbyte_spark.operators.cluster import cluster
+
+    # settle the table first (a never-clustered table rewrites everything)
+    cluster(table, dims=["id", "v"], curve="zorder")
+    delete_where(table, "id in (2, 3)")
+    before = _rows(table.scan())
+    # dirty pass with folding off: tombstoned files are NOT victims and the
+    # tombstone entry stays live; scan stays correct via the anti-join
+    res = cluster(
+        table, dims=["id", "v"], curve="zorder", scope="dirty",
+        fold_deletes="never",
+    )
+    assert table.position_delete_files() != []
+    assert _rows(table.scan()) == before
+    # forcing the fold rewrites the referenced files and retires the entry
+    res = cluster(
+        table, dims=["id", "v"], curve="zorder", scope="dirty",
+        fold_deletes="always",
+    )
+    assert res.snapshot is not None
+    assert res.victim_reasons.get("delete-hit", 0) >= 1
+    assert table.position_delete_files() == []
+    assert _rows(table.scan()) == before
+
+
+def test_cow_merge_folds_position_deletes(spark, table):
+    from airbyte_spark.operators.merge import merge_into
+
+    delete_where(table, "id in (1, 3)")
+    batch = spark.createDataFrame(
+        [(2, "even", 77777)], "id long, grp string, v long"
+    )
+    merge_into(table, batch, cursor_col="v", cdc_col=None, mode="cow")
+    got = {r["id"]: r["v"] for r in table.scan().collect()}
+    assert got[2] == 77777
+    assert 1 not in got and 3 not in got
+    assert len(got) == 28
+
+
+def test_rewrite_deletes_folds_both_kinds(spark, table):
+    from airbyte_spark.operators.deletes import rewrite_deletes
+    from airbyte_spark.operators.merge import merge_into
+
+    delete_where(table, "id in (5, 15)")
+    batch = spark.createDataFrame(
+        [(6, "even", 88888, "del")],
+        "id long, grp string, v long, _ab_cdc_deleted_at string",
+    )
+    merge_into(table, batch, cursor_col="v", cdc_col="_ab_cdc_deleted_at", mode="mor")
+    before = _rows(table.scan())
+    assert len(before) == 27
+    res = rewrite_deletes(table)
+    assert res.dropped_delete_files == 2  # one eq era + one pos entry
+    assert table.delete_files() == [] and table.position_delete_files() == []
+    assert _rows(table.scan()) == before
+
+
+def test_victim_selectors_agree_on_position_deletes(spark, table):
+    from airbyte_spark.operators.cluster import (
+        cluster,
+        select_cluster_victims,
+        select_cluster_victims_distributed,
+    )
+
+    cluster(table, dims=["id", "v"], curve="zorder")
+    delete_where(table, "id = 4")
+    order_id = table.ensure_sort_order(["id", "v"], "zorder", 21)
+    deletes = table.delete_files()
+    pos = table.position_delete_files()
+    driver, d_reasons = select_cluster_victims(
+        table, table.data_files(), deletes, order_id, 1 << 20,
+        fold_deletes=True, pos_deletes=pos,
+    )
+    dist, x_reasons, files_before, _ = select_cluster_victims_distributed(
+        table, deletes, order_id, 1 << 20,
+        fold_deletes=True, pos_deletes=pos,
+    )
+    assert {e.path for e in driver} == {e.path for e in dist}
+    assert d_reasons == x_reasons
+    assert d_reasons["delete-hit"] >= 1
+    assert files_before == len(table.data_files())
+
+
+def test_expired_tombstone_files_are_garbage_collected(spark, table):
+    import os
+
+    from airbyte_spark.operators.cluster import cluster
+
+    delete_where(table, "id in (1, 11)")
+    pos_path = table.position_delete_files()[0].path
+    assert os.path.exists(pos_path)
+    # full cluster folds + retires the tombstone entry; expire + GC must
+    # then physically remove the now-unreachable file
+    cluster(table, dims=["id", "v"], curve="zorder")
+    assert table.position_delete_files() == []
+    table.expire_snapshots(keep_last=1)
+    removed = table.remove_orphan_files(grace_period_ms=0)
+    assert not os.path.exists(pos_path)
+    assert pos_path in set(removed)
