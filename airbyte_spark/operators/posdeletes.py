@@ -282,6 +282,90 @@ def retire_equality_deletes(
     )
 
 
+@dataclass
+class TombstoneCompactionResult:
+    snapshot: Snapshot | None
+    input_files: int = 0
+    output_files: int = 0
+    rows_before: int = 0
+    rows_after: int = 0
+
+
+def compact_position_deletes(
+    table: LakeTable,
+    branch: str = MAIN,
+    min_input_files: int = 2,
+) -> TombstoneCompactionResult:
+    """Fold many small position-delete files into one (Iceberg's
+    rewrite_position_delete_files): stacked DELETE WHERE commits each add
+    a tombstone file every scan must union — compaction bounds that at
+    one file, and drops rows whose named data file is no longer live
+    (inert: rewrites mint new paths). Tombstone sets are O(deleted rows),
+    micro-scale next to the data, so the rewrite is one slim job; the
+    liveness check is a bounded semi-join over the referenced unions
+    (never an O(table) driver list). Rows of an unknown-inventory file
+    (referenced=None) are kept verbatim — they cannot be attributed."""
+    pos = table.position_delete_files(branch=branch)
+    if len(pos) < min_input_files:
+        return TombstoneCompactionResult(None, input_files=len(pos))
+    planned_parent = table.current_snapshot_id(branch)
+    known_refs: set[str] = set()
+    any_unknown = False
+    for d in pos:
+        if d.referenced is None:
+            any_unknown = True
+        else:
+            known_refs.update(d.referenced)
+    # liveness of the (bounded) referenced union via one slim semi-join
+    # against executor-parsed manifests
+    live_refs: set[str] = set()
+    if known_refs:
+        refs_df = table.spark.createDataFrame(
+            [(p,) for p in sorted(known_refs)], "path string"
+        )
+        live_refs = {
+            r["path"]
+            for r in table.entries_df(branch=branch, snapshot_id=planned_parent)
+            .where(F.col("content") == "data")
+            .join(F.broadcast(refs_df), on="path", how="inner")
+            .select("path")
+            .collect()
+        }
+    dead_tails = {
+        file_tail(p, POS_KEY_DEPTH) for p in known_refs - live_refs
+    }
+    rows = table.spark.read.schema("file_path string, pos long").parquet(
+        *(d.path for d in pos)
+    )
+    if dead_tails:
+        rows = rows.filter(~F.col("file_path").isin(*sorted(dead_tails)))
+    # exact duplicates across stacked DELETEs collapse too
+    rows = rows.distinct()
+    add = table.write_position_delete_files(
+        rows,
+        referenced=None if any_unknown else sorted(live_refs),
+    )
+    snap = table.commit(
+        "rewrite-tombstones",
+        add,
+        remove_paths={d.path for d in pos},
+        branch=branch,
+        expected_parent=planned_parent,
+        summary={
+            "input_files": len(pos),
+            "output_files": len(add),
+            "rows_after": sum(e.rows for e in add),
+        },
+    )
+    return TombstoneCompactionResult(
+        snapshot=snap,
+        input_files=len(pos),
+        output_files=len(add),
+        rows_before=sum(d.rows for d in pos),
+        rows_after=sum(e.rows for e in add),
+    )
+
+
 def dead_position_deletes(
     table: LakeTable,
     pos_entries: list[DataFileEntry],

@@ -340,3 +340,55 @@ def test_expired_tombstone_files_are_garbage_collected(spark, table):
     removed = table.remove_orphan_files(grace_period_ms=0)
     assert not os.path.exists(pos_path)
     assert pos_path in set(removed)
+
+
+def test_compact_position_deletes_folds_tombstone_files(spark, table):
+    from airbyte_spark.operators.posdeletes import compact_position_deletes
+
+    delete_where(table, "id = 1")
+    delete_where(table, "id in (1, 12)")  # duplicate tombstone for id=1
+    delete_where(table, "id = 23")
+    before = _rows(table.scan())
+    assert len(table.position_delete_files()) == 3
+    res = compact_position_deletes(table)
+    assert res.input_files == 3 and res.output_files == 1
+    assert res.rows_after == 3  # the duplicate (file,pos) pair collapsed
+    pos = table.position_delete_files()
+    assert len(pos) == 1 and pos[0].rows == 3
+    assert pos[0].referenced is not None and len(pos[0].referenced) == 3
+    assert _rows(table.scan()) == before
+
+
+def test_compact_position_deletes_drops_dead_path_rows(spark, table):
+    from airbyte_spark.operators.compact import compact
+    from airbyte_spark.operators.posdeletes import compact_position_deletes
+
+    delete_where(table, "id in (2, 25)")  # spans files 0-9 and 20-29
+    delete_where(table, "id = 13")
+    # CoW merge on id=4 rewrites the 0-9 file: the tombstone entry stays
+    # live (it still references 20-29) but its row for the dead path is
+    # inert and must be dropped by the compaction
+    from airbyte_spark.operators.merge import merge_into
+
+    batch = spark.createDataFrame([(4, "even", 99999)], "id long, grp string, v long")
+    merge_into(table, batch, cursor_col="v", cdc_col=None, mode="cow")
+    after_merge = _rows(table.scan())
+    assert len(table.position_delete_files()) == 2
+    res = compact_position_deletes(table)
+    assert res.snapshot is not None
+    assert res.rows_before == 3 and res.rows_after == 2
+    assert _rows(table.scan()) == after_merge
+    pos = table.position_delete_files()
+    assert len(pos) == 1
+    # only the still-live referenced files remain in the inventory
+    assert len(pos[0].referenced) == 2
+
+
+def test_compact_position_deletes_noop_below_threshold(spark, table):
+    from airbyte_spark.operators.posdeletes import compact_position_deletes
+
+    delete_where(table, "id = 1")
+    head = table.current_snapshot_id()
+    res = compact_position_deletes(table)
+    assert res.snapshot is None
+    assert table.current_snapshot_id() == head
