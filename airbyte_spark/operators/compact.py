@@ -160,14 +160,25 @@ def _execute_bins(
             "_bin", tail_map({p: b.bin_id for b in plan.bins for p in b.paths})
         )
     )
-    # position deletes naming any victim MUST fold in — packed files carry
-    # new paths, so an unapplied tombstone would resurrect its rows
+    # MoR tables: packed output files get a NEW commit sequence, so live
+    # equality-deletes would stop applying to them, and position deletes
+    # naming any victim must fold in (packed files carry new paths — an
+    # unapplied tombstone would resurrect its rows). ALL file-identity
+    # columns (input_file_name()-derived) must attach BEFORE the first
+    # join: Spark's PreReadCheck rejects input_file_name on a plan with
+    # more than one file source (caught by test_posdelete_model).
+    min_seq = min(seq_by_path.values()) if seq_by_path else 0
+    applicable = [d for d in (deletes or []) if (d.sequence or 0) > min_seq]
     vset = set(victims)
     applicable_pos = [
         d
         for d in (pos_deletes or [])
         if d.referenced is None or vset & set(d.referenced)
     ]
+    if applicable:
+        df = df.withColumn(
+            "_mor_seq", tail_map({p: seq_by_path.get(p, 0) for p in victims})
+        )
     if applicable_pos:
         from airbyte_spark.lake.table import (
             POS_KEY_DEPTH,
@@ -180,17 +191,9 @@ def _execute_bins(
         df = apply_position_deletes(table, df, applicable_pos).drop(
             "_pos_file", "_pos_idx"
         )
-    # MoR tables: packed output files get a NEW commit sequence, so live
-    # equality-deletes would stop applying to them — fold the applicable
-    # deletes in during the rewrite (Iceberg rewrite-data-files behavior)
-    min_seq = min(seq_by_path.values()) if seq_by_path else 0
-    applicable = [d for d in (deletes or []) if (d.sequence or 0) > min_seq]
     if applicable:
         from airbyte_spark.lake.table import apply_equality_deletes
 
-        df = df.withColumn(
-            "_mor_seq", tail_map({p: seq_by_path.get(p, 0) for p in victims})
-        )
         df = apply_equality_deletes(table, df, applicable)
     n_bins = len(plan.bins)
     out = df.repartition(
