@@ -1061,6 +1061,53 @@ def q_retire_eq_deletes(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_partition_evolution_scan(spark, sf):
+    """Partition spec evolution (Iceberg 'Partition Evolution':
+    metadata-only spec change, files keep their written layout),
+    ORACLE-CHECKED: half the events land unpartitioned, the spec then
+    switches to identity(event_type), the rest land partitioned; a
+    partition-filtered scan must return EXACTLY the SQL filter — layout
+    pruning for new-spec files, row-level enforcement for old ones
+    (lake/table.py::scan / update_partition_spec)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="entry-pspec-")
+    try:
+        from pyspark.sql.types import DoubleType as DT
+        from pyspark.sql.types import LongType as LT
+        from pyspark.sql.types import StringType as ST
+        from pyspark.sql.types import StructField as SF_
+        from pyspark.sql.types import StructType as STt
+
+        from airbyte_spark.lake.table import LakeTable
+
+        ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+        schema = STt(
+            [
+                SF_("event_id", LT(), False),
+                SF_("event_type", ST()),
+                SF_("value", DT()),
+            ]
+        )
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        t.update_partition_spec(["event_type"])
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        assert any("event_type" not in e.partition for e in t.data_files())
+        assert any("event_type" in e.partition for e in t.data_files())
+        rows = (
+            t.scan(partition_filter={"event_type": "click"})
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_audio_features(spark, sf):
     """Audio decode + waveform features, ORACLE-CHECKED (same closed-form
     pattern as image_features): k-period square waves of amplitude A are
@@ -1631,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_upsert": q_merge_mor_upsert,
         "delete_where_scan": q_delete_where_scan,
         "retire_eq_deletes": q_retire_eq_deletes,
+        "partition_evolution_scan": q_partition_evolution_scan,
         "merge_soft_delete": q_merge_soft_delete,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
@@ -2000,6 +2048,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, round(value, 4) AS value
             FROM events
             WHERE NOT (event_id % 10 = 0 OR event_type = 'error')
+        """,
+        # mixed partition specs: layout pruning + row-level enforcement
+        # must equal the plain filter
+        "partition_evolution_scan": """
+            SELECT event_id, event_type, round(value, 4) AS value
+            FROM events WHERE event_type = 'click'
         """,
         # eq->pos retirement is scan-invariant: same oracle as the MoR
         # upsert whose delete debt it converts

@@ -103,8 +103,15 @@ def _manifest_may_match(
     """
     if partition_filter and info.get("content") == ["data"]:
         parts = info.get("partitions")
+        # a partition dict LACKING a filter column is an entry written
+        # under an older partition spec (partition evolution): its rows
+        # can only be filtered row-level, so the manifest must be kept —
+        # mirrors scan()'s entry rule exactly (missing column -> keep)
         if parts is not None and not any(
-            all(p.get(c) == partition_str(v) for c, v in partition_filter.items())
+            all(
+                c not in p or p.get(c) == partition_str(v)
+                for c, v in partition_filter.items()
+            )
             for p in parts
         ):
             return False
@@ -1006,6 +1013,33 @@ class LakeTable:
             branch=branch,
         )
 
+    def update_partition_spec(self, new_partition_by: list[str]) -> None:
+        """Change the table's identity-partition columns (Iceberg
+        'Partition Evolution', format spec: specs are additive metadata —
+        existing data files are NEVER rewritten; they keep the layout of
+        the spec they were written under, new writes use the new spec,
+        and split planning handles both). Here likewise: metadata-only.
+        Readers handle mixed layouts: scan()'s `partition_filter` prunes
+        files whose parsed partition values carry the filter column and
+        enforces the predicate ROW-LEVEL for files written under a spec
+        that lacked it (the real column is always stored in the file);
+        maintenance rewrites migrate old files to the current spec
+        lazily, exactly like Iceberg's rewrite_data_files after a spec
+        change."""
+        schema = self.schema()
+        missing = [c for c in new_partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        with _refs_lock(self.root):
+            refs = self._refs()
+            old = refs["table"].get("partition_by", [])
+            if list(new_partition_by) == list(old):
+                return
+            hist = refs["table"].setdefault("partition_spec_history", [old])
+            hist.append(list(new_partition_by))
+            refs["table"]["partition_by"] = list(new_partition_by)
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
     def rewrite_manifests(self, branch: str = MAIN) -> Snapshot:
         """Recompute per-file min/max stats from parquet footers for every
         live file and commit fresh manifests (SURVEY.md §2.11 "Manifest
@@ -1149,8 +1183,20 @@ class LakeTable:
         # position deletes carry no key stats and match by exact file path,
         # so read_entries' referenced-path intersection is their pruning
         pos_deletes = [e for e in live if e.content == "position-deletes"]
+        enforce_partition_rows = False
         if partition_filter:
-            entries = [e for e in entries if partition_matches(e, partition_filter)]
+            kept = []
+            for e in entries:
+                if all(c in e.partition for c in partition_filter):
+                    if partition_matches(e, partition_filter):
+                        kept.append(e)
+                else:
+                    # written under an older partition spec (partition
+                    # evolution): the layout can't prune it — keep the
+                    # file and enforce the predicate row-level below
+                    kept.append(e)
+                    enforce_partition_rows = True
+            entries = kept
         schema = self.schema(branch=branch, snapshot_id=snapshot_id)
         if key_range is not None:
             col, lo, hi = key_range
@@ -1165,6 +1211,18 @@ class LakeTable:
         if key_range is not None:
             col, lo, hi = key_range
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        if enforce_partition_rows:
+            # row-level twin of the layout rule, using the SAME
+            # cast-to-string convention the writer lays dirs out with —
+            # pre-evolution files contain the real column, so the filter
+            # is exact; rows of exactly-matched files satisfy it trivially
+            for c, v in partition_filter.items():
+                sv = partition_str(v)
+                df = df.filter(
+                    F.col(c).isNull()
+                    if sv is None
+                    else F.col(c).cast("string") == F.lit(sv)
+                )
         if columns:
             df = df.select(*columns)
         return df

@@ -239,9 +239,23 @@ def _plan_candidates_distributed(
     is_data = F.col("content") == "data"
     cond = is_data
     if batch_parts is not None:
+        import re as _re
+
+        # keep: exact partition match, OR a layout that does not cover
+        # every CURRENT partition column — "" (unpartitioned) and
+        # pre-evolution specs (partition evolution) may hold any key.
+        # partition_key is the canonical sorted "k=v/..." form, so column
+        # coverage is the anchored (^|/)<col>= pattern.
         part_ok = F.col("partition_key") == ""
         if batch_parts:
             part_ok = part_ok | F.col("partition_key").isin(*sorted(batch_parts))
+            cols = sorted(
+                {seg.split("=", 1)[0] for key in batch_parts for seg in key.split("/")}
+            )
+            for c in cols:
+                part_ok = part_ok | ~F.col("partition_key").rlike(
+                    f"(^|/){_re.escape(c)}="
+                )
         cond = cond & part_ok
     if b["lo"] is not None:
         kmin = F.col("stat_min").try_cast(pk_type)
@@ -617,7 +631,10 @@ def merge_into(
                     for e in entries
                     if tuple(e.partition.get(c) for c in part_cols)
                     in batch_parts
-                    or not e.partition
+                    # unpartitioned files AND files written under an older
+                    # partition spec (partition evolution) carry no layout
+                    # value for some current column — they may hold any key
+                    or not all(c in e.partition for c in part_cols)
                 ]
             candidates = _candidate_entries(
                 table, key_set, prunable, pk[0],
