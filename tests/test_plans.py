@@ -241,3 +241,80 @@ def test_limit_compiles_to_incremental_collect(spark):
     assert "CollectLimit" in p, p[:400]
     assert "Sort" not in p
     assert len(df.collect()) == 7
+
+
+def test_position_delete_scan_plan(spark, tmp_table_dir):
+    """Scale contract of the position-delete read path: tombstones apply
+    as a BROADCAST left-anti join (the data side never shuffles for it),
+    and only files in the tombstone's referenced inventory pay the probe —
+    the clean group is a separate scan with no _metadata projection."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("grp", StringType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["id"])
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id"),
+                F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+                F.lit("x" * 100).alias("payload"),
+            )
+            .coalesce(1)
+        )
+    delete_where(t, "id in (3, 5)")  # references only the first file
+    df = t.scan()
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:800]
+    assert "SortMergeJoin" not in p
+    # the un-referenced file reads without the metadata projection: two
+    # data scans, only one of them carrying row_index
+    assert p.count("row_index") >= 1
+    data_scans = [
+        ln for ln in p.splitlines() if "Scan parquet" in ln and "-g0" in ln
+    ]
+    assert len(data_scans) >= 2, p[:800]
+
+
+def test_delete_where_count_scan_prunes_payload(spark, tmp_table_dir):
+    """delete_where's per-file match-count job must read only the
+    condition's columns plus the two identity columns — the payload never
+    loads (Catalyst column pruning through the metadata projection)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.posdeletes import _pos_scan
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("grp", StringType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["id"])
+    t.append(
+        spark.range(0, 100).select(
+            F.col("id"),
+            F.lit("g").alias("grp"),
+            F.lit("x" * 100).alias("payload"),
+        )
+    )
+    counts = (
+        _pos_scan(t, t.data_files(), keep_mor_seq=False)
+        .filter("grp = 'g' and id < 10")
+        .groupBy("_pos_file")
+        .count()
+    )
+    p = plan_of(counts)
+    frag = p[p.index("ReadSchema") :][:300]
+    assert "payload" not in frag, f"payload must be pruned: {frag}"
