@@ -56,6 +56,7 @@ class PositionDeleteResult:
     delete_rows: int = 0
     removed_files: int = 0  # fully-matched files dropped metadata-only
     referenced_files: int = 0
+    scanned_files: int = 0  # files the condition was evaluated over
 
 
 @dataclass
@@ -106,6 +107,8 @@ def delete_where(
     table: LakeTable,
     condition: Column | str,
     branch: str = MAIN,
+    partition_filter: dict | None = None,
+    key_range: tuple[str, object, object] | None = None,
 ) -> PositionDeleteResult:
     """MoR ``DELETE FROM table WHERE condition``. Writes one
     position-delete file naming the matched (file, pos) pairs; files whose
@@ -114,11 +117,51 @@ def delete_where(
     are aligned first). Rows an equality delete already hides may be
     re-tombstoned — both kinds are subtractive, so that is harmless, and
     the full-file test uses PHYSICAL row counts so a metadata removal is
-    always safe."""
+    always safe.
+
+    `partition_filter` / `key_range` scope the DELETE the way a 100-TB
+    table needs: they are ADDITIONAL predicates (ANDed into the
+    condition, so a wrong hint can never over- or under-delete) that
+    prune at BOTH metadata levels — whole manifests via the manifest-list
+    summaries, then entries via per-file stats / partition values —
+    before any file is opened. Without them a full-table DELETE scans
+    every file, which is its honest cost."""
     if isinstance(condition, str):
         condition = F.expr(condition)
     planned_parent = table.current_snapshot_id(branch)
-    entries = table.data_files(branch=branch)
+    entries = table.data_files(
+        branch=branch, partition_filter=partition_filter, key_range=key_range
+    )
+    schema = table.schema(branch=branch)
+    if key_range is not None:
+        from airbyte_spark.lake.table import _intersects
+
+        col, lo, hi = key_range
+        dt = schema[col].dataType if col in schema.fieldNames() else None
+        entries = [
+            e for e in entries if _intersects(e.stats.get(col), lo, hi, dt)
+        ]
+        condition = condition & (F.col(col) >= F.lit(lo)) & (
+            F.col(col) <= F.lit(hi)
+        )
+    if partition_filter:
+        from airbyte_spark.lake.table import partition_matches, partition_str
+
+        # same mixed-spec rule as scan(): layout-covered files prune
+        # exactly; pre-evolution files stay and the row predicate decides
+        entries = [
+            e
+            for e in entries
+            if not all(c in e.partition for c in partition_filter)
+            or partition_matches(e, partition_filter)
+        ]
+        for c, v in partition_filter.items():
+            sv = partition_str(v)
+            condition = condition & (
+                F.col(c).isNull()
+                if sv is None
+                else F.col(c).cast("string") == F.lit(sv)
+            )
     if not entries:
         return PositionDeleteResult(snapshot=None)
     by_tail = {file_tail(e.path, POS_KEY_DEPTH): e for e in entries}
@@ -134,7 +177,7 @@ def delete_where(
         .collect()
     }
     if not counts:
-        return PositionDeleteResult(snapshot=None)
+        return PositionDeleteResult(snapshot=None, scanned_files=len(entries))
     matched = int(sum(counts.values()))
     full_tails = {t for t, n in counts.items() if n == by_tail[t].rows}
     partial_tails = sorted(set(counts) - full_tails)
@@ -167,6 +210,7 @@ def delete_where(
             "delete_rows": delete_rows,
             "removed_files": len(full_tails),
             "referenced_files": len(partial_tails),
+            "scanned_files": len(entries),
         },
     )
     return PositionDeleteResult(
@@ -175,7 +219,56 @@ def delete_where(
         delete_rows=delete_rows,
         removed_files=len(full_tails),
         referenced_files=len(partial_tails),
+        scanned_files=len(entries),
     )
+
+
+def _affected_entries_distributed(
+    table: LakeTable,
+    deletes: list[DataFileEntry],
+    pk: list[str],
+    schema,
+    branch: str,
+    snapshot_id: str | None,
+) -> list[DataFileEntry]:
+    """Data entries some equality delete may hit, selected on executors
+    (mirrors cluster.py::dead_delete_files_distributed, inverted: collect
+    the HIT entries). Workers run the same delete_may_hit predicate —
+    sequence compare, PK-range intersect, bloom-sidecar probe with the
+    sidecars read locally — over their manifest slices; only O(affected)
+    entry blobs return to the driver. The delete list is micro-batch-
+    bounded (merge.mor.max-delete-eras), so the closure ships ~KBs."""
+    import json as _json
+
+    import pandas as pd
+
+    from airbyte_spark.operators.cluster import delete_may_hit as _hit
+
+    del_blobs = [_json.dumps(d.to_json()) for d in deletes]
+    pk_local, schema_local = list(pk), schema
+
+    def probe(batches):
+        dels = [DataFileEntry.from_json(_json.loads(b)) for b in del_blobs]
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for blob in pdf["entry_json"]:
+                e = DataFileEntry.from_json(_json.loads(blob))
+                if any(
+                    _hit(e, d, pk_local, schema_local, cache=cache)
+                    for d in dels
+                ):
+                    out.append(blob)
+            yield pd.DataFrame({"entry_json": out})
+
+    rows = (
+        table.entries_df(branch=branch, snapshot_id=snapshot_id)
+        .where(F.col("content") == "data")
+        .select("entry_json")
+        .mapInPandas(probe, "entry_json string")
+        .collect()
+    )
+    return [DataFileEntry.from_json(_json.loads(r["entry_json"])) for r in rows]
 
 
 def retire_equality_deletes(
@@ -198,13 +291,31 @@ def retire_equality_deletes(
 
     schema = table.schema(branch=branch)
     pk = table.primary_key
-    data = table.data_files(branch=branch)
-    cache: dict = {}
-    affected = [
-        e
-        for e in data
-        if any(delete_may_hit(e, d, pk, schema, cache=cache) for d in deletes)
-    ]
+    # affected-file selection: the same sequence+range+bloom predicate the
+    # cluster victim selector runs. Past the planning threshold it runs
+    # over executor-parsed manifests (entries_df) so the driver never
+    # materializes an O(table) entry list — same policy as cluster/merge.
+    infos = table.snapshot(branch=branch).manifest_infos
+    total_entries = (
+        sum(i.get("entry_count", 0) for i in infos) if infos else None
+    )
+    dist_threshold = int(
+        table.properties.get("cluster.planning.distributed-threshold", 100_000)
+    )
+    if total_entries is not None and total_entries > dist_threshold:
+        affected = _affected_entries_distributed(
+            table, deletes, pk, schema, branch, planned_parent
+        )
+    else:
+        data = table.data_files(branch=branch)
+        cache: dict = {}
+        affected = [
+            e
+            for e in data
+            if any(
+                delete_may_hit(e, d, pk, schema, cache=cache) for d in deletes
+            )
+        ]
     add: list[DataFileEntry] = []
     remove = {d.path for d in deletes}
     full_paths: set[str] = set()

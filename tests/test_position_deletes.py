@@ -392,3 +392,104 @@ def test_compact_position_deletes_noop_below_threshold(spark, table):
     res = compact_position_deletes(table)
     assert res.snapshot is None
     assert table.current_snapshot_id() == head
+
+
+def test_delete_where_pruning_hints(spark, table):
+    # key_range prunes by manifest stats: only the 10-19 file is opened
+    res = delete_where(table, "grp = 'odd'", key_range=("id", 12, 17))
+    assert res.scanned_files == 1
+    assert _rows(table.scan()) == [
+        (i,) for i in range(30) if not (12 <= i <= 17 and i % 2 == 1)
+    ]
+    # a hint is an ANDed predicate: a too-narrow range cannot over-delete
+    res = delete_where(table, "id >= 0", key_range=("id", 25, 27))
+    assert res.matched_rows == 3
+    assert _rows(table.scan()) == [
+        (i,)
+        for i in range(30)
+        if not (12 <= i <= 17 and i % 2 == 1) and not (25 <= i <= 27)
+    ]
+
+
+def test_delete_where_partition_filter_hint(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "p"),
+        schema=StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("grp", StringType()),
+                StructField("v", LongType()),
+            ]
+        ),
+        primary_key=["id"],
+        partition_by=["grp"],
+    )
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.append(df)
+    total = len(t.data_files())
+    res = delete_where(t, "id < 10", partition_filter={"grp": "odd"})
+    assert res.scanned_files < total
+    got = sorted(r["id"] for r in t.scan().collect())
+    assert got == [i for i in range(40) if not (i < 10 and i % 2 == 1)]
+
+
+def test_retire_distributed_matches_driver(spark, table):
+    from airbyte_spark.operators.cluster import delete_may_hit
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import _affected_entries_distributed
+
+    batch = spark.createDataFrame(
+        [(4, "even", 70000), (14, "even", 70000)], "id long, grp string, v long"
+    )
+    merge_into(table, batch, cursor_col="v", cdc_col=None, mode="mor")
+    deletes = table.delete_files()
+    schema, pk = table.schema(), table.primary_key
+    cache: dict = {}
+    driver = {
+        e.path
+        for e in table.data_files()
+        if any(delete_may_hit(e, d, pk, schema, cache=cache) for d in deletes)
+    }
+    dist = {
+        e.path
+        for e in _affected_entries_distributed(
+            table, deletes, pk, schema, "main", table.current_snapshot_id()
+        )
+    }
+    assert driver == dist and driver
+
+
+def test_retire_end_to_end_past_distributed_threshold(spark, tmp_path):
+    from airbyte_spark.operators.merge import merge_into
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "d"),
+        schema=StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("grp", StringType()),
+                StructField("v", LongType()),
+            ]
+        ),
+        primary_key=["id"],
+        properties={"cluster.planning.distributed-threshold": "1"},
+    )
+    for lo in (0, 10, 20):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id"), F.lit("g").alias("grp"), (F.col("id") * 100).alias("v"))
+            .coalesce(1)
+        )
+    batch = spark.createDataFrame([(5, "g", 99999)], "id long, grp string, v long")
+    merge_into(t, batch, cursor_col="v", cdc_col=None, mode="mor")
+    before = _rows(t.scan(), ("id", "v"))
+    res = retire_equality_deletes(t)
+    assert res.snapshot is not None and res.scanned_files >= 1
+    assert t.delete_files() == []
+    assert _rows(t.scan(), ("id", "v")) == before
