@@ -353,7 +353,44 @@ class LakeTable:
 
     def snapshot(self, snapshot_id: str | None = None, branch: str = MAIN) -> Snapshot:
         sid = snapshot_id or self.current_snapshot_id(branch)
-        return Snapshot.from_json(read_json(os.path.join(self.meta_dir, f"snap-{sid}.json")))
+        # `snapshot_id` may be a TAG name (Iceberg `VERSION AS OF 'tag'`
+        # resolves named refs): resolve it when it isn't a snapshot id
+        path = os.path.join(self.meta_dir, f"snap-{sid}.json")
+        if not os.path.exists(path):
+            tagged = self.tags.get(sid)
+            if tagged is not None:
+                path = os.path.join(self.meta_dir, f"snap-{tagged}.json")
+        return Snapshot.from_json(read_json(path))
+
+    @property
+    def tags(self) -> dict[str, str]:
+        """Named immutable snapshot references (Iceberg tags): unlike a
+        branch, a tag never moves; expire_snapshots keeps every tagged
+        snapshot (and, transitively, its files from GC) until the tag is
+        dropped — the audit/reproducibility pin for training-data runs."""
+        return self._refs().get("tags", {})
+
+    def create_tag(self, name: str, snapshot_id: str | None = None) -> None:
+        with _refs_lock(self.root):
+            refs = self._refs()
+            sid = snapshot_id or refs["branches"][MAIN]
+            if not os.path.exists(
+                os.path.join(self.meta_dir, f"snap-{sid}.json")
+            ):
+                raise ValueError(f"unknown snapshot: {sid}")
+            tags = refs.setdefault("tags", {})
+            if name in tags:
+                raise ValueError(f"tag exists: {name}")
+            if name in refs["branches"]:
+                raise ValueError(f"name collides with a branch: {name}")
+            tags[name] = sid
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
+    def drop_tag(self, name: str) -> None:
+        with _refs_lock(self.root):
+            refs = self._refs()
+            refs.get("tags", {}).pop(name, None)
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
     def snapshot_as_of(self, timestamp_ms: int, branch: str = MAIN) -> Snapshot:
         """Time travel (Iceberg `FOR SYSTEM_TIME AS OF`): the newest
@@ -1495,6 +1532,10 @@ class LakeTable:
     ) -> list[str]:
         refs = self._refs()
         keep: set[str] = set()
+        # tagged snapshots are pinned until the tag is dropped (Iceberg
+        # tag retention): keep the snapshot itself — not its ancestry —
+        # so a tag costs exactly one snapshot of metadata
+        keep.update(refs.get("tags", {}).values())
         for head in refs["branches"].values():
             sid, n = head, 0
             while sid is not None:
