@@ -1061,6 +1061,78 @@ def q_retire_eq_deletes(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_changelog_scan(spark, sf):
+    """Row-level changelog (Iceberg changelog scan / Delta CDF analog),
+    ORACLE-CHECKED: after the same MoR merge as `merge_mor_upsert`,
+    scan_changelog must emit exactly the batch's pre-images as deletes
+    and its surviving post-images as inserts (an update = delete+insert
+    pair, a CDC delete = delete only) — both sets closed-form in SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-cdf-")
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(base)
+        frm = t.current_snapshot_id()
+        batch = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            F.concat(F.lit("s"), F.col("event_id")).alias("_airbyte_raw_id"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
+            F.when(F.col("event_id") % 15 == 0, F.col("ts")).alias(
+                "_ab_cdc_deleted_at"
+            ),
+        )
+        merge_into(t, batch, mode="mor")
+        rows = (
+            t.scan_changelog(frm)
+            .select(
+                "_change_type",
+                "event_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+            )
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "_change_type string, event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_partition_evolution_scan(spark, sf):
     """Partition spec evolution (Iceberg 'Partition Evolution':
     metadata-only spec change, files keep their written layout),
@@ -1679,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_scan": q_delete_where_scan,
         "retire_eq_deletes": q_retire_eq_deletes,
         "partition_evolution_scan": q_partition_evolution_scan,
+        "changelog_scan": q_changelog_scan,
         "merge_soft_delete": q_merge_soft_delete,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
@@ -2048,6 +2121,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, round(value, 4) AS value
             FROM events
             WHERE NOT (event_id % 10 = 0 OR event_type = 'error')
+        """,
+        # changelog: every batch key that existed emits its pre-image as a
+        # delete; surviving post-images emit as inserts
+        "changelog_scan": """
+            SELECT 'delete' AS _change_type, event_id, event_type,
+                   round(value, 4) AS value
+            FROM events WHERE event_id % 5 = 0
+            UNION ALL
+            SELECT 'insert' AS _change_type, event_id, event_type,
+                   round(value + 1000, 4) AS value
+            FROM events WHERE event_id % 5 = 0 AND event_id % 15 <> 0
         """,
         # mixed partition specs: layout pruning + row-level enforcement
         # must equal the plain filter

@@ -1379,11 +1379,258 @@ class LakeTable:
             for e in self.data_files(branch=branch, snapshot_id=to_snap.snapshot_id)
             if (e.sequence or 0) > from_seq
         ]
-        deletes = self.delete_files(branch=branch, snapshot_id=to_snap.snapshot_id)
+        deletes = self.delete_files(
+            branch=branch, snapshot_id=to_snap.snapshot_id
+        ) + self.position_delete_files(
+            branch=branch, snapshot_id=to_snap.snapshot_id
+        )
         schema = self.schema(branch=branch, snapshot_id=to_snap.snapshot_id)
         if not entries:
             return self.spark.createDataFrame([], schema)
         return self.read_entries(entries, schema, deletes=deletes)
+
+    #: snapshot operations whose row set is PROVABLY unchanged (pinned by
+    #: the maintenance scan-invariance tests): a changelog emits nothing
+    #: for them — exactly Iceberg's "ignore REPLACE snapshots" rule.
+    _ROWSET_INVARIANT_OPS = frozenset(
+        {
+            "compact",
+            "cluster",
+            "rewrite-deletes",
+            "retire-deletes",
+            "rewrite-manifests",
+            "rewrite-tombstones",
+            "evolve-schema",
+            "create",
+        }
+    )
+
+    def scan_changelog(
+        self,
+        from_snapshot_id: str,
+        branch: str = MAIN,
+        to_snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots (Iceberg changelog
+        scan / Delta CDF analog): current schema plus `_change_type`
+        ('insert' | 'delete'; an update appears as its delete+insert
+        pair) and `_change_snapshot_id`. Walks the commit chain and emits
+        per snapshot:
+
+        * append — added files as inserts;
+        * MoR merge — added files as inserts (post-images), plus the
+          batch's equality-delete keys semi-joined against a PRUNED
+          as-of-parent read (range+bloom candidate test, the same
+          delete_may_hit the maintenance ops use) as deletes
+          (pre-images);
+        * delete_where — the new tombstones inner-joined at (file, pos)
+          against the as-of-parent read of just the referenced files,
+          plus whole removed files, as deletes (rows an older delete
+          already hid are excluded: the as-of-parent read applies them);
+        * maintenance ops (_ROWSET_INVARIANT_OPS) — nothing, which is
+          sound precisely because their scan-invariance is test-pinned;
+        * CoW merges / truncate — ValueError: their row diff is not
+          recoverable from metadata (Iceberg's overwrite-snapshot
+          changelog limitation). Run changelog consumers on MoR tables.
+        """
+        chain: list[Snapshot] = []
+        s = self.snapshot(to_snapshot_id, branch)
+        while s.snapshot_id != from_snapshot_id:
+            chain.append(s)
+            if s.parent_id is None:
+                raise ValueError(
+                    f"{from_snapshot_id} is not an ancestor of "
+                    f"{s.snapshot_id} (expired history?)"
+                )
+            s = self.snapshot(s.parent_id)
+        chain.reverse()
+        schema = self.schema(branch=branch, snapshot_id=self.snapshot(
+            to_snapshot_id, branch).snapshot_id)
+        out_schema = StructType(
+            list(schema.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_change_snapshot_id", StringType()),
+            ]
+        )
+        parts: list[DataFrame] = []
+
+        def tag(df: DataFrame, kind: str, sid: str) -> DataFrame:
+            return _align_keep(df, schema, []).select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(sid).alias("_change_snapshot_id"),
+            )
+
+        for s in chain:
+            if s.operation in self._ROWSET_INVARIANT_OPS:
+                continue
+            if s.operation not in ("append", "merge", "delete"):
+                raise ValueError(
+                    f"changelog cannot reconstruct op {s.operation!r} "
+                    f"(snapshot {s.snapshot_id})"
+                )
+            live = self.all_files(branch=branch, snapshot_id=s.snapshot_id)
+            added_data = [
+                e
+                for e in live
+                if e.content == "data" and (e.sequence or 0) == s.sequence
+            ]
+            if s.operation == "merge" and s.summary.get("mode") != "mor":
+                raise ValueError(
+                    "changelog requires MoR merges: a CoW overwrite's row "
+                    f"diff is not recoverable (snapshot {s.snapshot_id})"
+                )
+            if added_data:
+                parts.append(
+                    tag(
+                        self.read_entries(added_data, schema),
+                        "insert",
+                        s.snapshot_id,
+                    )
+                )
+            parent_live = self.all_files(branch=branch, snapshot_id=s.parent_id)
+            parent_data = [e for e in parent_live if e.content == "data"]
+            parent_dels = [e for e in parent_live if e.content != "data"]
+            if s.operation == "merge":
+                new_dels = [
+                    e
+                    for e in live
+                    if e.content == "equality-deletes"
+                    and (e.sequence or 0) == s.sequence
+                ]
+                if new_dels:
+                    from airbyte_spark.operators.cluster import delete_may_hit
+
+                    pk = self.primary_key
+                    cache: dict = {}
+                    cands = [
+                        e
+                        for e in parent_data
+                        if any(
+                            delete_may_hit(e, d, pk, schema, cache=cache)
+                            for d in new_dels
+                        )
+                    ]
+                    if cands:
+                        pre = self.read_entries(
+                            cands, schema, deletes=parent_dels
+                        )
+                        keys = F.broadcast(
+                            equality_delete_keys(self, new_dels).select(*pk)
+                        )
+                        parts.append(
+                            tag(
+                                pre.join(keys, on=pk, how="left_semi"),
+                                "delete",
+                                s.snapshot_id,
+                            )
+                        )
+            else:  # delete_where
+                new_pos = [
+                    e
+                    for e in live
+                    if e.content == "position-deletes"
+                    and (e.sequence or 0) == s.sequence
+                ]
+                if new_pos:
+                    ref = set()
+                    for d in new_pos:
+                        ref.update(d.referenced or [e.path for e in parent_data])
+                    refd = [e for e in parent_data if e.path in ref]
+                    if refd:
+                        from airbyte_spark.operators.fileid import (
+                            input_file_tail,
+                        )
+
+                        by_schema: dict[int, list[DataFileEntry]] = {}
+                        for e in refd:
+                            by_schema.setdefault(e.schema_id, []).append(e)
+                        raws = []
+                        for sid_, group in sorted(by_schema.items()):
+                            physical = self.registered_schema(sid_)
+                            raw = (
+                                self.spark.read.schema(physical)
+                                .parquet(*(e.path for e in group))
+                                .withColumn(
+                                    "_pos_file", input_file_tail(POS_KEY_DEPTH)
+                                )
+                                .withColumn(
+                                    "_pos_idx", F.col("_metadata.row_index")
+                                )
+                            )
+                            raws.append(
+                                _align_keep(
+                                    raw, schema, ["_pos_file", "_pos_idx"]
+                                )
+                            )
+                        pre = raws[0]
+                        for r in raws[1:]:
+                            pre = pre.unionByName(r)
+                        # rows an OLDER delete already hid were not live at
+                        # the parent — they must not appear as deletes.
+                        # _mor_seq (input_file_name-derived) MUST attach
+                        # before the first join (CLAUDE.md note 21).
+                        eq_older = [
+                            d
+                            for d in parent_dels
+                            if d.content == "equality-deletes"
+                        ]
+                        pos_older = [
+                            d
+                            for d in parent_dels
+                            if d.content == "position-deletes"
+                        ]
+                        if eq_older:
+                            from airbyte_spark.operators.fileid import (
+                                tail_map,
+                            )
+
+                            pre = pre.withColumn(
+                                "_mor_seq",
+                                tail_map(
+                                    {e.path: e.sequence or 0 for e in refd}
+                                ),
+                            )
+                        if pos_older:
+                            pre = apply_position_deletes(self, pre, pos_older)
+                        if eq_older:
+                            pre = apply_equality_deletes(self, pre, eq_older)
+                        pairs = (
+                            self.spark.read.schema("file_path string, pos long")
+                            .parquet(*(d.path for d in new_pos))
+                            .select(
+                                F.col("file_path").alias("_pos_file"),
+                                F.col("pos").alias("_pos_idx"),
+                            )
+                        )
+                        pre = pre.join(
+                            F.broadcast(pairs),
+                            on=["_pos_file", "_pos_idx"],
+                            how="left_semi",
+                        ).drop("_pos_file", "_pos_idx")
+                        parts.append(tag(pre, "delete", s.snapshot_id))
+                # whole files dropped metadata-only by the DELETE
+                live_paths = {e.path for e in live}
+                removed = [
+                    e for e in parent_data if e.path not in live_paths
+                ]
+                if removed:
+                    parts.append(
+                        tag(
+                            self.read_entries(
+                                removed, schema, deletes=parent_dels
+                            ),
+                            "delete",
+                            s.snapshot_id,
+                        )
+                    )
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     # ------------------------------------------------------------------
     # metadata tables (Iceberg `db.table.snapshots` / `.files` analogs)
