@@ -463,6 +463,61 @@ def q_embedding_norms(spark, sf):
     )
 
 
+def q_dedup_phash(spark, sf):
+    """Perceptual-hash image near-dup pairs, ORACLE-CHECKED: deterministic
+    64x64 two-tone images are built from the events table — pattern
+    (group) = event_id % 8 over a fixed family of low-frequency square
+    waves (vertical/horizontal/diagonal/checker at 16/32 px periods whose
+    energy lands in the DCT hash's 8x8 low block), contrast amplitude
+    = 32 << (event_id % 3). Power-of-two contrast scaling is float-EXACT
+    through luma/pool/DCT/median, so variants of one pattern are
+    pixel-different but phash-identical, while the 8 fixed patterns sit
+    >= 10 hamming apart (pinned by tests/test_phash_dedup.py) — at
+    radius 4 the complete pair set is exactly the within-group pairs,
+    which DuckDB recomputes from event_id arithmetic alone. The real
+    pipeline (encode -> Arrow decode+phash -> radius-complete banded
+    self-join -> popcount verify) runs end-to-end; hamming > 0 recall is
+    pinned by the brute-force parity test in the same file."""
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.codecs import encode_image
+    from airbyte_spark.functions.images import phash_near_dup_pairs
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 23 == 3)
+        .select("event_id")
+    )
+
+    def make(batches):
+        yy, xx = np.mgrid[0:64, 0:64]
+        waves = [
+            (xx // 32) % 2, (xx // 16) % 2,
+            (yy // 32) % 2, (yy // 16) % 2,
+            ((xx + yy) // 32) % 2, ((xx // 32) + (yy // 32)) % 2,
+            ((xx // 16) + (yy // 16)) % 2, ((xx + yy) // 16) % 2,
+        ]
+        for b in batches:
+            rows = []
+            for i in b["event_id"]:
+                i = int(i)
+                v = ((32 << (i % 3)) * waves[i % 8]).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": i,
+                        "bytes": encode_image(np.stack([v] * 3, -1), "png"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    df = ev.mapInPandas(make, "image_id long, bytes binary")
+    # max_bucket_size=None: oracle replays the full pair set (the
+    # production default star-caps degenerate buckets, same trade as
+    # dedup_simhash)
+    return phash_near_dup_pairs(df, max_hamming=4, max_bucket_size=None)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, oracle-checked (r3 verdict item 4): the
     md5-token-hash variant (`simhash_md5_udf` — uint64(md5[8:16], LE) ==
@@ -1735,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_norms": q_embedding_norms,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_phash": q_dedup_phash,
         "images_maintenance": q_images_maintenance,
         "daily_rollup": q_daily_rollup,
         "semi_join_exists": q_semi_join_exists,
@@ -2263,6 +2319,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(8),
+        # within-group pairs only: the 8 fixed patterns are >=10 hamming
+        # apart and power-of-2 contrast variants hash identically (pinned
+        # by tests/test_phash_dedup.py), so radius-4 pairs == same-group
+        # pairs with hamming 0
+        "dedup_phash": """
+            WITH imgs AS (
+              SELECT event_id, event_id % 8 AS grp
+              FROM events WHERE event_id % 23 = 3)
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM imgs a JOIN imgs b
+              ON a.grp = b.grp AND a.event_id < b.event_id
+        """,
         # final state of the global sync: seed ids UNION batch ids per
         # stream (the dedup merge makes re-sent ids idempotent), two
         # committed global checkpoints

@@ -102,6 +102,43 @@ def image_feature_df(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     return df.select(id_col, "bytes").mapInPandas(extract, schema=schema)
 
 
+def phash_near_dup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 4,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-payload analog of the text SimHash dedup (the incremental-
+    dedup sync mode of SURVEY §2.2 applied to re-encoded/contrast-scaled
+    image variants, e.g. the same picture re-exported at a different
+    contrast or quality setting).
+
+    One Arrow pass decodes each payload and computes the 64-bit DCT
+    perceptual hash (`phash_udf` — low-frequency 8x8 DCT block, bits =
+    AC coefficients vs their median); candidate generation and the exact
+    popcount verify reuse the radius-complete banded self-join
+    (`simhash_pairs_from_hashes`): a pair within `max_hamming` must agree
+    exactly on one of `max_hamming + 1` disjoint sub-bands, so nothing is
+    all-pairs — the shuffle carries only (id, 64-bit hash) rows, never
+    pixels. `max_bucket_size` star-expands degenerate buckets (identical
+    popular images) exactly like the text paths; pass None for the
+    exhaustive oracle-checked variant. Returns (id_a, id_b, hamming)."""
+    from airbyte_spark.functions.dedup import simhash_pairs_from_hashes
+
+    hashed = images.select(
+        F.col(id_col), phash_udf(F.col(bytes_col)).alias("_ph")
+    )
+    return simhash_pairs_from_hashes(
+        hashed,
+        id_col=id_col,
+        hash_col="_ph",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def verify_fidelity(
     expected: DataFrame,
     actual: DataFrame,
