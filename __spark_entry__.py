@@ -905,6 +905,90 @@ def q_merge_mor_upsert(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_wap_publish(spark, sf):
+    """Write-audit-publish round trip, ORACLE-CHECKED: seed a lake table
+    on main, MoR-merge a deterministic upsert + CDC-delete batch onto a
+    STAGING branch (main stays frozen — asserted), run the audit suite
+    (null/dup PK, value expectation, delete-debt bound), fast-forward
+    publish (operators/wap.py; the reference's replaceBranch teardown,
+    S3DataLakeStreamLoader.kt:96-133), then scan MAIN. The oracle
+    recomputes the published state as plain upsert SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.wap import publish_branch
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-wap-")
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(base)
+        frozen_main = t.current_snapshot_id("main")
+        t.create_branch("staging")
+        batch = ev.filter(F.col("event_id") % 7 == 1).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 2000).alias("value"),
+            F.concat(F.lit("s"), F.col("event_id")).alias("_airbyte_raw_id"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
+            F.when(F.col("event_id") % 21 == 15, F.col("ts")).alias(
+                "_ab_cdc_deleted_at"
+            ),
+        )
+        merge_into(t, batch, mode="mor", branch="staging")
+        assert t.current_snapshot_id("main") == frozen_main, (
+            "staging write must not move main"
+        )
+        results = publish_branch(
+            t,
+            "staging",
+            tag="published",
+            expectations={"value_not_null": "value IS NOT NULL"},
+            max_delete_file_debt=16,
+            drop_source=True,
+        )
+        assert all(r.passed for r in results)
+        assert t.current_snapshot_id("main") != frozen_main
+        rows = (
+            t.scan()  # main, post-publish
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_merge_soft_delete(spark, sf):
     """CDC soft-delete merge, ORACLE-CHECKED (CdcDeletionMode.SOFT_DELETE,
     DatabricksSqlGenerator.kt:140; BasicFunctionalityIntegrationTest.kt:
@@ -1809,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_evolution_scan": q_partition_evolution_scan,
         "changelog_scan": q_changelog_scan,
         "merge_soft_delete": q_merge_soft_delete,
+        "wap_publish": q_wap_publish,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
         "audio_features": q_audio_features,
@@ -2165,6 +2250,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, event_type, value + 1000 AS value,
                      (event_id % 15 = 0) AS is_del
               FROM events WHERE event_id % 5 = 0)
+            SELECT e.event_id,
+                   COALESCE(b.event_type, e.event_type) AS event_type,
+                   round(COALESCE(b.value, e.value), 4) AS value
+            FROM events e LEFT JOIN batch b USING (event_id)
+            WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        # published state == the staged upsert applied to the seed; the
+        # audit/publish machinery must be invisible in the data
+        "wap_publish": """
+            WITH batch AS (
+              SELECT event_id, event_type, value + 2000 AS value,
+                     (event_id % 21 = 15) AS is_del
+              FROM events WHERE event_id % 7 = 1)
             SELECT e.event_id,
                    COALESCE(b.event_type, e.event_type) AS event_type,
                    round(COALESCE(b.value, e.value), 4) AS value
