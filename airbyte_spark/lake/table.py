@@ -1760,6 +1760,100 @@ class LakeTable:
             "partition string",
         )
 
+    def partitions_df(
+        self, branch: str = MAIN, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Per-partition aggregates (Iceberg `$partitions` analog): file /
+        row / byte counts split by content kind, plus the highest commit
+        sequence that touched the partition (a freshness cursor for
+        partition-scoped maintenance). Built on `entries_df`, so manifests
+        parse on EXECUTORS and the driver never holds an O(table) entry
+        list — the result is one row per (partition, content)."""
+        e = self.entries_df(branch=branch, snapshot_id=snapshot_id)
+        return (
+            e.groupBy("partition_key", "content")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("rows").alias("row_count"),
+                F.sum("bytes").alias("total_bytes"),
+                F.max("sequence").alias("last_sequence"),
+                F.countDistinct("schema_id").alias("schema_ids"),
+            )
+            .withColumnRenamed("partition_key", "partition")
+        )
+
+    def manifests_df(
+        self, branch: str = MAIN, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Live manifests at a snapshot (Iceberg `$manifests` analog):
+        one row per manifest file with per-content entry counts — the
+        shape commit-time manifest folding is tuned against. Parsed on
+        executors; the driver ships only the (bounded) path list."""
+        import pandas as pd
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        snap = self.snapshot(snapshot_id, branch)
+        paths = [os.path.join(self.meta_dir, m) for m in snap.manifests]
+        schema = StructType(
+            [
+                StructField("manifest", StringType()),
+                StructField("length_bytes", LongType()),
+                StructField("entries", LongType()),
+                StructField("data_entries", LongType()),
+                StructField("eq_delete_entries", LongType()),
+                StructField("pos_delete_entries", LongType()),
+                StructField("rows", LongType()),
+                StructField("bytes", LongType()),
+            ]
+        )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+
+        def parse(batches):
+            import json as _json
+
+            for pdf in batches:
+                out = []
+                for mp in pdf["manifest"]:
+                    with open(mp) as f:
+                        ents = _json.load(f)["entries"]
+                    by = {"data": 0, "equality-deletes": 0, "position-deletes": 0}
+                    for d in ents:
+                        by[d.get("content", "data")] = (
+                            by.get(d.get("content", "data"), 0) + 1
+                        )
+                    out.append(
+                        (
+                            os.path.basename(mp),
+                            os.path.getsize(mp),
+                            len(ents),
+                            by["data"],
+                            by["equality-deletes"],
+                            by["position-deletes"],
+                            sum(d.get("rows", 0) or 0 for d in ents),
+                            sum(d.get("bytes", 0) or 0 for d in ents),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+        pdf = self.spark.createDataFrame(
+            [(p,) for p in paths], "manifest string"
+        ).repartition(min(len(paths), 64))
+        return pdf.mapInPandas(parse, schema)
+
+    def refs_df(self) -> DataFrame:
+        """Branches and tags as a DataFrame (Iceberg `$refs` analog)."""
+        refs = self._refs()
+        rows = [
+            (name, "branch", sid) for name, sid in refs["branches"].items()
+        ] + [
+            (name, "tag", sid)
+            for name, sid in refs.get("tags", {}).items()
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id string"
+        )
+
     # ------------------------------------------------------------------
     # maintenance: expiry + orphan GC (IcebergTableCleaner semantics)
     # ------------------------------------------------------------------
