@@ -1,4 +1,5 @@
 """Image-payload functions over binary columns — Arrow-batched UDFs only.
+Includes perceptual-hash near-duplicate detection (phash_near_dup_pairs).
 
 The multimodal contract (BASELINE.json input_hint): images travel as an
 opaque `bytes: binary` column with typed metadata (w, h, fmt); all decode /

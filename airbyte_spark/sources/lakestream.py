@@ -1,0 +1,245 @@
+"""Native Structured-Streaming READ of a lake table: the Spark-4 Python
+DataSource API turned loose on our own metadata, so a table becomes a
+first-class `spark.readStream.format(...)` source.
+
+Semantics mirror Iceberg's Spark streaming read (public docs "Streaming
+Reads" / SparkMicroBatchStream): the stream tails the branch's commit
+chain and emits the DATA FILES EACH COMMIT ADDED — append and MoR-merge
+commits produce rows (post-images), row-set-invariant maintenance
+commits (compact / cluster / rewrites) are silently skipped, and
+delete-bearing or overwrite commits FAIL the stream unless
+`on_delete=skip` (Iceberg's `streaming-skip-delete-snapshots` /
+`streaming-skip-overwrite-snapshots` knobs collapsed into one option).
+
+Scale shape:
+
+* Offsets are `{sequence, snapshot_id}` — pure metadata; exactly-once
+  replay is Spark's checkpointed offset log + deterministic
+  `partitions(start, end)` (the snapshot chain is immutable).
+* Planning opens ONLY the manifests a commit ADDED (`set(snap.manifests)
+  - set(parent.manifests)` — manifest reuse makes this O(batch), never
+  O(table)).
+* One InputPartition per added data file; `read()` runs ON EXECUTORS
+  with plain pyarrow — the driver never touches row data. Partition
+  values (hive-dir columns) and commit lineage ride the partition task
+  as constants; files written under an older schema are null-padded /
+  cast to the stream schema executor-side (same alignment rule as
+  `read_entries`).
+
+Retention contract: the stream must not lag behind snapshot expiry
+(`expire_snapshots` keeping fewer snapshots than the stream's backlog
+breaks the chain walk) — same rule as Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+ROWSET_INVARIANT_OPS = frozenset(
+    {
+        "compact",
+        "cluster",
+        "rewrite-deletes",
+        "retire-deletes",
+        "rewrite-manifests",
+        "rewrite-tombstones",
+        "evolve-schema",
+        "create",
+    }
+)
+
+COMMIT_SEQ_COL = "_commit_sequence"
+COMMIT_SID_COL = "_commit_snapshot_id"
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    path: str
+    partition: str  # json dict of partition-col -> value
+    sequence: int
+    snapshot_id: str
+    schema_json: str  # stream TABLE schema (without commit columns)
+
+
+class LakeStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, branch: str, on_delete: str,
+                 from_sequence: int, schema_json: str):
+        self.meta_dir = os.path.join(root, "metadata")
+        self.branch = branch
+        self.on_delete = on_delete
+        self.from_sequence = from_sequence
+        self.schema_json = schema_json
+
+    # -- metadata helpers (plain JSON; no SparkSession on purpose) -----
+
+    def _snap(self, sid: str) -> dict:
+        p = os.path.join(self.meta_dir, f"snap-{sid}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"snapshot {sid} expired while the stream still needed it "
+                "— keep snapshot retention longer than the stream's backlog"
+            )
+        return _read_json(p)
+
+    def _head(self) -> dict:
+        refs = _read_json(os.path.join(self.meta_dir, "refs.json"))
+        sid = refs["branches"][self.branch]
+        return self._snap(sid)
+
+    # -- DataSourceStreamReader contract -------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"sequence": self.from_sequence, "snapshot_id": ""}
+
+    def latestOffset(self) -> dict:
+        head = self._head()
+        return {
+            "sequence": int(head["sequence"]),
+            "snapshot_id": head["snapshot_id"],
+        }
+
+    def partitions(self, start: dict, end: dict):
+        if start["sequence"] >= end["sequence"]:
+            return []
+        # walk (start, end] newest -> oldest along parent pointers
+        chain = []
+        s = self._snap(end["snapshot_id"])
+        while int(s["sequence"]) > start["sequence"]:
+            chain.append(s)
+            if s["parent_id"] is None:
+                break
+            s = self._snap(s["parent_id"])
+        chain.reverse()
+
+        out: list[_FileSlice] = []
+        for s in chain:
+            op = s["operation"]
+            if op in ROWSET_INVARIANT_OPS:
+                continue
+            deletish = op == "delete" or (
+                op == "merge" and s.get("summary", {}).get("mode") == "cow"
+            )
+            parent_manifests = (
+                set(self._snap(s["parent_id"])["manifests"])
+                if s["parent_id"]
+                else set()
+            )
+            added = [m for m in s["manifests"] if m not in parent_manifests]
+            for m in added:
+                for e in _read_json(os.path.join(self.meta_dir, m))["entries"]:
+                    if (e.get("sequence") or 0) != int(s["sequence"]):
+                        continue  # carried-forward survivor of a rewrite
+                    if e.get("content", "data") != "data":
+                        deletish = True
+                        continue
+                    out.append(
+                        _FileSlice(
+                            path=e["path"],
+                            partition=json.dumps(e.get("partition") or {}),
+                            sequence=int(s["sequence"]),
+                            snapshot_id=s["snapshot_id"],
+                            schema_json=self.schema_json,
+                        )
+                    )
+            if deletish and self.on_delete != "skip":
+                raise ValueError(
+                    f"snapshot {s['snapshot_id']} (op={op}) removes or "
+                    "tombstones rows; an append-only stream cannot emit "
+                    "that — pass on_delete=skip to stream post-images "
+                    "only, or consume scan_changelog instead"
+                )
+        return out
+
+    def read(self, partition: _FileSlice):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = StructType.fromJson(json.loads(partition.schema_json))
+        arrow_target = to_arrow_schema(target)
+        tbl = pq.read_table(partition.path)
+        part_vals = json.loads(partition.partition)
+        n = tbl.num_rows
+        cols = []
+        for field in arrow_target:
+            if field.name in tbl.column_names:
+                col = tbl.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+            elif field.name in part_vals:
+                col = pa.array([part_vals[field.name]] * n).cast(field.type)
+            else:  # added after this file was written: null-pad
+                col = pa.nulls(n, type=field.type)
+            cols.append(col)
+        cols.append(pa.array([partition.sequence] * n, type=pa.int64()))
+        cols.append(pa.array([partition.snapshot_id] * n, type=pa.string()))
+        names = [f.name for f in arrow_target] + [COMMIT_SEQ_COL, COMMIT_SID_COL]
+        yield from pa.Table.from_arrays(cols, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to release
+
+
+class LakeStreamDataSource(DataSource):
+    """`spark.readStream.format("lake_stream").option("path", root)`.
+
+    Options: `path` (table root, required), `branch` (default main),
+    `from_sequence` (exclusive low-water mark, default 0 = from the
+    table's first commit), `on_delete` = fail (default) | skip.
+
+    Register per-session with
+    `spark.dataSource.register(LakeStreamDataSource)`.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_stream"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake_stream requires .option('path', <table root>)")
+        return root
+
+    def _table_schema(self) -> StructType:
+        refs = _read_json(os.path.join(self._root(), "metadata", "refs.json"))
+        tbl = refs["table"]
+        sid = str(tbl.get("current_schema_id", 0))
+        return StructType.fromJson(json.loads(tbl["schemas"][sid]))
+
+    def schema(self) -> StructType:
+        base = self._table_schema()
+        return StructType(
+            list(base.fields)
+            + [
+                StructField(COMMIT_SEQ_COL, LongType()),
+                StructField(COMMIT_SID_COL, StringType()),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> LakeStreamReader:
+        base = StructType(
+            [f for f in schema.fields
+             if f.name not in (COMMIT_SEQ_COL, COMMIT_SID_COL)]
+        )
+        return LakeStreamReader(
+            root=self._root(),
+            branch=self.options.get("branch", "main"),
+            on_delete=self.options.get("on_delete", "fail"),
+            from_sequence=int(self.options.get("from_sequence", 0)),
+            schema_json=base.json(),
+        )
