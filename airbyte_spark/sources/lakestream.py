@@ -39,8 +39,10 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -194,6 +196,122 @@ class LakeStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; nothing to release
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    entry: dict  # DataFileEntry as a plain dict
+
+
+class LakeStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK half: each task streams its Arrow batches into one
+    parquet file under the table's data dir and reports a manifest entry
+    (footer-derived min/max stats included); the driver-side `commit`
+    turns the collected entries into ONE atomic snapshot per micro-batch.
+
+    Exactly-once: the commit summary records `(stream_id, batch_id)`;
+    after a restart Spark replays the last unacknowledged micro-batch,
+    `commit` sees `batch_id <=` the recorded high-water mark for this
+    stream_id and drops the replayed files instead of double-appending —
+    the same idempotent-effects-over-at-least-once-execution rule as the
+    checkpoint ledger (T5). Empty partitions write NO file (empty part
+    files poison manifest pruning)."""
+
+    def __init__(self, root: str, branch: str, stream_id: str,
+                 stats_columns: list[str], schema_id: int):
+        self.root = root
+        self.branch = branch
+        self.stream_id = stream_id
+        self.stats_columns = stats_columns
+        self.schema_id = schema_id
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from airbyte_spark.lake.stats import _footer_stats_batch
+
+        path = os.path.join(
+            self.root, "data", f"stream-{uuid.uuid4().hex}.parquet"
+        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return None
+        raw = _footer_stats_batch([path], self.stats_columns)[0]
+        return _FileCommit(
+            entry={
+                "path": path,
+                "rows": raw["rows"],
+                "bytes": raw["bytes"],
+                "schema_id": self.schema_id,
+                "stats": raw["stats"],
+            }
+        )
+
+    def _last_batch_id(self) -> int | None:
+        refs = _read_json(os.path.join(self.root, "metadata", "refs.json"))
+        sid = refs["branches"][self.branch]
+        while sid is not None:
+            p = os.path.join(self.root, "metadata", f"snap-{sid}.json")
+            if not os.path.exists(p):
+                return None  # expired past the marker: treat as fresh
+            s = _read_json(p)
+            summ = s.get("summary") or {}
+            if summ.get("stream_query_id") == self.stream_id:
+                return int(summ["stream_batch_id"])
+            sid = s["parent_id"]
+        return None
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [m.entry for m in messages if m is not None]
+        if not files:
+            return
+        last = self._last_batch_id()
+        if last is not None and batchId <= last:
+            for e in files:  # replayed batch: already committed
+                try:
+                    os.remove(e["path"])
+                except OSError:
+                    pass
+            return
+        from airbyte_spark.lake.format import DataFileEntry
+        from airbyte_spark.lake.table import LakeTable
+
+        # metadata-only commit: LakeTable's commit path never touches the
+        # SparkSession (this runs inside the DataSource driver worker,
+        # which has none)
+        table = LakeTable(None, self.root)
+        table.commit(
+            "append",
+            [DataFileEntry(**e) for e in files],
+            branch=self.branch,
+            summary={
+                "stream_query_id": self.stream_id,
+                "stream_batch_id": int(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.entry["path"])
+                except OSError:
+                    pass
+
+
 class LakeStreamDataSource(DataSource):
     """`spark.readStream.format("lake_stream").option("path", root)`.
 
@@ -229,6 +347,42 @@ class LakeStreamDataSource(DataSource):
                 StructField(COMMIT_SEQ_COL, LongType()),
                 StructField(COMMIT_SID_COL, StringType()),
             ]
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LakeStreamWriter:
+        """`df.writeStream.format("lake_stream").option("path", root)`:
+        append-mode sink, one atomic snapshot per micro-batch, exactly-once
+        via the `(stream_id, batch_id)` high-water mark. Options: `path`
+        (required), `branch` (default main), `stream_id` (logical writer
+        identity for idempotent replay — set it when several independent
+        queries append to one table; default "default").
+
+        Guard rails: overwrite output mode and partitioned tables are
+        refused (partition-dir layout + hive values need the full
+        write_dataframe path — use foreachBatch with table.append there);
+        the frame's columns must match the registered schema exactly so
+        the committed schema_id never lies about file contents."""
+        if overwrite:
+            raise ValueError("lake_stream sink is append-only")
+        refs = _read_json(os.path.join(self._root(), "metadata", "refs.json"))
+        tbl = refs["table"]
+        if tbl.get("partition_by"):
+            raise ValueError(
+                "lake_stream sink does not write partitioned tables — "
+                "use foreachBatch with LakeTable.append instead"
+            )
+        base = self._table_schema()
+        if [f.name for f in schema.fields] != [f.name for f in base.fields]:
+            raise ValueError(
+                f"stream schema {[f.name for f in schema.fields]} must match "
+                f"table schema {[f.name for f in base.fields]} exactly"
+            )
+        return LakeStreamWriter(
+            root=self._root(),
+            branch=self.options.get("branch", "main"),
+            stream_id=self.options.get("stream_id", "default"),
+            stats_columns=tbl.get("stats_columns") or [],
+            schema_id=int(tbl.get("current_schema_id", 0)),
         )
 
     def streamReader(self, schema: StructType) -> LakeStreamReader:

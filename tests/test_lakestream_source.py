@@ -149,3 +149,172 @@ def test_partition_values_and_evolved_schema_nullpad(spark, tmp_table_dir):
     # hive partition columns are reconstructed; pre-evolution files
     # null-pad the new column
     assert got == {("a", "x", 1, None), ("b", "y", 2, None), ("c", "x", 3, "E")}
+
+
+# ----------------------------------------------------------------------
+# sink half (LakeStreamWriter)
+# ----------------------------------------------------------------------
+
+
+def test_sink_appends_one_snapshot_per_microbatch(spark, tmp_table_dir):
+    import shutil
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, primary_key=["id"])
+    src = tempfile.mkdtemp(prefix="sinksrc-")
+    ckpt = tempfile.mkdtemp(prefix="sinkckpt-")
+    try:
+        # two source files + maxFilesPerTrigger=1 -> two micro-batches
+        spark.createDataFrame([(f"a{i}", i) for i in range(4)], SCHEMA) \
+            .coalesce(1).write.parquet(os.path.join(src, "f1"))
+        spark.createDataFrame([(f"b{i}", i) for i in range(3)], SCHEMA) \
+            .coalesce(1).write.parquet(os.path.join(src, "f2"))
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .writeStream.format("lake_stream")
+            .option("path", tmp_table_dir)
+            .option("stream_id", "q1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert t.scan().count() == 7
+        appended = [
+            s for s in t.history()
+            if s.summary.get("stream_query_id") == "q1"
+        ]
+        assert len(appended) == 2
+        assert sorted(s.summary["stream_batch_id"] for s in appended) == [0, 1]
+        # footer stats made it into the manifests (pruning stays alive)
+        assert all(
+            "id" in e.stats for e in t.data_files() if e.rows
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sink_replayed_batch_is_dropped(spark, tmp_table_dir):
+    """At-least-once replay after a crash-before-ack must not
+    double-append: commit() consults the (stream_id, batch_id) high-water
+    mark and deletes the replayed files."""
+    import pyarrow as pa
+
+    from airbyte_spark.sources.lakestream import LakeStreamWriter
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, primary_key=["id"])
+    w = LakeStreamWriter(
+        root=tmp_table_dir, branch="main", stream_id="q1",
+        stats_columns=["id"], schema_id=0,
+    )
+    batch = pa.RecordBatch.from_pydict({"id": ["x1", "x2"], "v": [1, 2]})
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=0)
+    assert t.scan().count() == 2
+    # replay of batch 0 (same stream): dropped, file cleaned up
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=0)
+    assert t.scan().count() == 2
+    assert not os.path.exists(msg2.entry["path"])
+    # the next batch still lands
+    msg3 = w.write(iter([pa.RecordBatch.from_pydict({"id": ["y"], "v": [9]})]))
+    w.commit([msg3], batchId=1)
+    assert t.scan().count() == 3
+    # a different stream_id has its own high-water mark
+    w2 = LakeStreamWriter(
+        root=tmp_table_dir, branch="main", stream_id="q2",
+        stats_columns=["id"], schema_id=0,
+    )
+    m = w2.write(iter([pa.RecordBatch.from_pydict({"id": ["z"], "v": [0]})]))
+    w2.commit([m], batchId=0)
+    assert t.scan().count() == 4
+
+
+def test_sink_refuses_partitioned_tables(spark, tmp_table_dir):
+    part_schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("part", StringType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    LakeTable.create(
+        spark, tmp_table_dir, part_schema, primary_key=["id"],
+        partition_by=["part"],
+    )
+    src = tempfile.mkdtemp(prefix="sinksrc-")
+    ckpt = tempfile.mkdtemp(prefix="sinkckpt-")
+    try:
+        spark.createDataFrame([("a", "x", 1)], part_schema) \
+            .write.parquet(os.path.join(src, "f1"))
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(Exception, match="partitioned"):
+            q = (
+                spark.readStream.schema(part_schema)
+                .parquet(f"{src}/*")
+                .writeStream.format("lake_stream")
+                .option("path", tmp_table_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_native_table_to_table_pipeline(spark, tmp_table_dir):
+    """The full native loop: READ one lake table as a stream, transform,
+    WRITE into a second lake table — offsets and the batch high-water
+    mark make both halves exactly-once, with zero foreachBatch glue."""
+    import shutil
+
+    src_root = tmp_table_dir
+    dst_root = tempfile.mkdtemp(prefix="lakedst-")
+    ckpt = tempfile.mkdtemp(prefix="pipeckpt-")
+    try:
+        src = LakeTable.create(spark, src_root, SCHEMA, primary_key=["id"])
+        src.append(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+        src.append(spark.createDataFrame([("c", 3)], SCHEMA))
+        dst = LakeTable.create(spark, dst_root, SCHEMA, primary_key=["id"])
+        q = (
+            spark.readStream.format("lake_stream")
+            .option("path", src_root)
+            .load()
+            .select("id", (F.col("v") * 10).cast("int").alias("v"))
+            .writeStream.format("lake_stream")
+            .option("path", dst_root)
+            .option("stream_id", "pipe")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r["id"], r["v"]) for r in dst.scan().collect()}
+        assert got == {("a", 10), ("b", 20), ("c", 30)}
+        # second pass with the same checkpoint: nothing new, no dup rows
+        src.append(spark.createDataFrame([("d", 4)], SCHEMA))
+        q = (
+            spark.readStream.format("lake_stream")
+            .option("path", src_root)
+            .load()
+            .select("id", (F.col("v") * 10).cast("int").alias("v"))
+            .writeStream.format("lake_stream")
+            .option("path", dst_root)
+            .option("stream_id", "pipe")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r["id"], r["v"]) for r in dst.scan().collect()}
+        assert got == {("a", 10), ("b", 20), ("c", 30), ("d", 40)}
+    finally:
+        shutil.rmtree(dst_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
