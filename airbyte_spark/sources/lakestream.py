@@ -132,7 +132,13 @@ class LakeStreamReader(DataSourceStreamReader):
             op = s["operation"]
             if op in ROWSET_INVARIANT_OPS:
                 continue
-            deletish = op == "delete" or (
+            if op not in ("append", "merge", "delete", "truncate"):
+                raise ValueError(
+                    f"lake_stream cannot interpret commit op {op!r} "
+                    f"(snapshot {s['snapshot_id']}) — refusing rather "
+                    "than guessing its row-set effect"
+                )
+            deletish = op in ("delete", "truncate") or (
                 op == "merge" and s.get("summary", {}).get("mode") == "cow"
             )
             parent_manifests = (
