@@ -1737,27 +1737,21 @@ class LakeTable:
 
     def files_df(self, branch: str = MAIN, snapshot_id: str | None = None) -> DataFrame:
         """Live manifest entries as a DataFrame: one row per data/delete
-        file with counts, sizes, identity and partition values."""
-        import json as _json
-
-        rows = [
-            (
-                e.path,
-                e.content,
-                e.rows,
-                e.bytes,
-                e.sequence or 0,
-                e.generation_id,
-                e.schema_id,
-                _json.dumps(e.partition),
-            )
-            for e in self.all_files(branch=branch, snapshot_id=snapshot_id)
-        ]
-        return self.spark.createDataFrame(
-            rows,
-            "path string, content string, rows long, bytes long, "
-            "sequence long, generation_id long, schema_id long, "
-            "partition string",
+        file with counts, sizes, identity and partition values. Projected
+        from the executor-parsed `entries_df`, so the driver never holds
+        an O(table) entry list (Iceberg `$files` via DistributedDataScan)."""
+        e = self.entries_df(branch=branch, snapshot_id=snapshot_id)
+        return e.select(
+            "path",
+            "content",
+            "rows",
+            "bytes",
+            F.coalesce("sequence", F.lit(0)).alias("sequence"),
+            "generation_id",
+            "schema_id",
+            F.coalesce(
+                F.get_json_object("entry_json", "$.partition"), F.lit("{}")
+            ).alias("partition"),
         )
 
     def partitions_df(
