@@ -989,6 +989,73 @@ def q_wap_publish(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_lake_stream_read(spark, sf):
+    """Native streaming read, ORACLE-CHECKED: seed a lake table with two
+    deterministic appends (even event_ids, then odds), drain the
+    `lake_stream` DataSource (sources/lakestream.py) with an availableNow
+    pass, and emit each row with its commit ordinal (commit sequence
+    rebased to the first append). The oracle recomputes the same rows
+    with the ordinal derived from event_id parity — if the source missed
+    a file, replayed one, or mislabeled lineage, rows or ordinals
+    diverge."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.sources.lakestream import LakeStreamDataSource
+
+    try:
+        spark.dataSource.register(LakeStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = _t(spark, sf, "events").filter(F.col("event_id") % 11 == 4)
+    schema = STt([SF_("event_id", LT(), False), SF_("value", DT())])
+    root = tempfile.mkdtemp(prefix="entry-stream-")
+    ckpt = tempfile.mkdtemp(prefix="entry-stream-ckpt-")
+    import uuid
+
+    name = f"q_lake_stream_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        t.append(ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value"))
+        first_seq = t.snapshot().sequence
+        t.append(ev.filter(F.col("event_id") % 2 == 1).select("event_id", "value"))
+        q = (
+            spark.readStream.format("lake_stream")
+            .option("path", root)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(name)
+            .select(
+                "event_id",
+                F.round("value", 4).alias("value"),
+                (F.col("_commit_sequence") - F.lit(first_seq))
+                .cast("int")
+                .alias("commit_ordinal"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, value double, commit_ordinal int"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_merge_soft_delete(spark, sf):
     """CDC soft-delete merge, ORACLE-CHECKED (CdcDeletionMode.SOFT_DELETE,
     DatabricksSqlGenerator.kt:140; BasicFunctionalityIntegrationTest.kt:
@@ -1894,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_scan": q_changelog_scan,
         "merge_soft_delete": q_merge_soft_delete,
         "wap_publish": q_wap_publish,
+        "lake_stream_read": q_lake_stream_read,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
         "audio_features": q_audio_features,
@@ -2255,6 +2323,13 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, e.value), 4) AS value
             FROM events e LEFT JOIN batch b USING (event_id)
             WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        # the streamed rows == the table rows, commit ordinal == which
+        # append the row rode in on (even ids first, odd ids second)
+        "lake_stream_read": """
+            SELECT event_id, round(value, 4) AS value,
+                   CAST(event_id % 2 AS INT) AS commit_ordinal
+            FROM events WHERE event_id % 11 = 4
         """,
         # published state == the staged upsert applied to the seed; the
         # audit/publish machinery must be invisible in the data
