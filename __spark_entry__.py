@@ -989,6 +989,85 @@ def q_wap_publish(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_typing_dedup(spark, sf):
+    """Destinations-V2 typing & deduping, ORACLE-CHECKED: raw JSON
+    records built from events (base record per event_id%3==0 with a
+    deliberately uncastable value for %9==0, plus a later-extracted
+    update for %6==0) land in a raw lake tier; `type_and_dedup`
+    (operators/typing_dedup.py) parses + coerces to the declared stream
+    types capturing per-field NULLED changes, dedups by PK on extraction
+    order, and merges into the final tier. The oracle recomputes the
+    final state and change counts in closed form."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.typing_dedup import (
+        RAW_SCHEMA,
+        create_raw_table,
+        final_table_schema,
+        type_and_dedup,
+    )
+
+    declared = {"event_id": "integer", "event_type": "string", "value": "number"}
+    ev = _t(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.concat(F.lit("a"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("event_type"),
+                F.when(F.col("event_id") % 9 == 0, F.lit("not-a-number"))
+                .otherwise(F.col("value").cast("string"))
+                .alias("value"),
+            )
+        ).alias("_airbyte_data"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.lit(0).cast("long").alias("_airbyte_generation_id"),
+    )
+    update = ev.filter(F.col("event_id") % 6 == 0).select(
+        F.concat(F.lit("b"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("event_type"),
+                (F.col("value") + 1000).cast("string").alias("value"),
+            )
+        ).alias("_airbyte_data"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("_airbyte_extracted_at"),
+        F.lit(0).cast("long").alias("_airbyte_generation_id"),
+    )
+    raw_root = tempfile.mkdtemp(prefix="entry-td-raw-")
+    fin_root = tempfile.mkdtemp(prefix="entry-td-fin-")
+    try:
+        raw = create_raw_table(spark, raw_root)
+        raw.append(base.unionByName(update))
+        final = LakeTable.create(
+            spark, fin_root, final_table_schema(declared),
+            primary_key=["event_id"],
+        )
+        res = type_and_dedup(raw, final, declared)
+        assert not res.noop
+        # a second pass is a metadata-only no-op (watermark)
+        assert type_and_dedup(raw, final, declared).noop
+        rows = (
+            final.scan()
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+                F.size("_airbyte_meta.changes").cast("int").alias("n_changes"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double, n_changes int"
+        )
+    finally:
+        shutil.rmtree(raw_root, ignore_errors=True)
+        shutil.rmtree(fin_root, ignore_errors=True)
+
+
 def q_lake_stream_read(spark, sf):
     """Native streaming read, ORACLE-CHECKED: seed a lake table with two
     deterministic appends (even event_ids, then odds), drain the
@@ -1962,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_soft_delete": q_merge_soft_delete,
         "wap_publish": q_wap_publish,
         "lake_stream_read": q_lake_stream_read,
+        "typing_dedup": q_typing_dedup,
         "scd2_materialize": q_scd2_materialize,
         "cdc_log_sync": q_cdc_log_sync,
         "audio_features": q_audio_features,
@@ -2323,6 +2403,18 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, e.value), 4) AS value
             FROM events e LEFT JOIN batch b USING (event_id)
             WHERE NOT COALESCE(b.is_del, FALSE)
+        """,
+        # final tier == the deduped typed state: the %6 update (extracted
+        # a day later) wins its PK; %9 base records null their value with
+        # exactly one NULLED change entry
+        "typing_dedup": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 6 = 0 THEN round(value + 1000, 4)
+                        WHEN event_id % 9 = 0 THEN NULL
+                        ELSE round(value, 4) END AS value,
+                   CAST(CASE WHEN event_id % 6 != 0 AND event_id % 9 = 0
+                             THEN 1 ELSE 0 END AS INT) AS n_changes
+            FROM events WHERE event_id % 3 = 0
         """,
         # the streamed rows == the table rows, commit ordinal == which
         # append the row rode in on (even ids first, odd ids second)

@@ -280,6 +280,29 @@ class LakeTable:
     def properties(self) -> dict:
         return self._refs()["table"]["properties"]
 
+    def set_properties(self, updates: dict) -> None:
+        """Merge property updates under the per-table lock (None deletes
+        a key). Engine-reserved prefixes stay validated like create()."""
+        from airbyte_spark.lake.spec import (
+            ConfigValidationError,
+            validate_table_properties,
+        )
+
+        errors = validate_table_properties(
+            {k: v for k, v in updates.items() if v is not None}
+        )
+        if errors:
+            raise ConfigValidationError(errors)
+        with _refs_lock(self.root):
+            refs = self._refs()
+            props = refs["table"].setdefault("properties", {})
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = v
+            atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
+
     @property
     def current_schema_id(self) -> int:
         return int(self._refs()["table"].get("current_schema_id", 0))
