@@ -157,17 +157,22 @@ def type_and_dedup(
         "_airbyte_extracted_at",
         "_airbyte_generation_id",
     ).select("_d.*", "_airbyte_raw_id", "_airbyte_extracted_at", "_airbyte_generation_id")
-    typed = coerce_airbyte_record(parsed, declared, sync_id=sync_id)
-    n = typed.count()
-    if n == 0:
-        final.set_properties({TD_WATERMARK_PROP: head})
-        return TypeDedupResult(0, None, head, noop=True)
-    res = merge_into(
-        final,
-        typed,
-        cursor_col=cursor,
-        mode=merge_mode,
-    )
+    # persist the typed batch: the emptiness probe and the merge must not
+    # each recompute the JSON parse + coercion over the slice
+    typed = coerce_airbyte_record(parsed, declared, sync_id=sync_id).persist()
+    try:
+        n = typed.count()
+        if n == 0:
+            final.set_properties({TD_WATERMARK_PROP: head})
+            return TypeDedupResult(0, None, head, noop=True)
+        res = merge_into(
+            final,
+            typed,
+            cursor_col=cursor,
+            mode=merge_mode,
+        )
+    finally:
+        typed.unpersist()
     final.set_properties({TD_WATERMARK_PROP: head})
     return TypeDedupResult(n, res, head)
 
