@@ -318,3 +318,68 @@ def test_native_table_to_table_pipeline(spark, tmp_table_dir):
     finally:
         shutil.rmtree(dst_root, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_matches_model_over_random_op_sequences(spark):
+    """Model-based: for ANY interleaving of appends, MoR merges and
+    compactions, the stream (on_delete=skip) emits exactly the union of
+    rows the appends and merge batches wrote (post-images), tagged with
+    one distinct commit sequence per emitting commit — compactions and
+    replays never duplicate or drop a row."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from airbyte_spark.operators.compact import compact
+    from airbyte_spark.operators.merge import merge_into
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 3)),
+        st.tuples(st.just("merge"), st.integers(1, 3)),
+        st.tuples(st.just("compact"), st.just(0)),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        root = tempfile.mkdtemp(prefix="lake-prop-")
+        try:
+            t = LakeTable.create(
+                spark, root, SCHEMA, primary_key=["id"],
+                properties={"write.target-file-size-bytes": 1 << 20},
+            )
+            expected = set()
+            emitting = 0
+            serial = 0
+            for kind, n in ops:
+                if kind == "append":
+                    rows = [(f"a{serial}_{j}", serial) for j in range(n)]
+                    serial += 1
+                    t.append(spark.createDataFrame(rows, SCHEMA))
+                    expected.update(rows)
+                    emitting += 1
+                elif kind == "merge":
+                    rows = [(f"m{serial}_{j}", serial) for j in range(n)]
+                    serial += 1
+                    merge_into(
+                        t, spark.createDataFrame(rows, SCHEMA),
+                        cursor_col="v", mode="mor",
+                    )
+                    expected.update(rows)
+                    emitting += 1
+                else:
+                    compact(t)
+            got = _drain(
+                spark, root, f"s_prop_{serial}", on_delete="skip"
+            )
+            assert {(r["id"], r["v"]) for r in got} == expected
+            assert len({r["_commit_sequence"] for r in got}) == emitting
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
