@@ -788,6 +788,56 @@ def _tmp_images_table(spark, n=120, files=6, target_bytes=512 * 1024):
     return t
 
 
+def q_image_resize(spark, sf):
+    """Area-mean image downscale, ORACLE-CHECKED: the image_features
+    checkerboards (two-tone a / a+40, even width) resized by factor 2
+    become UNIFORM images — every 2x2 block holds two of each tone, so
+    the pooled pixel is exactly a+20 — giving closed-form dims
+    (w//2, h//2), luma_mean a+20 and luma_std 0 after the real
+    decode→resize→encode→decode pipeline (functions/images.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.codecs import encode_image
+    from airbyte_spark.functions.images import image_feature_df, resize_images
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id")
+    )
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["event_id"]:
+                i = int(i)
+                w = 32 + 2 * (i % 31)
+                h = 16 + (i % 17)
+                a = i % 200
+                yy, xx = np.mgrid[0:h, 0:w]
+                v = (a + 40 * ((xx + yy) % 2)).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": f"e{i}",
+                        "bytes": encode_image(
+                            np.stack([v, v, v], axis=-1), "png"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    df = ev.mapInPandas(make, "image_id string, bytes binary")
+    small = resize_images(df, factor=2)
+    return image_feature_df(small).select(
+        "image_id",
+        "dec_w",
+        "dec_h",
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    )
+
+
 def q_images_compact_ffd(spark, sf):
     """FFD bin-packing compaction, ORACLE-CHECKED on the north rule's core
     invariant: the post-maintenance scan output is IDENTICAL to the input
@@ -2030,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_filter": q_training_data_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "images_compact_ffd": q_images_compact_ffd,
         "images_cluster_hilbert": q_images_cluster_hilbert,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
@@ -2535,6 +2586,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (event_id % 17) AS INT) AS dec_h,
                    round(CAST(event_id % 200 + 20 AS DOUBLE), 4) AS luma_mean,
                    round(CAST(20 AS DOUBLE), 4) AS luma_std
+            FROM events WHERE event_id % 7 = 0
+        """,
+        # 2x area pooling of the two-tone checkerboard is uniform a+20
+        "image_resize": """
+            SELECT 'e' || CAST(event_id AS VARCHAR) AS image_id,
+                   CAST((32 + 2 * (event_id % 31)) / 2 AS INT) AS dec_w,
+                   CAST(floor((16 + (event_id % 17)) / 2.0) AS INT) AS dec_h,
+                   round(CAST(event_id % 200 + 20 AS DOUBLE), 4) AS luma_mean,
+                   round(CAST(0 AS DOUBLE), 4) AS luma_std
             FROM events WHERE event_id % 7 = 0
         """,
         # soft mode: every batch row (cursor ts+1day) wins; deletion

@@ -108,3 +108,57 @@ def test_maintenance_preserves_fidelity(spark, tmp_table_dir):
     assert verdict.count() == expected.count() == actual.count()
     src_p.unpersist()
     verdict.unpersist()
+
+
+def test_resize_matches_numpy_reference(spark):
+    """resize_images == the straightforward numpy area-mean on decoded
+    pixels, for arbitrary (non-multiple) sizes; undersized images drop."""
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.codecs import decode_image, encode_image
+    from airbyte_spark.functions.images import resize_images
+
+    rng = np.random.default_rng(3)
+    imgs = {
+        f"i{k}": rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        for k, (h, w) in enumerate([(7, 9), (8, 8), (33, 17), (2, 5), (1, 1)])
+    }
+    pdf = pd.DataFrame(
+        [{"image_id": k, "bytes": encode_image(px, "png")} for k, px in imgs.items()]
+    )
+    got = {
+        r["image_id"]: r
+        for r in resize_images(
+            spark.createDataFrame(pdf), factor=3
+        ).collect()
+    }
+    for k, px in imgs.items():
+        oh, ow = px.shape[0] // 3, px.shape[1] // 3
+        if oh == 0 or ow == 0:
+            assert k not in got  # sub-block images drop, not crash
+            continue
+        ref = np.round(
+            px[: oh * 3, : ow * 3]
+            .astype(np.float64)
+            .reshape(oh, 3, ow, 3, 3)
+            .mean(axis=(1, 3))
+        ).astype(np.uint8)
+        out = decode_image(bytes(got[k]["bytes"]))
+        assert got[k]["w"] == ow and got[k]["h"] == oh
+        assert np.array_equal(out, ref)
+
+
+def test_resize_factor_one_is_identity(spark):
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.codecs import encode_image
+    from airbyte_spark.functions.images import resize_images
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    data = encode_image(px, "png")
+    pdf = pd.DataFrame([{"image_id": "a", "bytes": data}])
+    row = resize_images(spark.createDataFrame(pdf), factor=1).first()
+    assert bytes(row["bytes"]) == data
+    assert (row["w"], row["h"]) == (6, 4)
