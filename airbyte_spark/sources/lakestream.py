@@ -228,6 +228,12 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         self.stream_id = stream_id
         self.stats_columns = stats_columns
         self.schema_id = schema_id
+        # memoized high-water mark: the chain walk runs once per QUERY
+        # (driver-side writer instance lives across micro-batches), not
+        # once per batch — a fresh stream over a long-history table
+        # would otherwise re-walk O(history) snapshots every commit
+        self._hwm: int | None = None
+        self._hwm_known = False
 
     def write(self, iterator):
         import uuid
@@ -284,7 +290,10 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         files = [m.entry for m in messages if m is not None]
         if not files:
             return
-        last = self._last_batch_id()
+        if not self._hwm_known:
+            self._hwm = self._last_batch_id()
+            self._hwm_known = True
+        last = self._hwm
         if last is not None and batchId <= last:
             for e in files:  # replayed batch: already committed
                 try:
@@ -308,6 +317,7 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
                 "stream_batch_id": int(batchId),
             },
         )
+        self._hwm = int(batchId)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
