@@ -79,12 +79,17 @@ class _FileSlice(InputPartition):
 
 class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, branch: str, on_delete: str,
-                 from_sequence: int, schema_json: str):
+                 from_sequence: int, schema_json: str,
+                 max_commits_per_trigger: int | None = None):
         self.meta_dir = os.path.join(root, "metadata")
         self.branch = branch
         self.on_delete = on_delete
         self.from_sequence = from_sequence
         self.schema_json = schema_json
+        self.max_commits = max_commits_per_trigger
+        # last offset Spark planned up to (advanced via commit()):
+        # latestOffset caps its answer relative to this for backpressure
+        self._last_end: dict | None = None
 
     # -- metadata helpers (plain JSON; no SparkSession on purpose) -----
 
@@ -109,9 +114,37 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = self._head()
-        return {
+        offset = {
             "sequence": int(head["sequence"]),
             "snapshot_id": head["snapshot_id"],
+        }
+        if self.max_commits is None or self._last_end is None:
+            # no cap, or (re)start: before the first commit() we do not
+            # know Spark's checkpointed offset — a capped answer could
+            # land BEHIND it and make the offset log step backward
+            # (replaying rows into the next window). First batch after a
+            # restart is therefore uncapped; every later one is bounded.
+            return offset
+        # backpressure (Iceberg streaming-max-files-per-micro-batch
+        # analog, at commit granularity): cap each micro-batch at
+        # `max_commits` commits past the last planned offset, so a
+        # stream catching up on a long backlog emits bounded batches
+        # instead of one giant one — take the OLDEST max_commits of the
+        # backlog above the floor.
+        floor = self._last_end["sequence"]
+        backlog = []
+        s = head
+        while int(s["sequence"]) > floor:
+            backlog.append(s)
+            if s["parent_id"] is None:
+                break
+            s = self._snap(s["parent_id"])
+        if len(backlog) <= self.max_commits:
+            return offset
+        pick = backlog[-self.max_commits]  # oldest `max_commits` commits
+        return {
+            "sequence": int(pick["sequence"]),
+            "snapshot_id": pick["snapshot_id"],
         }
 
     def partitions(self, start: dict, end: dict):
@@ -199,7 +232,9 @@ class LakeStreamReader(DataSourceStreamReader):
         yield from pa.Table.from_arrays(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; nothing to release
+        # offsets live in Spark's checkpoint; remember the planned end so
+        # the backpressure cap advances from it
+        self._last_end = end
 
 
 @dataclass
@@ -333,7 +368,10 @@ class LakeStreamDataSource(DataSource):
 
     Options: `path` (table root, required), `branch` (default main),
     `from_sequence` (exclusive low-water mark, default 0 = from the
-    table's first commit), `on_delete` = fail (default) | skip.
+    table's first commit), `on_delete` = fail (default) | skip,
+    `max_commits_per_trigger` (backpressure: bound each micro-batch to
+    that many commits of backlog; the first batch after a (re)start is
+    uncapped — see latestOffset).
 
     Register per-session with
     `spark.dataSource.register(LakeStreamDataSource)`.
@@ -406,10 +444,12 @@ class LakeStreamDataSource(DataSource):
             [f for f in schema.fields
              if f.name not in (COMMIT_SEQ_COL, COMMIT_SID_COL)]
         )
+        mc = self.options.get("max_commits_per_trigger")
         return LakeStreamReader(
             root=self._root(),
             branch=self.options.get("branch", "main"),
             on_delete=self.options.get("on_delete", "fail"),
             from_sequence=int(self.options.get("from_sequence", 0)),
             schema_json=base.json(),
+            max_commits_per_trigger=int(mc) if mc is not None else None,
         )

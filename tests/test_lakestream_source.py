@@ -383,3 +383,38 @@ def test_stream_matches_model_over_random_op_sequences(spark):
             shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_backpressure_paces_the_backlog(spark, tmp_table_dir):
+    """max_commits_per_trigger bounds each planned micro-batch to N
+    commits of backlog (driven directly through the reader's offset
+    protocol — the pacing only engages after the first commit())."""
+    from airbyte_spark.sources.lakestream import LakeStreamReader
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, primary_key=["id"])
+    seqs = {}
+    for i in range(5):
+        t.append(spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+        seqs[i] = t.snapshot().sequence
+    r = LakeStreamReader(
+        root=tmp_table_dir, branch="main", on_delete="fail",
+        from_sequence=0, schema_json=SCHEMA.json(),
+        max_commits_per_trigger=2,
+    )
+    # fresh start: uncapped (the checkpointed offset is unknown)
+    head = r.latestOffset()
+    assert head["sequence"] == seqs[4]
+    # once an end is committed, each next batch advances <= 2 commits
+    r.commit({"sequence": seqs[0], "snapshot_id": t.history()[4].snapshot_id})
+    step1 = r.latestOffset()
+    assert step1["sequence"] == seqs[2]
+    parts = r.partitions(
+        {"sequence": seqs[0], "snapshot_id": ""}, step1
+    )
+    assert len(parts) == 2  # appends 1 and 2 only
+    r.commit(step1)
+    step2 = r.latestOffset()
+    assert step2["sequence"] == seqs[4]  # remaining 2 commits
+    # caught up: the capped answer equals the head and stays put
+    r.commit(step2)
+    assert r.latestOffset() == step2
