@@ -263,6 +263,69 @@ def run_merge_mode_bench(spark, sf: float) -> dict:
     return out
 
 
+def run_streaming_bench(spark, sf: float) -> dict:
+    """Native streaming pipeline micro-bench (r5): rows/s through
+    readStream(lake_stream) -> writeStream(lake_stream), one pass over a
+    table seeded at ~sf-scale. Measures the DataSource path end-to-end
+    (executor pyarrow reads, Arrow sink writes, metadata commits)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.sources.lakestream import LakeStreamDataSource
+
+    try:
+        spark.dataSource.register(LakeStreamDataSource)
+    except Exception:
+        pass
+    n = int(2_000_000 * max(sf, 0.01))
+    schema = StructType(
+        [StructField("event_id", LongType(), False), StructField("value", DoubleType())]
+    )
+    src_root = tempfile.mkdtemp(prefix="bench-stream-src-")
+    dst_root = tempfile.mkdtemp(prefix="bench-stream-dst-")
+    ckpt = tempfile.mkdtemp(prefix="bench-stream-ckpt-")
+    try:
+        src = LakeTable.create(spark, src_root, schema, primary_key=["event_id"])
+        half = n // 2
+        base = spark.range(n, numPartitions=CPUS).select(
+            F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+        )
+        src.append(base.filter(F.col("event_id") < half))
+        src.append(base.filter(F.col("event_id") >= half))
+        dst = LakeTable.create(spark, dst_root, schema, primary_key=["event_id"])
+        t0 = time.monotonic()
+        q = (
+            spark.readStream.format("lake_stream")
+            .option("path", src_root)
+            .load()
+            .select("event_id", "value")
+            .writeStream.format("lake_stream")
+            .option("path", dst_root)
+            .option("stream_id", "bench")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        el = time.monotonic() - t0
+        rows = dst.scan().count()
+        assert rows == n, f"streamed {rows} of {n}"
+        return {"rows": n, "sec": round(el, 3), "rows_per_sec": round(n / el, 1)}
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+        shutil.rmtree(dst_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     from airbyte_spark.session import get_spark
 
@@ -315,6 +378,7 @@ def main() -> None:
     maint = run_maintenance_bench(spark, sf)
     times["maintenance_pipeline"] = maint["sec"]
     merge_modes = run_merge_mode_bench(spark, sf)
+    streaming = run_streaming_bench(spark, sf)
 
     total = round(sum(times.values()), 3)
     print(
@@ -340,6 +404,7 @@ def main() -> None:
                     "noop": maint.get("noop"),
                 },
                 "merge_modes": merge_modes,
+                "streaming": streaming,
             }
         )
     )
