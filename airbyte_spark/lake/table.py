@@ -1875,20 +1875,48 @@ class LakeTable:
     # maintenance: expiry + orphan GC (IcebergTableCleaner semantics)
     # ------------------------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> list[str]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> list[str]:
         """Delete snapshot+manifest metadata unreachable within the retention
         window. Keeps, per branch: the head and its `keep_last-1` nearest
-        ancestors (and anything newer than older_than_ms). Holds the refs
-        lock for the whole sweep: a commit landing between the keep-set
-        computation and the unlinks would otherwise have its brand-new
-        snapshot+manifests deleted, leaving the branch head dangling."""
+        ancestors (and anything newer than older_than_ms). With
+        `max_ref_age_ms` (Iceberg's MAX_REF_AGE_MS), tags and non-main
+        branches whose pinned snapshot committed longer ago than that are
+        DROPPED first, releasing their retention pins — `main` never ages
+        out. Holds the refs lock for the whole sweep: a commit landing
+        between the keep-set computation and the unlinks would otherwise
+        have its brand-new snapshot+manifests deleted, leaving the branch
+        head dangling."""
         with _refs_lock(self.root):
-            return self._expire_snapshots_locked(keep_last, older_than_ms)
+            return self._expire_snapshots_locked(
+                keep_last, older_than_ms, max_ref_age_ms
+            )
 
     def _expire_snapshots_locked(
-        self, keep_last: int, older_than_ms: int | None
+        self,
+        keep_last: int,
+        older_than_ms: int | None,
+        max_ref_age_ms: int | None = None,
     ) -> list[str]:
         refs = self._refs()
+        if max_ref_age_ms is not None:
+            cutoff = now_ms() - max_ref_age_ms
+            stale = False
+            for kind in ("tags", "branches"):
+                for name, sid in list(refs.get(kind, {}).items()):
+                    if kind == "branches" and name == MAIN:
+                        continue
+                    if self.snapshot(sid).timestamp_ms < cutoff:
+                        del refs[kind][name]
+                        stale = True
+            if stale:
+                atomic_write_json(
+                    os.path.join(self.meta_dir, "refs.json"), refs
+                )
         keep: set[str] = set()
         # tagged snapshots are pinned until the tag is dropped (Iceberg
         # tag retention): keep the snapshot itself — not its ancestry —

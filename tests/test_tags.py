@@ -67,3 +67,35 @@ def test_tag_validation(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="branch"):
         t.create_tag("main")
     assert t.tags == {"v1": t.current_snapshot_id()}
+
+
+def test_max_ref_age_drops_stale_refs_but_never_main(spark, tmp_table_dir):
+    """Iceberg MAX_REF_AGE_MS: tags and side branches whose pinned
+    snapshot is older than the age are dropped by expire, releasing
+    their retention pins; main never ages out."""
+    import time as _time
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from airbyte_spark.lake.table import LakeTable
+
+    schema = StructType(
+        [StructField("id", StringType(), False), StructField("v", IntegerType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", 1)], schema))
+    t.create_tag("old-tag")
+    t.create_branch("old-branch")
+    old_pin = t.tags["old-tag"]
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([("b", 2)], schema))
+    t.create_tag("fresh-tag")
+    # age out anything pinned before the second append
+    expired = t.expire_snapshots(keep_last=1, max_ref_age_ms=40)
+    assert "old-tag" not in t.tags
+    assert "old-branch" not in t.branches()
+    assert "fresh-tag" in t.tags  # pinned snapshot is recent enough
+    assert "main" in t.branches()
+    # the previously tag-pinned snapshot expired once the pin released
+    assert old_pin in expired
+    assert t.scan().count() == 2
