@@ -254,7 +254,11 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
     stream_id and drops the replayed files instead of double-appending —
     the same idempotent-effects-over-at-least-once-execution rule as the
     checkpoint ledger (T5). Empty partitions write NO file (empty part
-    files poison manifest pruning)."""
+    files poison manifest pruning). Sink files carry footer min/max
+    stats but no PK bloom sidecars (the Spark-xxhash64 contract needs a
+    JVM; every bloom probe treats a sidecar-less file as
+    conservative-keep, so pruning degrades gracefully — run maintenance
+    to attach them on rewrite)."""
 
     def __init__(self, root: str, branch: str, stream_id: str,
                  stats_columns: list[str], schema_id: int):
