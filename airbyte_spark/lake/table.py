@@ -674,6 +674,69 @@ class LakeTable:
             if m:
                 e.bloom = {"col": pk0, "type": tname, "m": int(m), "k": k}
 
+    def backfill_pk_blooms(self, branch: str = MAIN) -> int:
+        """Stamp PK bloom sidecars onto live data files that lack them.
+
+        The streaming sink (sources/lakestream.py) writes from Python
+        DataSource workers with no SparkSession, so it cannot honor the
+        sidecar hash contract (SPARK's xxhash64 — bloom.py); its files
+        land bloom-less and every probe conservatively keeps them. This
+        backfill — run as a maintenance stage — restores tight membership
+        pruning: one column-pruned Spark pass per schema generation over
+        ONLY the bloom-less files, then a METADATA-ONLY commit that
+        re-adds the same entries (same path, same ORIGINAL sequence, same
+        sort_order_id) with the bloom descriptor attached, so
+        equality-delete applicability, position-delete references, and
+        cluster cleanliness are all unchanged. Incremental by
+        construction: steady state has zero bloom-less files and this is
+        a metadata-only no-op (no Spark job, no commit).
+
+        Files whose recorded schema lacks the leading PK column (written
+        before the column existed) are skipped — hashing a null-padded
+        column would build a bloom of the null hash only, and a later
+        probe for a real key would FALSELY prune the file (row loss).
+        Returns the number of files stamped."""
+        if not self.primary_key:
+            return 0
+        props = self.properties
+        if str(props.get("write.pk-bloom.enabled", "true")).lower() not in (
+            "1",
+            "true",
+        ):
+            return 0
+        pk0 = self.primary_key[0]
+        todo = [
+            e
+            for e in self.data_files(branch=branch)
+            if e.bloom is None and e.rows > 0
+        ]
+        if not todo:
+            return 0
+        by_schema: dict[int, list[DataFileEntry]] = {}
+        for e in todo:
+            by_schema.setdefault(e.schema_id or 0, []).append(e)
+        stamped: list[DataFileEntry] = []
+        for sid, group in sorted(by_schema.items()):
+            try:
+                fields = set(self.registered_schema(sid).fieldNames())
+            except Exception:
+                fields = {f.name for f in self.spark.read.parquet(
+                    group[0].path).schema.fields}
+            if pk0 not in fields:
+                continue
+            self._attach_pk_blooms(group)
+            stamped.extend(e for e in group if e.bloom)
+        if not stamped:
+            return 0
+        self.commit(
+            "attach-blooms",
+            add_entries=stamped,
+            remove_paths={e.path for e in stamped},
+            branch=branch,
+            summary={"backfilled_blooms": len(stamped)},
+        )
+        return len(stamped)
+
     def write_delete_files(
         self, keys: DataFrame, generation_id: int = 0
     ) -> list[DataFileEntry]:
@@ -1423,6 +1486,7 @@ class LakeTable:
             "retire-deletes",
             "rewrite-manifests",
             "rewrite-tombstones",
+            "attach-blooms",
             "evolve-schema",
             "create",
         }

@@ -149,6 +149,14 @@ def run_maintenance(
         }
     _stage(3, "cluster", _cluster)
 
+    # files written outside a JVM context (the streaming sink's Python
+    # DataSource workers) land without PK bloom sidecars; stamp them here
+    # so membership pruning is tight again. Steady state: metadata-only
+    # no-op (zero bloom-less files -> no Spark job, no commit).
+    _stage(4, "attach-blooms", lambda: {
+        "backfilled": table.backfill_pk_blooms(branch=branch)
+    })
+
     def _manifests():
         # O(table) footer recompute — only worth it when a prior stage
         # actually changed files; a no-op steady-state cycle skips it
@@ -164,20 +172,20 @@ def run_maintenance(
                 "rewritten_entries"
             ]
         }
-    _stage(4, "rewrite-manifests", _manifests)
+    _stage(5, "rewrite-manifests", _manifests)
 
     def _swap():
         if use_staging:
             table.replace_branch(MAIN, branch)
             table.drop_branch(branch)
         return {"swapped": use_staging}
-    _stage(5, "swap", _swap)
+    _stage(6, "swap", _swap)
 
     def _gc():
         expired = table.expire_snapshots(keep_last=expire_keep_last)
         orphans = table.remove_orphan_files()
         return {"expired_snapshots": len(expired), "orphan_files": len(orphans)}
-    _stage(6, "expire-gc", _gc)
+    _stage(7, "expire-gc", _gc)
 
     report.wall_s = time.monotonic() - t0
     if not report.rows:
@@ -335,6 +343,9 @@ def run_partitioned_maintenance(
             "rewritten_files": fold.rewritten_files,
             "dropped_delete_files": fold.dropped_delete_files,
         }
+    backfilled = retry_on_conflict(lambda: table.backfill_pk_blooms())
+    if backfilled:
+        report.stages["attach-blooms"] = {"backfilled": backfilled}
     expired = table.expire_snapshots(keep_last=expire_keep_last)
     orphans = table.remove_orphan_files()
     report.stages["expire-gc"] = {

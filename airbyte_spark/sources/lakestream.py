@@ -54,6 +54,7 @@ ROWSET_INVARIANT_OPS = frozenset(
         "retire-deletes",
         "rewrite-manifests",
         "rewrite-tombstones",
+        "attach-blooms",
         "evolve-schema",
         "create",
     }
@@ -257,8 +258,11 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
     files poison manifest pruning). Sink files carry footer min/max
     stats but no PK bloom sidecars (the Spark-xxhash64 contract needs a
     JVM; every bloom probe treats a sidecar-less file as
-    conservative-keep, so pruning degrades gracefully — run maintenance
-    to attach them on rewrite)."""
+    conservative-keep, so pruning degrades gracefully). The next
+    maintenance cycle's `attach-blooms` stage
+    (LakeTable.backfill_pk_blooms) stamps them in one column-pruned
+    Spark pass + a metadata-only commit, restoring tight pruning without
+    rewriting any data file."""
 
     def __init__(self, root: str, branch: str, stream_id: str,
                  stats_columns: list[str], schema_id: int):
@@ -274,6 +278,23 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
         self._hwm: int | None = None
         self._hwm_known = False
 
+    def _target_arrow_schema(self):
+        """The REGISTERED schema (by this writer's schema_id) as an Arrow
+        schema. Incoming batches are cast to it before hitting parquet:
+        Spark hands the sink whatever physical types the stream carries
+        (a long-typed source into an int column, for example), and a file
+        whose parquet types diverge from the registered schema would fail
+        every later JVM read (PARQUET_COLUMN_DATA_TYPE_MISMATCH — the
+        vectorized reader refuses INT64 data under an int32 read schema).
+        Pure metadata: refs.json + a pyspark-types conversion, no
+        SparkSession (DataSource workers have none)."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from airbyte_spark.lake.table import LakeTable
+
+        st = LakeTable(None, self.root).registered_schema(self.schema_id)
+        return to_arrow_schema(st)
+
     def write(self, iterator):
         import uuid
 
@@ -285,11 +306,16 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
             self.root, "data", f"stream-{uuid.uuid4().hex}.parquet"
         )
         writer = None
+        target = None
         rows = 0
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
+                if target is None:
+                    target = self._target_arrow_schema()
+                if batch.schema != target:
+                    batch = batch.select(target.names).cast(target)
                 if writer is None:
                     os.makedirs(os.path.dirname(path), exist_ok=True)
                     writer = pq.ParquetWriter(path, batch.schema)
