@@ -16,7 +16,7 @@ reject what the schema would reject — a typo like
 did-you-mean) at `check` / sync-start / table-create time instead of a
 silently applied default. Keys outside the engine-reserved prefixes
 (``RESERVED_PREFIXES``: ``write.`` / ``merge.`` / ``cluster.`` /
-``commit.``) stay free-form user metadata,
+``commit.`` / ``compact.``) stay free-form user metadata,
 matching Iceberg's arbitrary table-property semantics.
 """
 
@@ -37,7 +37,7 @@ SYNC_MODE_FOR_LOADER_MODE = {
 
 #: prefixes the engine owns: an unrecognized key under one of these is a
 #: config error (typo), anything else is user metadata and passes through
-RESERVED_PREFIXES = ("write.", "merge.", "cluster.", "commit.")
+RESERVED_PREFIXES = ("write.", "merge.", "cluster.", "commit.", "compact.")
 
 #: every table property the engine reads, with the JSON-schema fragment
 #: the spec advertises for it. `consumer` cites the code that reads it —
@@ -165,6 +165,30 @@ PROPERTY_SPECS: dict[str, dict] = {
         "merge candidates.",
         "group": "commit",
         "consumer": "lake/table.py::_maybe_merge_manifests",
+    },
+    "compact.partial-progress.enabled": {
+        "type": "boolean",
+        "default": False,
+        "description": "Split a compaction rewrite across up to "
+        "max-commits independent commits so a concurrent writer or a "
+        "lost executor voids one chunk of finished work, never the "
+        "whole pass (Iceberg RewriteDataFiles partial-progress.enabled). "
+        "Each chunk re-validates its victims and the live delete set "
+        "against the branch head at its own commit time; an invalidated "
+        "chunk is abandoned and its victims wait for the next cycle.",
+        "group": "compact",
+        "consumer": "operators/compact.py::_compact_partial",
+    },
+    "compact.partial-progress.max-commits": {
+        "type": "integer",
+        "default": 10,
+        "minimum": 2,
+        "description": "Upper bound on the number of independent commits "
+        "a partial-progress compaction may produce (Iceberg "
+        "partial-progress.max-commits); bins are round-robined across "
+        "chunks by descending size so commits carry comparable volume.",
+        "group": "compact",
+        "consumer": "operators/compact.py::_compact_partial",
     },
     "cluster.max-sorted-levels": {
         "type": "integer",
@@ -300,6 +324,7 @@ def spec() -> dict:
         {"id": "write", "title": "Write"},
         {"id": "merge", "title": "Merge"},
         {"id": "cluster", "title": "Clustering"},
+        {"id": "compact", "title": "Compaction"},
         {"id": "commit", "title": "Commit metadata"},
     ]
     return {

@@ -41,6 +41,11 @@ class CompactionResult:
     files_before: int
     files_after: int
     rewritten_bytes: int
+    # partial-progress mode only: every chunk commit that landed, and how
+    # many chunks were abandoned to a concurrent writer (their output
+    # files are deleted; their victims stay live for the next pass)
+    snapshots: list = None  # type: ignore[assignment]
+    skipped_chunks: int = 0
 
 
 def compact(
@@ -49,13 +54,37 @@ def compact(
     small_file_threshold: float = 0.75,
     branch: str = MAIN,
     partition_filter: dict | None = None,
+    partial_progress: bool | None = None,
+    max_commits: int | None = None,
+    _between_chunks=None,
 ) -> CompactionResult:
     """Rewrite small files into ~target-size bins; one atomic commit.
     With `partition_filter` only that partition's files are considered —
-    the bounded per-partition job shape for 10^12-row tables."""
+    the bounded per-partition job shape for 10^12-row tables.
+
+    `partial_progress=True` (Iceberg RewriteDataFiles
+    `partial-progress.enabled`, Spark action RewriteDataFilesSparkAction):
+    the bins are split across up to `max_commits` INDEPENDENT commits, so
+    at 100-TB scale an executor loss or a concurrent writer voids one
+    chunk of the rewrite, never hours of finished work. Each chunk
+    re-validates against the branch head at its own commit time — its
+    victims must still be live and no NEW delete files may have landed
+    since planning (a post-plan tombstone would stop applying to the
+    re-sequenced packed file and silently resurrect rows) — and a chunk
+    that fails validation is abandoned: its output files are deleted and
+    its victims remain for the next maintenance cycle. `_between_chunks`
+    is a test seam called after each chunk's Spark job, before its
+    commit."""
+    props = table.properties
     target_file_bytes = target_file_bytes or int(
-        table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
+        props.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )
+    if partial_progress is None:
+        partial_progress = str(
+            props.get("compact.partial-progress.enabled", "false")
+        ).lower() in ("true", "1")
+    if max_commits is None:
+        max_commits = int(props.get("compact.partial-progress.max-commits", 10))
     # pin the snapshot we plan against: a concurrent commit between
     # planning and commit raises CommitConflict instead of being discarded
     planned_parent = table.current_snapshot_id(branch)
@@ -76,7 +105,7 @@ def compact(
         pkey = tuple(sorted(e.partition.items()))
         groups.setdefault((e.generation_id, e.schema_id, pkey), []).append(e)
 
-    all_new, all_victims = [], set()
+    group_plans = []  # (generation_id, schema_id, seq_by_path, plan)
     plans: list[CompactionPlan] = []
     for (gen, sid, _pkey), group in sorted(groups.items()):
         plan = plan_ffd(
@@ -85,22 +114,31 @@ def compact(
             small_file_threshold=small_file_threshold,
         )
         plans.append(plan)
-        if not plan.bins:
-            continue
-        seq_by_path = {e.path: e.sequence or 0 for e in group}
-        new_entries = _execute_bins(
-            table, plan, gen, sid, deletes, seq_by_path, pos_deletes
-        )
-        all_new.extend(new_entries)
-        for b in plan.bins:
-            all_victims.update(b.paths)
+        if plan.bins:
+            group_plans.append(
+                (gen, sid, {e.path: e.sequence or 0 for e in group}, plan)
+            )
 
     merged_plan = CompactionPlan(
         bins=[b for p in plans for b in p.bins],
         skipped_files=sum(p.skipped_files for p in plans),
     )
-    if not all_new:
+    if not group_plans:
         return CompactionResult(None, merged_plan, len(entries), len(entries), 0)
+
+    if partial_progress and len(merged_plan.bins) > 1 and max_commits > 1:
+        return _compact_partial(
+            table, group_plans, deletes, pos_deletes, branch,
+            merged_plan, len(entries), max_commits, _between_chunks,
+        )
+
+    all_new, all_victims = [], set()
+    for gen, sid, seq_by_path, plan in group_plans:
+        all_new.extend(
+            _execute_bins(table, plan, gen, sid, deletes, seq_by_path, pos_deletes)
+        )
+        for b in plan.bins:
+            all_victims.update(b.paths)
 
     # a position-delete entry none of whose referenced files survive this
     # commit is retired alongside (its tombstones were folded into the bins)
@@ -134,6 +172,125 @@ def compact(
         files_before=len(entries),
         files_after=len(table.data_files(branch=branch)),
         rewritten_bytes=sum(b.bytes for b in merged_plan.bins),
+        snapshots=[snap],
+    )
+
+
+class _ChunkAbandoned(Exception):
+    """A partial-progress chunk failed commit-time validation (victims
+    rewritten by a concurrent commit, or new delete files landed since
+    planning) — the chunk is dropped, not retried: neither condition can
+    revert."""
+
+
+def _compact_partial(
+    table: LakeTable,
+    group_plans: list,
+    deletes,
+    pos_deletes,
+    branch: str,
+    merged_plan: CompactionPlan,
+    files_before: int,
+    max_commits: int,
+    between_chunks,
+) -> CompactionResult:
+    """Execute the planned bins as up to `max_commits` independent commits.
+
+    Chunk assignment is round-robin over bins sorted by descending bytes,
+    so every commit carries a comparable rewrite volume (one straggler
+    chunk would serialize the tail). Each chunk is validated against the
+    CURRENT branch head inside the commit-retry loop: a parent move alone
+    re-validates and re-commits (cheap — the Spark job is NOT re-run; the
+    packed files are already on disk), while a victim loss or a post-plan
+    delete file abandons the chunk and deletes its output."""
+    import os
+
+    from airbyte_spark.lake.retry import retry_on_conflict
+    from airbyte_spark.lake.table import CommitConflict
+    from airbyte_spark.operators.posdeletes import dead_position_deletes
+
+    units = [
+        (gi, b)
+        for gi, (_gen, _sid, _seq, plan) in enumerate(group_plans)
+        for b in plan.bins
+    ]
+    n_chunks = min(max_commits, len(units))
+    chunks: list[list] = [[] for _ in range(n_chunks)]
+    for i, unit in enumerate(sorted(units, key=lambda u: -u[1].bytes)):
+        chunks[i % n_chunks].append(unit)
+
+    planned_delete_paths = {d.path for d in deletes} | {
+        d.path for d in pos_deletes
+    }
+    snaps: list[Snapshot] = []
+    skipped_chunks = 0
+    rewritten_bytes = 0
+    for ci, chunk in enumerate(chunks):
+        new_entries, victims = [], set()
+        by_group: dict[int, list] = {}
+        for gi, b in chunk:
+            by_group.setdefault(gi, []).append(b)
+        for gi, bins in sorted(by_group.items()):
+            gen, sid, seq_by_path, _ = group_plans[gi]
+            sub_plan = CompactionPlan(bins=bins, skipped_files=0)
+            sub_seq = {p: seq_by_path[p] for b in bins for p in b.paths}
+            new_entries.extend(
+                _execute_bins(
+                    table, sub_plan, gen, sid, deletes, sub_seq, pos_deletes
+                )
+            )
+            victims.update(p for b in bins for p in b.paths)
+        if between_chunks is not None:
+            between_chunks(ci)
+
+        def attempt():
+            parent = table.current_snapshot_id(branch)
+            live_entries = table.data_files(branch=branch)
+            if not victims <= {e.path for e in live_entries}:
+                raise _ChunkAbandoned("victim rewritten by a concurrent commit")
+            live_pos = table.position_delete_files(branch=branch)
+            current_delete_paths = {
+                d.path for d in table.delete_files(branch=branch)
+            } | {d.path for d in live_pos}
+            if current_delete_paths - planned_delete_paths:
+                raise _ChunkAbandoned("delete files landed since planning")
+            dead_pos = dead_position_deletes(
+                table, live_pos, victims,
+                survivors=[e for e in live_entries if e.path not in victims],
+            )
+            return table.commit(
+                "compact",
+                new_entries,
+                remove_paths=victims | {d.path for d in dead_pos},
+                branch=branch,
+                expected_parent=parent,
+                summary={
+                    "bins": len([b for _, b in chunk]),
+                    "input_files": len(victims),
+                    "partial-progress": f"{ci + 1}/{n_chunks}",
+                },
+            )
+
+        try:
+            snaps.append(retry_on_conflict(attempt))
+            rewritten_bytes += sum(b.bytes for _, b in chunk)
+        except (_ChunkAbandoned, CommitConflict):
+            skipped_chunks += 1
+            for e in new_entries:
+                for path in (e.path, e.path + ".bloom"):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+
+    return CompactionResult(
+        snapshot=snaps[-1] if snaps else None,
+        plan=merged_plan,
+        files_before=files_before,
+        files_after=len(table.data_files(branch=branch)),
+        rewritten_bytes=rewritten_bytes,
+        snapshots=snaps,
+        skipped_chunks=skipped_chunks,
     )
 
 

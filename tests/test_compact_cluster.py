@@ -124,3 +124,133 @@ def test_cluster_roundtrip_pixels_survive(spark, small_file_table):
     post_df = t.scan().filter(F.col("image_id").isin(list(pre))).collect()
     post = {r["image_id"]: (r["caption"], len(r["bytes"])) for r in post_df}
     assert pre == post
+
+
+# ---------------------------------------------------------------- partial
+# progress: the rewrite lands as up to max-commits independent snapshots
+# (Iceberg RewriteDataFiles partial-progress.enabled), each re-validated
+# against the branch head at its own commit time.
+
+
+def _images_checksum(t, snapshot_id=None):
+    row = (
+        t.scan(snapshot_id=snapshot_id)
+        .select(
+            F.expr("bit_xor(xxhash64(image_id, caption))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return row["n"], row["h"]
+
+
+def test_partial_progress_lands_independent_commits(spark, small_file_table):
+    t = small_file_table
+    before = _images_checksum(t)
+    before_files = len(t.data_files())
+    res = compact(t, target_file_bytes=2 * 1024 * 1024,
+                  partial_progress=True, max_commits=3)
+    assert len(res.snapshots) == 3
+    assert res.skipped_chunks == 0
+    assert res.snapshot.snapshot_id == res.snapshots[-1].snapshot_id
+    assert [s.operation for s in res.snapshots] == ["compact"] * 3
+    assert _images_checksum(t) == before
+    assert len(t.data_files()) < before_files
+    # EVERY intermediate commit is a consistent table state: each chunk
+    # swaps its victims for their packed equivalents, nothing else
+    for s in res.snapshots:
+        assert _images_checksum(t, snapshot_id=s.snapshot_id) == before
+    # chunk volumes are balanced (round-robin by descending size), so no
+    # straggler commit carries the whole rewrite
+    per_chunk = [int(s.summary["input_files"]) for s in res.snapshots]
+    assert max(per_chunk) - min(per_chunk) <= max(2, min(per_chunk))
+
+
+def test_partial_progress_respects_table_properties(spark, small_file_table):
+    t = small_file_table
+    t.set_properties(
+        {
+            "write.target-file-size-bytes": 2 * 1024 * 1024,
+            "compact.partial-progress.enabled": True,
+            "compact.partial-progress.max-commits": 4,
+        }
+    )
+    before = _images_checksum(t)
+    res = compact(t)  # no args: mode comes from the registered properties
+    assert len(res.snapshots) == min(4, len(res.plan.bins))
+    assert len(res.snapshots) > 1
+    assert _images_checksum(t) == before
+
+
+def test_partial_progress_abandons_chunks_after_new_delete_file(
+    spark, small_file_table
+):
+    """A tombstone landing mid-rewrite stops applying to re-sequenced
+    packed files — every not-yet-committed chunk must abandon, or the
+    packed files would resurrect the deleted rows."""
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    t = small_file_table
+    n_before, _ = _images_checksum(t)
+    doomed = [
+        r["image_id"]
+        for r in t.scan().filter("w <= 64").select("image_id").collect()
+    ]
+    assert doomed
+
+    def inject(ci):
+        if ci == 1:  # chunk 0 already committed; 1 and 2 must abandon
+            delete_where(t, "w <= 64")
+
+    res = compact(t, target_file_bytes=2 * 1024 * 1024,
+                  partial_progress=True, max_commits=3, _between_chunks=inject)
+    assert len(res.snapshots) == 1
+    assert res.skipped_chunks == 2
+    assert t.scan().count() == n_before - len(doomed)
+    assert t.scan().filter("w <= 64").count() == 0
+    # abandoned chunks' output files are deleted from disk: everything on
+    # disk is either referenced by some snapshot (victims stay readable
+    # for time travel) or live
+    import pathlib
+
+    referenced = set()
+    for snap in t.history():
+        referenced |= {e.path for e in t.data_files(snapshot_id=snap.snapshot_id)}
+        referenced |= {
+            d.path for d in t.position_delete_files(snapshot_id=snap.snapshot_id)
+        }
+    on_disk = {str(p) for p in pathlib.Path(t.root).rglob("*.parquet")}
+    assert on_disk <= referenced
+
+
+def test_partial_progress_abandons_only_the_chunk_whose_victim_was_lost(
+    spark, small_file_table
+):
+    """A concurrent rewrite that removes ONE victim voids only the chunk
+    holding it; the other chunks' packed files still commit — partial
+    progress is the point."""
+    t = small_file_table
+    lost = {}
+
+    def inject(ci):
+        if ci == 0:  # before any chunk committed: all victims still live
+            victim = sorted(e.path for e in t.data_files())[0]
+            lost["path"] = victim
+            lost["rows"] = next(
+                e.rows for e in t.data_files() if e.path == victim
+            )
+            lost["ids"] = [
+                r["image_id"]
+                for r in t.spark.read.parquet(victim).select("image_id").collect()
+            ]
+            t.commit("delete", [], remove_paths={victim})
+
+    n_before, _ = _images_checksum(t)
+    res = compact(t, target_file_bytes=2 * 1024 * 1024,
+                  partial_progress=True, max_commits=3, _between_chunks=inject)
+    assert res.skipped_chunks == 1
+    assert len(res.snapshots) == 2
+    # the lost victim's rows are gone and STAY gone: the abandoned chunk's
+    # packed file (which still contained them) never became visible
+    assert t.scan().count() == n_before - lost["rows"]
+    assert t.scan().filter(F.col("image_id").isin(lost["ids"])).count() == 0
