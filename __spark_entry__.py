@@ -2722,12 +2722,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT),       'cluster'),
               ('cluster.max-sorted-levels',    'integer', '8',
                CAST(0 AS BIGINT),       'cluster'),
+              ('cluster.partial-progress.enabled', 'boolean', 'false',
+               CAST(NULL AS BIGINT),    'cluster'),
+              ('cluster.partial-progress.max-commits', 'integer', '10',
+               CAST(2 AS BIGINT),       'cluster'),
               ('cluster.planning.distributed-threshold', 'integer', '100000',
                CAST(0 AS BIGINT),       'cluster'),
               ('commit.manifest-min-count-to-merge', 'integer', '32',
                CAST(1 AS BIGINT),       'commit'),
               ('commit.manifest-target-entries', 'integer', '8192',
                CAST(16 AS BIGINT),      'commit'),
+              ('compact.partial-progress.enabled', 'boolean', 'false',
+               CAST(NULL AS BIGINT),    'compact'),
+              ('compact.partial-progress.max-commits', 'integer', '10',
+               CAST(2 AS BIGINT),       'compact'),
               ('merge.bloom.max-probe-keys',   'integer', '2000000',
                CAST(0 AS BIGINT),       'merge'),
               ('merge.mor.max-delete-eras',    'integer', '8',

@@ -166,6 +166,28 @@ PROPERTY_SPECS: dict[str, dict] = {
         "group": "commit",
         "consumer": "lake/table.py::_maybe_merge_manifests",
     },
+    "cluster.partial-progress.enabled": {
+        "type": "boolean",
+        "default": False,
+        "description": "Land a clustering rewrite as up to max-commits "
+        "independent commits, each chunk range-sorted and validated "
+        "(victims live, no new delete files, sort order still registered) "
+        "against the branch head at its own commit time. Chunk key ranges "
+        "may overlap across chunks — the bounded sorted-levels state "
+        "cluster.max-sorted-levels already consolidates.",
+        "group": "cluster",
+        "consumer": "operators/cluster.py::_cluster_partial",
+    },
+    "cluster.partial-progress.max-commits": {
+        "type": "integer",
+        "default": 10,
+        "minimum": 2,
+        "description": "Upper bound on the number of independent commits "
+        "a partial-progress clustering pass may produce; victims are "
+        "round-robined across chunks by descending size.",
+        "group": "cluster",
+        "consumer": "operators/cluster.py::_cluster_partial",
+    },
     "compact.partial-progress.enabled": {
         "type": "boolean",
         "default": False,

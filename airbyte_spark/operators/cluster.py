@@ -85,6 +85,11 @@ class ClusterResult:
     skipped_bytes: int = 0
     dropped_delete_files: int = 0
     victim_reasons: dict = field(default_factory=dict)
+    # partial-progress mode only: every chunk commit that landed, and how
+    # many chunks were abandoned (their output deleted; their victims
+    # stay live — and stay dirty — for the next maintenance cycle)
+    snapshots: list = None  # type: ignore[assignment]
+    skipped_chunks: int = 0
 
 
 def delete_may_hit(
@@ -636,6 +641,9 @@ def cluster(
     scope: str = "full",  # or "dirty"
     min_size_ratio: float = DEFAULT_MIN_SIZE_RATIO,
     fold_deletes: str = "auto",  # auto | always | never
+    partial_progress: bool | None = None,
+    max_commits: int | None = None,
+    _between_chunks=None,
 ) -> ClusterResult:
     """Clustering rewrite along a space-filling curve. `scope="dirty"`
     rewrites only victim files (see module docstring — O(change));
@@ -661,6 +669,14 @@ def cluster(
     target_file_bytes = target_file_bytes or int(
         table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )
+    if partial_progress is None:
+        partial_progress = str(
+            table.properties.get("cluster.partial-progress.enabled", "false")
+        ).lower() in ("true", "1")
+    if max_commits is None:
+        max_commits = int(
+            table.properties.get("cluster.partial-progress.max-commits", 10)
+        )
     order_id = table.ensure_sort_order(dims, curve, bits)
     planned_parent = table.current_snapshot_id(branch)
     deletes = table.delete_files(branch=branch)
@@ -779,47 +795,19 @@ def cluster(
             victim_reasons=reasons,
         )
 
-    # position deletes MUST fold into any victim rewrite regardless of why
-    # the victim was chosen — a rewritten file gets a new path, so an
-    # unapplied tombstone would silently resurrect its rows
-    df = table.read_entries(victims, schema, deletes=deletes + pos_deletes)
-    key = curve_key_udf(
-        dims, _dim_bounds_entries(victims, df.select(*dims), dims), curve, bits
-    )
-    keyed = df.withColumn("_ck", key(*[F.col(d) for d in dims]))
+    if partial_progress and len(victims) > 1 and max_commits > 1:
+        return _cluster_partial(
+            table, victims, reasons, schema, dims, curve, bits, order_id,
+            target_file_bytes, generation_id, deletes, pos_deletes, pk,
+            branch, scope, files_before, bytes_before, max_commits,
+            _between_chunks,
+        )
 
+    new_entries = _execute_cluster_rewrite(
+        table, victims, schema, dims, curve, bits, order_id,
+        target_file_bytes, generation_id, deletes, pos_deletes,
+    )
     total_bytes = sum(e.bytes for e in victims)
-    n_out = max(1, -(-total_bytes // target_file_bytes))
-
-    # Boundaries from a column-pruned scan of just the clustered dims (the
-    # payload column never loads) — then ONE pass over the victim set with
-    # a range-bucketed partitionBy write. repartitionByRange would instead
-    # sample the keyed plan and execute the payload read + key UDF twice.
-    from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
-
-    slim = table.read_entries(victims, schema).select(*dims)
-    # boundary precision only controls file-size balance, so ~200k sampled
-    # rows suffice for the quantiles: sample BEFORE the curve-key UDF —
-    # at 10^9 rows this is the difference between a full Python UDF pass
-    # over the dims and a bounded one (no-op below 200k rows)
-    est_rows = sum(e.rows for e in victims)
-    frac = min(1.0, 200_000 / max(1, est_rows))
-    if frac < 1.0:
-        slim = slim.sample(fraction=frac, seed=42)
-    slim = slim.withColumn("_ck", key(*[F.col(d) for d in dims]))
-    bounds = numeric_boundaries(slim, "_ck", n_out)
-    out = range_bucketed(
-        keyed,
-        F.col("_ck"),
-        bounds,
-        sort_cols=["_ck"],
-        min_tasks=table.spark.sparkContext.defaultParallelism,
-    ).drop("_ck")
-    new_entries = table.write_dataframe(
-        out, generation_id=generation_id, partition_by="_pid"
-    )
-    for e in new_entries:
-        e.sort_order_id = order_id
     remove = {e.path for e in victims}
     # a rewritten victim restamps its rows at the new commit sequence; any
     # delete file no SURVIVING data file can be subject to is dead — drop
@@ -869,4 +857,240 @@ def cluster(
         skipped_bytes=bytes_before - total_bytes,
         dropped_delete_files=len(dead),
         victim_reasons=reasons,
+    )
+
+
+def _execute_cluster_rewrite(
+    table: LakeTable,
+    victims: list[DataFileEntry],
+    schema,
+    dims: list[str],
+    curve: str,
+    bits: int,
+    order_id: int,
+    target_file_bytes: int,
+    generation_id: int,
+    deletes: list[DataFileEntry],
+    pos_deletes: list[DataFileEntry],
+) -> list[DataFileEntry]:
+    """One range-bucketed sorted rewrite of `victims` (the cluster job
+    body, commit excluded). Position deletes MUST fold into any victim
+    rewrite regardless of why the victim was chosen — a rewritten file
+    gets a new path, so an unapplied tombstone would silently resurrect
+    its rows."""
+    df = table.read_entries(victims, schema, deletes=deletes + pos_deletes)
+    key = curve_key_udf(
+        dims, _dim_bounds_entries(victims, df.select(*dims), dims), curve, bits
+    )
+    keyed = df.withColumn("_ck", key(*[F.col(d) for d in dims]))
+
+    total_bytes = sum(e.bytes for e in victims)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+
+    # Boundaries from a column-pruned scan of just the clustered dims (the
+    # payload column never loads) — then ONE pass over the victim set with
+    # a range-bucketed partitionBy write. repartitionByRange would instead
+    # sample the keyed plan and execute the payload read + key UDF twice.
+    from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
+
+    slim = table.read_entries(victims, schema).select(*dims)
+    # boundary precision only controls file-size balance, so ~200k sampled
+    # rows suffice for the quantiles: sample BEFORE the curve-key UDF —
+    # at 10^9 rows this is the difference between a full Python UDF pass
+    # over the dims and a bounded one (no-op below 200k rows)
+    est_rows = sum(e.rows for e in victims)
+    frac = min(1.0, 200_000 / max(1, est_rows))
+    if frac < 1.0:
+        slim = slim.sample(fraction=frac, seed=42)
+    slim = slim.withColumn("_ck", key(*[F.col(d) for d in dims]))
+    bounds = numeric_boundaries(slim, "_ck", n_out)
+    out = range_bucketed(
+        keyed,
+        F.col("_ck"),
+        bounds,
+        sort_cols=["_ck"],
+        min_tasks=table.spark.sparkContext.defaultParallelism,
+    ).drop("_ck")
+    new_entries = table.write_dataframe(
+        out, generation_id=generation_id, partition_by="_pid"
+    )
+    for e in new_entries:
+        e.sort_order_id = order_id
+    return new_entries
+
+
+class _ChunkAbandoned(Exception):
+    """A partial-progress chunk failed commit-time validation; dropped,
+    not retried — none of the conditions (victim rewritten, new delete
+    file, sort order invalidated) can revert."""
+
+
+def _cluster_partial(
+    table: LakeTable,
+    victims: list[DataFileEntry],
+    reasons: dict,
+    schema,
+    dims: list[str],
+    curve: str,
+    bits: int,
+    order_id: int,
+    target_file_bytes: int,
+    generation_id: int,
+    deletes: list[DataFileEntry],
+    pos_deletes: list[DataFileEntry],
+    pk: list[str],
+    branch: str,
+    scope: str,
+    files_before: int,
+    bytes_before: int,
+    max_commits: int,
+    between_chunks,
+) -> ClusterResult:
+    """Land the cluster rewrite as up to `max_commits` independent commits
+    (Iceberg RewriteDataFiles partial-progress over a SORT strategy): each
+    chunk of victims is range-sorted and committed on its own, so at
+    100-TB scale a concurrent writer or an executor loss voids one chunk,
+    never the whole pass. Chunks are sorted independently — their curve-key
+    ranges may overlap ACROSS chunks, which is exactly the bounded
+    "sorted levels" state the dirty-scope selector already manages
+    (`cluster.max-sorted-levels` consolidates past the bound), and every
+    chunk's files genuinely ARE sorted, so the per-file sort_order_id
+    stamp stays truthful.
+
+    Commit-time validation per chunk mirrors compact's partial path plus
+    one cluster-specific predicate: the planned sort order must still be
+    registered (a PK/identifier change mid-pass invalidates the registry —
+    committing would stamp files with a dead order id and they'd read as
+    clean under a spec nobody registered)."""
+    import os
+
+    from airbyte_spark.lake.retry import retry_on_conflict
+    from airbyte_spark.lake.table import CommitConflict
+    from airbyte_spark.operators.posdeletes import dead_position_deletes
+
+    n_chunks = min(max_commits, len(victims))
+    chunks: list[list[DataFileEntry]] = [[] for _ in range(n_chunks)]
+    for i, e in enumerate(sorted(victims, key=lambda e: -e.bytes)):
+        chunks[i % n_chunks].append(e)
+
+    planned_delete_paths = {d.path for d in deletes} | {
+        d.path for d in pos_deletes
+    }
+    dist_threshold = int(
+        table.properties.get("cluster.planning.distributed-threshold", 100_000)
+    )
+    snaps: list[Snapshot] = []
+    skipped_chunks = 0
+    rewritten_files = 0
+    rewritten_bytes = 0
+    dropped = 0
+    new_total = 0
+    for ci, chunk in enumerate(chunks):
+        new_entries = _execute_cluster_rewrite(
+            table, chunk, schema, dims, curve, bits, order_id,
+            target_file_bytes, generation_id, deletes, pos_deletes,
+        )
+        if between_chunks is not None:
+            between_chunks(ci)
+        remove_chunk = {e.path for e in chunk}
+
+        def attempt():
+            if order_id not in table.sort_orders():
+                raise _ChunkAbandoned("sort order invalidated mid-pass")
+            parent = table.current_snapshot_id(branch)
+            cur_deletes = table.delete_files(branch=branch)
+            cur_pos = table.position_delete_files(branch=branch)
+            if (
+                {d.path for d in cur_deletes} | {d.path for d in cur_pos}
+            ) - planned_delete_paths:
+                raise _ChunkAbandoned("delete files landed since planning")
+            snap = table.snapshot(branch=branch)
+            infos = snap.manifest_infos
+            total_entries = (
+                sum(i.get("entry_count", 0) for i in infos) if infos else None
+            )
+            if total_entries is not None and total_entries > dist_threshold:
+                # liveness by a broadcast semi-join over executor-parsed
+                # manifests; retirement by the distributed planners — the
+                # driver never lists the table inside the chunk loop
+                vdf = table.spark.createDataFrame(
+                    [(p,) for p in sorted(remove_chunk)], "path string"
+                )
+                live_n = (
+                    table.entries_df(branch=branch)
+                    .filter(F.col("content") == "data")
+                    .join(F.broadcast(vdf), "path", "left_semi")
+                    .count()
+                )
+                if live_n != len(remove_chunk):
+                    raise _ChunkAbandoned("victim rewritten by a concurrent commit")
+                dead = dead_delete_files_distributed(
+                    table, remove_chunk, cur_deletes, pk, schema, branch,
+                    snap.snapshot_id,
+                )
+                dead += dead_position_deletes(
+                    table, cur_pos, remove_chunk, branch=branch,
+                    snapshot_id=snap.snapshot_id,
+                )
+            else:
+                live = table.data_files(branch=branch)
+                if not remove_chunk <= {e.path for e in live}:
+                    raise _ChunkAbandoned("victim rewritten by a concurrent commit")
+                survivors = [e for e in live if e.path not in remove_chunk]
+                dead = dead_delete_files(survivors, cur_deletes, pk, schema)
+                dead += dead_position_deletes(
+                    table, cur_pos, remove_chunk, survivors=survivors
+                )
+            return (
+                table.commit(
+                    "cluster",
+                    new_entries,
+                    remove_paths=remove_chunk | {d.path for d in dead},
+                    branch=branch,
+                    expected_parent=parent,
+                    summary={
+                        "curve": curve,
+                        "dims": dims,
+                        "bits": bits,
+                        "scope": scope,
+                        "sort_order_id": order_id,
+                        "victims": len(chunk),
+                        "victim_reasons": reasons,
+                        "partial-progress": f"{ci + 1}/{n_chunks}",
+                    },
+                ),
+                len(dead),
+            )
+
+        try:
+            snap, n_dead = retry_on_conflict(attempt)
+            snaps.append(snap)
+            rewritten_files += len(chunk)
+            rewritten_bytes += sum(e.bytes for e in chunk)
+            dropped += n_dead
+            new_total += len(new_entries)
+        except (_ChunkAbandoned, CommitConflict):
+            skipped_chunks += 1
+            for e in new_entries:
+                for path in (e.path, e.path + ".bloom"):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+
+    return ClusterResult(
+        snapshot=snaps[-1] if snaps else None,
+        curve=curve,
+        dims=dims,
+        files_before=files_before,
+        files_after=files_before - rewritten_files + new_total,
+        scope=scope,
+        rewritten_files=rewritten_files,
+        rewritten_bytes=rewritten_bytes,
+        skipped_files=files_before - rewritten_files,
+        skipped_bytes=bytes_before - rewritten_bytes,
+        dropped_delete_files=dropped,
+        victim_reasons=reasons,
+        snapshots=snaps,
+        skipped_chunks=skipped_chunks,
     )

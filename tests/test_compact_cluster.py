@@ -254,3 +254,93 @@ def test_partial_progress_abandons_only_the_chunk_whose_victim_was_lost(
     # packed file (which still contained them) never became visible
     assert t.scan().count() == n_before - lost["rows"]
     assert t.scan().filter(F.col("image_id").isin(lost["ids"])).count() == 0
+
+
+def test_cluster_partial_progress_lands_independent_commits(
+    spark, small_file_table
+):
+    t = small_file_table
+    before = _images_checksum(t)
+    res = cluster(
+        t, dims=["phash", "w", "h"], curve="zorder",
+        target_file_bytes=2 * 1024 * 1024,
+        partial_progress=True, max_commits=3,
+    )
+    assert len(res.snapshots) == 3
+    assert res.skipped_chunks == 0
+    assert res.snapshot.snapshot_id == res.snapshots[-1].snapshot_id
+    assert _images_checksum(t) == before
+    # every intermediate commit is a consistent table state
+    for s in res.snapshots:
+        assert _images_checksum(t, snapshot_id=s.snapshot_id) == before
+    # every surviving data file carries the registered sort-order stamp:
+    # a follow-up dirty pass selects nothing (the leftover-victim state
+    # only arises when chunks abandon)
+    order_ids = {e.sort_order_id for e in t.data_files()}
+    assert len(order_ids) == 1 and None not in order_ids
+    res2 = cluster(
+        t, dims=["phash", "w", "h"], curve="zorder",
+        target_file_bytes=2 * 1024 * 1024, scope="dirty",
+    )
+    assert res2.rewritten_files == 0 and res2.snapshot is None
+
+
+def test_cluster_partial_progress_abandons_on_sort_order_invalidation(
+    spark, small_file_table
+):
+    """A PK/identifier change mid-pass clears the sort-order registry;
+    committing would stamp files with a dead order id. Chunks after the
+    invalidation must abandon; their victims stay live (and dirty)."""
+    t = small_file_table
+    before = _images_checksum(t)
+
+    def inject(ci):
+        if ci == 1:
+            t.invalidate_sort_orders()
+
+    res = cluster(
+        t, dims=["phash", "w", "h"], curve="zorder",
+        target_file_bytes=2 * 1024 * 1024,
+        partial_progress=True, max_commits=3, _between_chunks=inject,
+    )
+    assert len(res.snapshots) == 1
+    assert res.skipped_chunks == 2
+    assert _images_checksum(t) == before
+    # recovery: the next dirty pass re-registers the order and rewrites
+    # exactly the leftover state (abandoned victims + stale-stamped chunk)
+    res2 = cluster(
+        t, dims=["phash", "w", "h"], curve="zorder",
+        target_file_bytes=2 * 1024 * 1024, scope="dirty",
+    )
+    assert res2.snapshot is not None
+    assert _images_checksum(t) == before
+    order_ids = {e.sort_order_id for e in t.data_files()}
+    assert order_ids == {t.ensure_sort_order(["phash", "w", "h"], "zorder", 21)}
+
+
+def test_cluster_partial_progress_abandons_after_new_delete_file(
+    spark, small_file_table
+):
+    """Same resurrection argument as compaction: a tombstone landing
+    mid-pass cannot apply to re-sorted output files, so chunks that have
+    not committed yet must abandon."""
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    t = small_file_table
+    n_before, _ = _images_checksum(t)
+    doomed = t.scan().filter("h <= 64").count()
+    assert doomed
+
+    def inject(ci):
+        if ci == 1:
+            delete_where(t, "h <= 64")
+
+    res = cluster(
+        t, dims=["phash", "w", "h"], curve="zorder",
+        target_file_bytes=2 * 1024 * 1024,
+        partial_progress=True, max_commits=3, _between_chunks=inject,
+    )
+    assert len(res.snapshots) == 1
+    assert res.skipped_chunks == 2
+    assert t.scan().count() == n_before - doomed
+    assert t.scan().filter("h <= 64").count() == 0
