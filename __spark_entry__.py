@@ -2042,6 +2042,39 @@ def q_spec_operation(spark, sf):
     return spark.createDataFrame(rows, schema)
 
 
+def q_partition_prune_day(spark, sf):
+    """Hidden-partitioning scan pruning (lake/transforms.py; Iceberg
+    table-spec "Partition Transforms"): load events into a lake table
+    partitioned by day(ts) + bucket(4, user_id), then answer one day's
+    aggregate via scan(partition_filter={"ts": ...}) — the layout prunes
+    the other 29 day partitions before a single parquet footer is read
+    (the scale story: at 100 TB this is the difference between touching
+    one day and listing the table). The DuckDB oracle computes the same
+    aggregate with a row filter, so a pruning bug that drops or leaks
+    rows fails the value hash."""
+    import datetime
+    import tempfile
+
+    from airbyte_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events")
+    root = tempfile.mkdtemp(prefix="ptday-")
+    t = LakeTable.create(
+        spark, root, ev.schema, primary_key=["event_id"],
+        partition_by=["day(ts)", "bucket(4, user_id)"],
+        properties={"write.pk-bloom.enabled": False},
+    )
+    t.append(ev)
+    return (
+        t.scan(partition_filter={"ts": datetime.datetime(2024, 1, 15, 12, 0)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_cursor_bounded_scan": q_s2_cursor_bounded_scan,
@@ -2102,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_full_refresh": q_resumable_full_refresh,
         "discover_catalog": q_discover_catalog,
         "spec_operation": q_spec_operation,
+        "partition_prune_day": q_partition_prune_day,
     }
 
 
@@ -2751,6 +2785,17 @@ def oracle_sql() -> dict[str, str]:
               ('write.target-file-size-bytes', 'integer', '134217728',
                CAST(65536 AS BIGINT),   'write')
             ) AS t(property, json_type, default_value, minimum, grp)
+        """,
+        # the Spark side answers via day(ts)-partition pruning over a
+        # lake-table layout; the oracle is the plain row filter — a
+        # pruning bug that drops or leaks rows diverges the value hash
+        "partition_prune_day": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 3) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+            GROUP BY event_type
         """,
         # images_maintenance / image_features / images_compact_ffd /
         # images_cluster_hilbert / schema_evolution_roundtrip /

@@ -215,6 +215,14 @@ class LakeTable:
                     for f in schema.fields
                 ]
             )
+        # partition spec grammar + type check (lake/transforms.py): a
+        # typo'd transform or a temporal transform over an int column is
+        # a create-time error, never a garbage directory layout (checked
+        # AFTER the float-PK override so a forced-to-string PK validates
+        # against the type that will actually be stored)
+        from airbyte_spark.lake.transforms import validate_partition_spec
+
+        validate_partition_spec(partition_by or [], schema)
         t = LakeTable(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -310,6 +318,42 @@ class LakeTable:
     @property
     def partition_by(self) -> list[str]:
         return self._refs()["table"].get("partition_by", [])
+
+    def partition_fields(self) -> list:
+        """Parsed partition spec (lake/transforms.py PartitionField);
+        identity entries keep field.name == column, so pre-transform
+        tables resolve unchanged."""
+        from airbyte_spark.lake.transforms import parse_partition_spec
+
+        return parse_partition_spec(self.partition_by)
+
+    def resolve_partition_filter(self, pf: dict | None) -> dict | None:
+        """Normalize a user-facing partition filter to the layout form:
+        {field_name: layout_string_value}. A key may be a partition
+        FIELD name (value is already a layout string — internal callers
+        echo entry.partition dicts back) or a SOURCE column name (the
+        raw literal runs through the field's transform via the same
+        Spark expression the writer used). Unknown keys pass through
+        stringified — partition evolution may leave filters naming
+        old-spec columns that only row-level enforcement can honor."""
+        if not pf:
+            return pf
+        from airbyte_spark.lake.transforms import fields_by_key, transform_literal
+
+        fmap = fields_by_key(self.partition_fields())
+        schema = self.schema()
+        out: dict = {}
+        for k, v in pf.items():
+            f = fmap.get(k)
+            if f is None or k == f.name and f.transform != "identity":
+                out[k] = partition_str(v)
+            elif f.transform == "identity":
+                out[f.name] = partition_str(v)
+            else:
+                out[f.name] = transform_literal(
+                    self.spark, f, v, schema[f.source].dataType
+                )
+        return out
 
     def registered_schema(self, schema_id: int) -> StructType:
         import json as _json
@@ -574,15 +618,26 @@ class LakeTable:
         the writer emits exactly one file per bucket value and the column
         is not stored.
 
-        Table-level partition columns (`self.partition_by`) are written as
-        `_p_<col>=<value>` directory levels via aliases, so the data file
-        keeps the real column (files stay self-contained for schema-aligned
-        reads) while the layout carries partition values for pruning."""
+        Table-level partition fields (`self.partition_fields()` — identity
+        columns or hidden-partitioning transforms, lake/transforms.py) are
+        written as `_p_<field>=<value>` directory levels via derived
+        columns, so the data file keeps the real source column (files stay
+        self-contained for schema-aligned reads) while the layout carries
+        transformed partition values for pruning."""
+        from airbyte_spark.lake.transforms import partition_expr
+
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
-        part_cols = [c for c in self.partition_by if c in df.columns]
-        write_parts = [f"_p_{c}" for c in part_cols]
-        for c in part_cols:
-            df = df.withColumn(f"_p_{c}", F.col(c).cast("string"))
+        schema = self.schema()
+        fields = [f for f in self.partition_fields() if f.source in df.columns]
+        part_names = [f.name for f in fields]
+        write_parts = [f"_p_{f.name}" for f in fields]
+        for f in fields:
+            dt = (
+                schema[f.source].dataType
+                if f.source in schema.fieldNames()
+                else df.schema[f.source].dataType
+            )
+            df = df.withColumn(f"_p_{f.name}", partition_expr(f, dt))
         if partition_by:
             write_parts.append(partition_by)
         w = df.write.mode("errorifexists")
@@ -601,7 +656,7 @@ class LakeTable:
             schema_id=self.current_schema_id,
         )
         for e in entries:
-            e.partition = _partition_values(e.path, part_cols)
+            e.partition = _partition_values(e.path, part_names)
         # drop zero-row part files (Spark emits one per empty partition) —
         # they carry no data and would defeat manifest-stat pruning
         for e in entries:
@@ -1137,7 +1192,9 @@ class LakeTable:
         )
 
     def update_partition_spec(self, new_partition_by: list[str]) -> None:
-        """Change the table's identity-partition columns (Iceberg
+        """Change the table's partition spec — identity columns or
+        hidden-partitioning transforms like ``bucket(16, id)`` /
+        ``day(ts)`` (lake/transforms.py) — (Iceberg
         'Partition Evolution', format spec: specs are additive metadata —
         existing data files are NEVER rewritten; they keep the layout of
         the spec they were written under, new writes use the new spec,
@@ -1149,10 +1206,10 @@ class LakeTable:
         maintenance rewrites migrate old files to the current spec
         lazily, exactly like Iceberg's rewrite_data_files after a spec
         change."""
+        from airbyte_spark.lake.transforms import validate_partition_spec
+
         schema = self.schema()
-        missing = [c for c in new_partition_by if c not in schema.fieldNames()]
-        if missing:
-            raise ValueError(f"partition columns not in schema: {missing}")
+        validate_partition_spec(list(new_partition_by), schema)
         with _refs_lock(self.root):
             refs = self._refs()
             old = refs["table"].get("partition_by", [])
@@ -1295,6 +1352,7 @@ class LakeTable:
         happen before Spark ever opens a file, on top of parquet
         row-group pruning. Equality-delete files (merge-on-read commits)
         are applied automatically."""
+        partition_filter = self.resolve_partition_filter(partition_filter)
         live = self.all_files(
             branch=branch,
             snapshot_id=snapshot_id,
@@ -1335,16 +1393,25 @@ class LakeTable:
             col, lo, hi = key_range
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         if enforce_partition_rows:
-            # row-level twin of the layout rule, using the SAME
-            # cast-to-string convention the writer lays dirs out with —
-            # pre-evolution files contain the real column, so the filter
-            # is exact; rows of exactly-matched files satisfy it trivially
+            # row-level twin of the layout rule, using the SAME partition
+            # expression the writer lays dirs out with (identity cast or
+            # hidden-partitioning transform) — pre-evolution files contain
+            # the real source column, so the filter is exact; rows of
+            # exactly-matched files satisfy it trivially
+            from airbyte_spark.lake.transforms import fields_by_key, partition_expr
+
+            fmap = fields_by_key(self.partition_fields())
             for c, v in partition_filter.items():
+                fld = fmap.get(c)
+                if fld is not None and fld.source in schema.fieldNames():
+                    expr = partition_expr(fld, schema[fld.source].dataType)
+                else:
+                    # old-spec column no current field covers: the writer
+                    # that laid it out used the identity cast
+                    expr = F.col(c).cast("string")
                 sv = partition_str(v)
                 df = df.filter(
-                    F.col(c).isNull()
-                    if sv is None
-                    else F.col(c).cast("string") == F.lit(sv)
+                    expr.isNull() if sv is None else expr == F.lit(sv)
                 )
         if columns:
             df = df.select(*columns)

@@ -663,6 +663,9 @@ def cluster(
     if fold_deletes not in ("auto", "always", "never"):
         raise ValueError(f"fold_deletes must be auto|always|never: {fold_deletes!r}")
     dims = dims or ["phash", "w", "h"]
+    # accept source-column literals for transformed partition fields
+    # (idempotent on already-normalized {field: layout-string} dicts)
+    partition_filter = table.resolve_partition_filter(partition_filter)
     if bits is None:
         bits = 63 // len(dims)
         bits = min(bits, 21)

@@ -76,6 +76,9 @@ def compact(
     is a test seam called after each chunk's Spark job, before its
     commit."""
     props = table.properties
+    # accept source-column literals for transformed partition fields
+    # (idempotent on already-normalized {field: layout-string} dicts)
+    partition_filter = table.resolve_partition_filter(partition_filter)
     target_file_bytes = target_file_bytes or int(
         props.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_BYTES)
     )

@@ -474,7 +474,8 @@ def merge_into(
     # -- slim projection for all key-side work: windows and guards shuffle
     # ~40 B/row instead of the multi-KB image payload (the payload crosses
     # the wire exactly once, in the final fetch join below)
-    part_cols = [c for c in table.partition_by if c in source.columns]
+    part_fields = [f for f in table.partition_fields() if f.source in source.columns]
+    part_cols = list(dict.fromkeys(f.source for f in part_fields))
     slim_cols = list(dict.fromkeys(
         pk
         + ([cursor_col] if cursor_col else [])
@@ -589,10 +590,32 @@ def merge_into(
         # partitions would leave the old copy stranded (duplicate PKs). The
         # table owner asserts immutability via the
         # `merge.partition-pruning` property; default off (PK-range
-        # manifest pruning below is always safe).
-        part_pruning = part_cols and str(
-            table.properties.get("merge.partition-pruning", "")
-        ).lower() in ("1", "true")
+        # manifest pruning below is always safe) — EXCEPT when every
+        # matched partition field is a pure function of PK columns
+        # (bucket/truncate/identity/temporal OF a pk column,
+        # lake/transforms.py): a PK can never change its own transform
+        # value, so pruning is auto-enabled. bucket(N, pk) is the shape
+        # that keeps this filter useful where PK range stats degenerate
+        # (uuid-ish keys): the batch's bucket set is ≤N values from one
+        # slim pass, and non-member files are skipped at zero I/O.
+        part_pruning = bool(part_fields) and (
+            str(
+                table.properties.get("merge.partition-pruning", "")
+            ).lower() in ("1", "true")
+            or all(f.source in pk for f in part_fields)
+        )
+
+        def _batch_partition_tuples() -> list:
+            """Distinct transformed partition tuples of the batch, computed
+            by Spark with the writer's own expressions (hash contract:
+            bucket values come from JVM xxhash64, never Python)."""
+            from airbyte_spark.lake.transforms import partition_expr
+
+            exprs = [
+                partition_expr(f, target_schema[f.source].dataType).alias(f.name)
+                for f in part_fields
+            ]
+            return keyed.select(*exprs).distinct().collect()
         # entry count comes from the manifest-list summaries — deciding
         # HOW to plan must not itself cost an O(table) manifest parse
         infos = table.snapshot(branch=branch).manifest_infos
@@ -610,9 +633,9 @@ def merge_into(
             if part_pruning:
                 batch_parts = {
                     canonical_partition_key(
-                        {c: partition_str(r[c]) for c in part_cols}
+                        {f.name: partition_str(r[f.name]) for f in part_fields}
                     )
-                    for r in keyed.select(*part_cols).distinct().collect()
+                    for r in _batch_partition_tuples()
                 }
             candidates, live_deletes = _plan_candidates_distributed(
                 table, key_set, pk[0], target_schema[pk[0]].dataType,
@@ -622,19 +645,20 @@ def merge_into(
             entries = table.data_files(branch=branch)
             prunable = entries
             if part_pruning:
+                names = [f.name for f in part_fields]
                 batch_parts = {
-                    tuple(partition_str(r[c]) for c in part_cols)
-                    for r in keyed.select(*part_cols).distinct().collect()
+                    tuple(partition_str(r[n]) for n in names)
+                    for r in _batch_partition_tuples()
                 }
                 prunable = [
                     e
                     for e in entries
-                    if tuple(e.partition.get(c) for c in part_cols)
+                    if tuple(e.partition.get(n) for n in names)
                     in batch_parts
                     # unpartitioned files AND files written under an older
                     # partition spec (partition evolution) carry no layout
-                    # value for some current column — they may hold any key
-                    or not all(c in e.partition for c in part_cols)
+                    # value for some current field — they may hold any key
+                    or not all(n in e.partition for n in names)
                 ]
             candidates = _candidate_entries(
                 table, key_set, prunable, pk[0],
