@@ -2042,6 +2042,37 @@ def q_spec_operation(spark, sf):
     return spark.createDataFrame(rows, schema)
 
 
+def q_add_files_import(spark, sf):
+    """In-place parquet import (lake/import_files.py; Iceberg `add_files`
+    analog): register the sf-dir events parquet into a lake table
+    METADATA-ONLY — zero data movement, footer stats only — then answer a
+    key-range aggregate through the imported table's scan (manifest
+    range pruning + row filter). blooms off: the source file is read-only
+    and sidecars would be written next to it. The DuckDB oracle computes
+    the same aggregate straight off the parquet, so any import-time
+    schema/stats mix-up that drops or mistypes rows diverges the hash."""
+    import tempfile
+
+    from airbyte_spark.lake.import_files import add_files
+    from airbyte_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events")
+    root = tempfile.mkdtemp(prefix="addfiles-")
+    t = LakeTable.create(
+        spark, root, ev.schema, primary_key=["event_id"],
+        properties={"write.pk-bloom.enabled": False},
+    )
+    add_files(t, f"{sf}/events.parquet", attach_blooms=False)
+    return (
+        t.scan(key_range=("event_id", 100, 5000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
 def q_partition_prune_day(spark, sf):
     """Hidden-partitioning scan pruning (lake/transforms.py; Iceberg
     table-spec "Partition Transforms"): load events into a lake table
@@ -2136,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discover_catalog": q_discover_catalog,
         "spec_operation": q_spec_operation,
         "partition_prune_day": q_partition_prune_day,
+        "add_files_import": q_add_files_import,
     }
 
 
@@ -2789,6 +2821,16 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side answers via day(ts)-partition pruning over a
         # lake-table layout; the oracle is the plain row filter — a
         # pruning bug that drops or leaks rows diverges the value hash
+        # the Spark side imports the parquet metadata-only and scans a
+        # PK range through the lake table; the oracle reads the file raw
+        "add_files_import": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 3) AS sum_value
+            FROM events
+            WHERE event_id BETWEEN 100 AND 5000
+            GROUP BY event_type
+        """,
         "partition_prune_day": """
             SELECT event_type,
                    COUNT(*) AS n_events,
