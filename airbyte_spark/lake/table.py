@@ -1334,6 +1334,88 @@ class LakeTable:
             refs["branches"].pop(name, None)
             atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
+    def cherry_pick(self, snapshot_id: str, branch: str = MAIN) -> "Snapshot":
+        """Re-apply an APPEND-ONLY snapshot's added data files onto the
+        current head of `branch` (Iceberg `cherrypick_snapshot`): the WAP
+        rebase path when a concurrent commit moved the target off the
+        staged lineage and fast-forward publish raises CommitConflict.
+
+        Same restriction Iceberg documents: only snapshots whose delta
+        vs their parent is purely ADDED DATA files qualify — a snapshot
+        that removed files or added delete tombstones depends on its
+        parent's file set, and re-applying it against a different head
+        could resurrect or double-delete rows. Added entries are
+        re-stamped at the new head's sequence (MoR delete applicability
+        follows the NEW lineage).
+
+        Scale note: the delta is computed as anti-joins over
+        executor-parsed `entries_df` at the source/parent/target
+        snapshots, and only the O(delta) added entries' JSON is ever
+        collected — no O(table) driver list."""
+        import json as _json
+
+        from airbyte_spark.lake.retry import retry_on_conflict
+
+        src = self.snapshot(snapshot_id)
+        if src.parent_id is None:
+            raise ValueError("cannot cherry-pick the root snapshot")
+        cur = self.entries_df(snapshot_id=src.snapshot_id)
+        par = self.entries_df(snapshot_id=src.parent_id)
+        removed_n = (
+            par.select("path").join(cur.select("path"), "path", "left_anti").count()
+        )
+        if removed_n:
+            raise ValueError(
+                f"cherry-pick supports append-only snapshots; {snapshot_id} "
+                f"removed {removed_n} file(s) vs its parent"
+            )
+        added = (
+            cur.join(par.select("path"), "path", "left_anti")
+            .select("path", "content", "entry_json")
+            .collect()
+        )
+        if not added:
+            raise ValueError(f"snapshot {snapshot_id} added no files")
+        non_data = [r for r in added if r["content"] != "data"]
+        if non_data:
+            raise ValueError(
+                f"cherry-pick supports data appends only; {snapshot_id} added "
+                f"{len(non_data)} delete/tombstone file(s)"
+            )
+
+        def attempt():
+            head = self.snapshot(branch=branch)
+            # already-applied guard: any added path live on the target
+            # means this snapshot (or a copy) is in the head's lineage
+            live = self.entries_df(branch=branch).select("path")
+            adf = self.spark.createDataFrame(
+                [(r["path"],) for r in added], "path string"
+            )
+            dup = live.join(F.broadcast(adf), "path", "left_semi").count()
+            if dup:
+                raise ValueError(
+                    f"cherry-pick: {dup} of {snapshot_id}'s files are already "
+                    f"live on {branch!r} (already applied?)"
+                )
+            entries = [
+                DataFileEntry.from_json(_json.loads(r["entry_json"]))
+                for r in added
+            ]
+            for e in entries:
+                e.sequence = None  # restamp at the new head
+            return self.commit(
+                "cherry-pick",
+                entries,
+                branch=branch,
+                expected_parent=head.snapshot_id,
+                summary={
+                    "source-snapshot": snapshot_id,
+                    "files": len(entries),
+                },
+            )
+
+        return retry_on_conflict(attempt)
+
     # ------------------------------------------------------------------
     # scan
     # ------------------------------------------------------------------

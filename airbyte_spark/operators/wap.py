@@ -42,6 +42,17 @@ class AuditResult:
     detail: str = ""
 
 
+def _lineage(table: LakeTable, head: str | None) -> list[str]:
+    """Snapshot ids from `head` back to the root (driver metadata walk,
+    bounded by snapshot expiry)."""
+    out: list[str] = []
+    sid = head
+    while sid is not None:
+        out.append(sid)
+        sid = table.snapshot(sid).parent_id
+    return out
+
+
 class AuditFailed(Exception):
     def __init__(self, results: list[AuditResult]):
         self.results = results
@@ -160,6 +171,7 @@ def publish_branch(
     *,
     tag: str | None = None,
     drop_source: bool = False,
+    on_conflict: str = "fail",  # fail | cherry-pick
     **audit_kwargs,
 ) -> list[AuditResult]:
     """Audit `source`, then fast-forward `target` onto its head (raising
@@ -167,11 +179,34 @@ def publish_branch(
     rebases by re-staging, exactly like the reference's replaceBranch
     teardown). On success optionally tags the published snapshot and
     drops the staging ref. Returns the audit results; raises AuditFailed
-    without touching any ref if a check fails."""
+    without touching any ref if a check fails.
+
+    `on_conflict="cherry-pick"`: when the fast-forward is refused because
+    `target` advanced concurrently, re-apply the staged commits onto the
+    new head instead (Iceberg `cherrypick_snapshot`, oldest first). Each
+    staged commit must be an append-only data commit — anything that
+    removed files or added tombstones raises, because re-applying it
+    against a different head could resurrect or double-delete rows."""
+    from airbyte_spark.lake.table import CommitConflict
+
+    if on_conflict not in ("fail", "cherry-pick"):
+        raise ValueError(f"on_conflict must be fail|cherry-pick: {on_conflict!r}")
     results = audit_branch(table, source, base=target, **audit_kwargs)
     if any(not r.passed for r in results):
         raise AuditFailed(results)
-    table.replace_branch(target, source, require_ancestor=True)
+    try:
+        table.replace_branch(target, source, require_ancestor=True)
+    except CommitConflict:
+        if on_conflict != "cherry-pick":
+            raise
+        target_ancestry = set(_lineage(table, table.current_snapshot_id(target)))
+        pending = [
+            sid
+            for sid in _lineage(table, table.current_snapshot_id(source))
+            if sid not in target_ancestry
+        ]
+        for sid in reversed(pending):  # oldest staged commit first
+            table.cherry_pick(sid, branch=target)
     if tag is not None:
         table.create_tag(tag, table.current_snapshot_id(target))
     if drop_source:

@@ -165,5 +165,75 @@ def test_delete_debt_audit(spark, tmp_table_dir):
 def test_drop_source_after_publish(spark, tmp_table_dir):
     t = _staged(spark, tmp_table_dir, [("a", 1)], [("b", 2)])
     publish_branch(t, "staging", drop_source=True)
-    assert "staging" not in t.branches()
+    assert "staging" not in t.branches()()
     assert t.scan().count() == 2
+
+
+def test_cherry_pick_reapplies_append_on_diverged_main(spark, tmp_table_dir):
+    """Iceberg cherrypick_snapshot: an append-only staged snapshot lands
+    on a main that moved concurrently — neither side's rows lost."""
+    t = _staged(
+        spark, tmp_table_dir,
+        [("a", 1)],
+        [("b", 2), ("c", 3)],
+    )
+    staged_head = t.current_snapshot_id("staging")
+    t.append(spark.createDataFrame([("z", 99)], SCHEMA))  # main diverges
+    snap = t.cherry_pick(staged_head, branch="main")
+    assert snap.operation == "cherry-pick"
+    assert snap.summary["source-snapshot"] == staged_head
+    assert {r["id"] for r in t.scan().collect()} == {"a", "b", "c", "z"}
+    # double-application refused
+    with pytest.raises(ValueError, match="already"):
+        t.cherry_pick(staged_head, branch="main")
+
+
+def test_cherry_pick_refuses_non_append_snapshots(spark, tmp_table_dir):
+    """A snapshot that removed files (CoW merge) or added tombstones
+    (MoR merge) depends on its parent's file set — cherry-pick refuses."""
+    from airbyte_spark.operators.merge import merge_into
+
+    sch = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("updated_at", IntegerType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, sch, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", 1, 1), ("b", 1, 2)], sch))
+    t.create_branch("staging")
+    merge_into(
+        t, spark.createDataFrame([("a", 2, 10)], sch),
+        cursor_col="updated_at", cdc_col=None, mode="cow", branch="staging",
+    )
+    cow_head = t.current_snapshot_id("staging")
+    with pytest.raises(ValueError, match="removed"):
+        t.cherry_pick(cow_head, branch="main")
+    merge_into(
+        t, spark.createDataFrame([("b", 2, 20)], sch),
+        cursor_col="updated_at", cdc_col=None, mode="mor", branch="staging",
+    )
+    mor_head = t.current_snapshot_id("staging")
+    with pytest.raises(ValueError, match="delete/tombstone"):
+        t.cherry_pick(mor_head, branch="main")
+
+
+def test_publish_cherry_picks_on_conflict(spark, tmp_table_dir):
+    """publish_branch(on_conflict='cherry-pick') rebases multiple staged
+    append commits (oldest first) onto the moved main after audits."""
+    t = _staged(
+        spark, tmp_table_dir,
+        [("a", 1)],
+        [("b", 2)],
+    )
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA), branch="staging")
+    t.append(spark.createDataFrame([("z", 99)], SCHEMA))  # main diverges
+    results = publish_branch(
+        t, "staging", on_conflict="cherry-pick", tag="rebased",
+        drop_source=True,
+    )
+    assert all(r.passed for r in results)
+    assert {r["id"] for r in t.scan().collect()} == {"a", "b", "c", "z"}
+    assert t.tags["rebased"] == t.current_snapshot_id("main")
+    assert "staging" not in t.branches()
