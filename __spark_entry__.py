@@ -2073,6 +2073,39 @@ def q_add_files_import(spark, sf):
     )
 
 
+def q_update_where(spark, sf):
+    """MoR UPDATE (operators/posdeletes.py::update_where — Iceberg v2
+    merge-on-read UPDATE): position deletes tombstone the old versions,
+    copy-out appends the new ones, one commit; fully-matched files swap
+    metadata-only. The DuckDB oracle computes the post-UPDATE aggregate
+    with a CASE expression, so a resurrection/double-count bug in the
+    tombstone+copy-out pairing diverges the value hash."""
+    import tempfile
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.posdeletes import update_where
+
+    ev = _t(spark, sf, "events")
+    root = tempfile.mkdtemp(prefix="updwhere-")
+    t = LakeTable.create(
+        spark, root, ev.schema, primary_key=["event_id"],
+        properties={"write.pk-bloom.enabled": False},
+    )
+    t.append(ev)
+    update_where(
+        t, "event_type = 'click' AND value > 50",
+        {"value": F.col("value") * 2},
+    )
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
 def q_partition_prune_day(spark, sf):
     """Hidden-partitioning scan pruning (lake/transforms.py; Iceberg
     table-spec "Partition Transforms"): load events into a lake table
@@ -2168,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_operation": q_spec_operation,
         "partition_prune_day": q_partition_prune_day,
         "add_files_import": q_add_files_import,
+        "update_where": q_update_where,
     }
 
 
@@ -2817,6 +2851,17 @@ def oracle_sql() -> dict[str, str]:
               ('write.target-file-size-bytes', 'integer', '134217728',
                CAST(65536 AS BIGINT),   'write')
             ) AS t(property, json_type, default_value, minimum, grp)
+        """,
+        # the Spark side runs a real MoR UPDATE (pos-deletes + copy-out)
+        # through a lake table; the oracle applies the same SET as CASE
+        "update_where": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(CASE WHEN event_type = 'click' AND value > 50
+                                  THEN value * 2 ELSE value END), 3)
+                       AS sum_value
+            FROM events
+            GROUP BY event_type
         """,
         # the Spark side answers via day(ts)-partition pruning over a
         # lake-table layout; the oracle is the plain row filter — a

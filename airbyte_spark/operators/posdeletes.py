@@ -103,6 +103,65 @@ def _pos_scan(
     return df
 
 
+def _scoped_plan(
+    table: LakeTable,
+    condition,
+    branch: str,
+    partition_filter: dict | None,
+    key_range: tuple[str, object, object] | None,
+):
+    """Shared DELETE/UPDATE planning: pin the parent, prune entries by
+    the optional partition/key-range hints (manifest summaries first,
+    then per-entry stats / partition values), and AND the hints into the
+    row condition so a wrong hint can never over- or under-match.
+    Partition hints are transform-aware: they normalize through
+    `resolve_partition_filter` and the row-level twin uses the writer's
+    own partition expression (identity cast or lake/transforms.py)."""
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    planned_parent = table.current_snapshot_id(branch)
+    partition_filter = table.resolve_partition_filter(partition_filter)
+    entries = table.data_files(
+        branch=branch, partition_filter=partition_filter, key_range=key_range
+    )
+    schema = table.schema(branch=branch)
+    if key_range is not None:
+        from airbyte_spark.lake.table import _intersects
+
+        col, lo, hi = key_range
+        dt = schema[col].dataType if col in schema.fieldNames() else None
+        entries = [
+            e for e in entries if _intersects(e.stats.get(col), lo, hi, dt)
+        ]
+        condition = condition & (F.col(col) >= F.lit(lo)) & (
+            F.col(col) <= F.lit(hi)
+        )
+    if partition_filter:
+        from airbyte_spark.lake.table import partition_matches, partition_str
+        from airbyte_spark.lake.transforms import fields_by_key, partition_expr
+
+        # same mixed-spec rule as scan(): layout-covered files prune
+        # exactly; pre-evolution files stay and the row predicate decides
+        entries = [
+            e
+            for e in entries
+            if not all(c in e.partition for c in partition_filter)
+            or partition_matches(e, partition_filter)
+        ]
+        fmap = fields_by_key(table.partition_fields())
+        for c, v in partition_filter.items():
+            fld = fmap.get(c)
+            if fld is not None and fld.source in schema.fieldNames():
+                expr = partition_expr(fld, schema[fld.source].dataType)
+            else:
+                expr = F.col(c).cast("string")
+            sv = partition_str(v)
+            condition = condition & (
+                expr.isNull() if sv is None else expr == F.lit(sv)
+            )
+    return condition, entries, planned_parent
+
+
 def delete_where(
     table: LakeTable,
     condition: Column | str,
@@ -126,42 +185,9 @@ def delete_where(
     summaries, then entries via per-file stats / partition values —
     before any file is opened. Without them a full-table DELETE scans
     every file, which is its honest cost."""
-    if isinstance(condition, str):
-        condition = F.expr(condition)
-    planned_parent = table.current_snapshot_id(branch)
-    entries = table.data_files(
-        branch=branch, partition_filter=partition_filter, key_range=key_range
+    condition, entries, planned_parent = _scoped_plan(
+        table, condition, branch, partition_filter, key_range
     )
-    schema = table.schema(branch=branch)
-    if key_range is not None:
-        from airbyte_spark.lake.table import _intersects
-
-        col, lo, hi = key_range
-        dt = schema[col].dataType if col in schema.fieldNames() else None
-        entries = [
-            e for e in entries if _intersects(e.stats.get(col), lo, hi, dt)
-        ]
-        condition = condition & (F.col(col) >= F.lit(lo)) & (
-            F.col(col) <= F.lit(hi)
-        )
-    if partition_filter:
-        from airbyte_spark.lake.table import partition_matches, partition_str
-
-        # same mixed-spec rule as scan(): layout-covered files prune
-        # exactly; pre-evolution files stay and the row predicate decides
-        entries = [
-            e
-            for e in entries
-            if not all(c in e.partition for c in partition_filter)
-            or partition_matches(e, partition_filter)
-        ]
-        for c, v in partition_filter.items():
-            sv = partition_str(v)
-            condition = condition & (
-                F.col(c).isNull()
-                if sv is None
-                else F.col(c).cast("string") == F.lit(sv)
-            )
     if not entries:
         return PositionDeleteResult(snapshot=None)
     by_tail = {file_tail(e.path, POS_KEY_DEPTH): e for e in entries}
@@ -221,6 +247,144 @@ def delete_where(
         referenced_files=len(partial_tails),
         scanned_files=len(entries),
     )
+
+
+@dataclass
+class UpdateResult:
+    snapshot: Snapshot | None
+    matched_rows: int = 0
+    delete_rows: int = 0  # tombstoned positions in partially-matched files
+    removed_files: int = 0  # fully-matched files swapped for rewrites
+    added_files: int = 0
+    scanned_files: int = 0
+
+
+def update_where(
+    table: LakeTable,
+    condition: Column | str,
+    set_exprs: dict,
+    branch: str = MAIN,
+    partition_filter: dict | None = None,
+    key_range: tuple[str, object, object] | None = None,
+    generation_id: int = 0,
+) -> UpdateResult:
+    """MoR ``UPDATE table SET ... WHERE condition`` (Iceberg v2
+    merge-on-read UPDATE: copy-out of the new row versions + position
+    deletes for the old ones, one commit). Matched rows in
+    partially-matched files are tombstoned by (file, pos) and re-appended
+    with `set_exprs` applied; a file whose every PHYSICAL row matched is
+    removed metadata-only and its rewritten copy appended — no tombstone.
+
+    Correctness rules this encodes:
+    - live equality AND position deletes are applied BEFORE matching —
+      updating a row a delete already hides would otherwise resurrect it
+      as a fresh version at the new sequence;
+    - `set_exprs` may not touch primary-key columns (an identity change
+      is a delete+insert — that is merge_into's job), so merge dedup and
+      bloom pruning stay sound;
+    - partition-source columns MAY change: new versions re-derive their
+      layout in write_dataframe, and the old copy dies by position (not
+      by key), so a row moving across partitions leaves no stale twin;
+    - the full-file test uses PHYSICAL row counts — a file with any
+      delete-hidden row is treated as partial, never metadata-removed.
+
+    `partition_filter` / `key_range` scope the UPDATE exactly like
+    delete_where (pruned at both metadata levels, ANDed into the row
+    condition). Without them a full-table UPDATE scans every file —
+    its honest cost."""
+    if not set_exprs:
+        raise ValueError("update_where: empty SET")
+    schema = table.schema(branch=branch)
+    bad = [c for c in set_exprs if c not in schema.fieldNames()]
+    if bad:
+        raise ValueError(f"update_where: SET columns not in schema: {bad}")
+    pk_touched = [c for c in set_exprs if c in table.primary_key]
+    if pk_touched:
+        raise ValueError(
+            f"update_where: SET may not change primary-key columns "
+            f"{pk_touched} — an identity change is a delete + insert "
+            f"(use merge_into)"
+        )
+    set_cols = {
+        c: F.expr(v) if isinstance(v, str) else v for c, v in set_exprs.items()
+    }
+    condition, entries, planned_parent = _scoped_plan(
+        table, condition, branch, partition_filter, key_range
+    )
+    if not entries:
+        return UpdateResult(snapshot=None)
+    by_tail = {file_tail(e.path, POS_KEY_DEPTH): e for e in entries}
+    from airbyte_spark.lake.table import (
+        apply_equality_deletes,
+        apply_position_deletes,
+    )
+
+    scan = _pos_scan(table, entries, keep_mor_seq=True)
+    pos_live = table.position_delete_files(branch=branch)
+    if pos_live:
+        scan = apply_position_deletes(table, scan, pos_live)
+    eq_live = table.delete_files(branch=branch)
+    if eq_live:
+        scan = apply_equality_deletes(table, scan, eq_live)  # drops _mor_seq
+    else:
+        scan = scan.drop("_mor_seq")
+    matched_df = scan.filter(condition).persist()
+    try:
+        counts = {
+            r["_pos_file"]: r["n"]
+            for r in matched_df.groupBy("_pos_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not counts:
+            return UpdateResult(snapshot=None, scanned_files=len(entries))
+        matched = int(sum(counts.values()))
+        full_tails = {t for t, n in counts.items() if n == by_tail[t].rows}
+        partial_tails = sorted(set(counts) - full_tails)
+
+        updated = matched_df
+        for c, expr in set_cols.items():
+            updated = updated.withColumn(c, expr.cast(schema[c].dataType))
+        updated = updated.select(*schema.fieldNames())
+        add = table.write_dataframe(updated, generation_id=generation_id)
+
+        delete_rows = 0
+        if partial_tails:
+            pairs = matched_df.filter(
+                F.col("_pos_file").isin(partial_tails)
+            ).select(
+                F.col("_pos_file").alias("file_path"),
+                F.col("_pos_idx").alias("pos"),
+            )
+            pos_add = table.write_position_delete_files(
+                pairs, referenced=[by_tail[t].path for t in partial_tails]
+            )
+            delete_rows = sum(e.rows for e in pos_add)
+            add = add + pos_add
+        snap = table.commit(
+            "update",
+            add,
+            remove_paths={by_tail[t].path for t in full_tails},
+            branch=branch,
+            expected_parent=planned_parent,
+            summary={
+                "matched_rows": matched,
+                "delete_rows": delete_rows,
+                "removed_files": len(full_tails),
+                "scanned_files": len(entries),
+                "set_columns": sorted(set_exprs),
+            },
+        )
+        return UpdateResult(
+            snapshot=snap,
+            matched_rows=matched,
+            delete_rows=delete_rows,
+            removed_files=len(full_tails),
+            added_files=len(add),
+            scanned_files=len(entries),
+        )
+    finally:
+        matched_df.unpersist()
 
 
 def _affected_entries_distributed(
