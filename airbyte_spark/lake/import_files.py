@@ -221,6 +221,89 @@ def add_files(
     )
 
 
+def snapshot_table(
+    src: LakeTable,
+    root: str,
+    branch: str = MAIN,
+    snapshot_id: str | None = None,
+    properties: dict | None = None,
+) -> LakeTable:
+    """Shallow zero-copy table from another table's live files (Iceberg
+    `snapshot` procedure): a NEW independent lake table at `root` whose
+    first commit references `src`'s data files in place — schema, primary
+    key, partition spec, and per-file stats/partition/bloom metadata all
+    carried over, no data movement. The copy then evolves independently
+    (its rewrites land under its own data_dir).
+
+    Sequence semantics: position deletes apply by exact PATH (not
+    sequence), so live position tombstones clone safely into the first
+    commit. Live EQUALITY deletes are refused — their meaning depends on
+    the source's commit-sequence lattice, which a single-commit clone
+    cannot reproduce; fold them first (rewrite_deletes /
+    retire_equality_deletes) and re-run.
+
+    GC caveat (same as Iceberg's): the clone references files the SOURCE
+    table owns. The clone's own orphan GC never touches them (it lists
+    only its own data_dir), but the source's expire+GC can delete files
+    the clone still needs — treat the source as retention-pinned while
+    clones exist."""
+    snap = src.snapshot(snapshot_id, branch)
+    live = src.all_files(branch=branch, snapshot_id=snap.snapshot_id)
+    eq = [e for e in live if e.content == "equality-deletes"]
+    if eq:
+        raise ValueError(
+            f"snapshot_table: source has {len(eq)} live equality-delete "
+            "file(s); their sequence semantics cannot be cloned — fold them "
+            "first (operators/deletes.py rewrite_deletes or "
+            "posdeletes.retire_equality_deletes)"
+        )
+    props = dict(src.properties)
+    props.update(properties or {})
+    t = LakeTable.create(
+        src.spark,
+        root,
+        src.schema(branch=branch, snapshot_id=snap.snapshot_id),
+        primary_key=list(src.primary_key),
+        stats_columns=list(src.stats_columns),
+        properties=props,
+        partition_by=list(src.partition_by),
+    )
+    # cloned entries keep their write-time schema_id and sort_order_id
+    # stamps — inherit the source's registries so mixed-era files read
+    # aligned and clustered files stay recognized as clean
+    from airbyte_spark.lake.format import atomic_write_json
+    from airbyte_spark.lake.table import _refs_lock
+
+    src_tbl = src._refs()["table"]
+    with _refs_lock(t.root):
+        refs = t._refs()
+        for key in (
+            "schemas",
+            "current_schema_id",
+            "sort_orders",
+            "next_sort_order_id",
+            "partition_spec_history",
+        ):
+            if key in src_tbl:
+                refs["table"][key] = src_tbl[key]
+        atomic_write_json(os.path.join(t.meta_dir, "refs.json"), refs)
+    clones = []
+    for e in live:
+        c = DataFileEntry.from_json(e.to_json())
+        c.sequence = None  # restamped into the clone's own lattice
+        clones.append(c)
+    t.commit(
+        "snapshot-table",
+        clones,
+        summary={
+            "source-root": src.root,
+            "source-snapshot": snap.snapshot_id,
+            "files": len(clones),
+        },
+    )
+    return t
+
+
 def migrate_parquet_dir(
     spark,
     src_dir: str,

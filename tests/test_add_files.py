@@ -206,3 +206,105 @@ def test_migrate_parquet_dir(spark, tmp_table_dir):
     )
     assert t.scan().count() == 25
     assert t.snapshot().operation == "add-files"
+
+
+def test_snapshot_table_zero_copy_clone(spark, tmp_table_dir):
+    """Iceberg `snapshot` procedure: a new independent table referencing
+    the source's live files in place, then evolving on its own."""
+    from airbyte_spark.lake.import_files import snapshot_table
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"), SCHEMA, primary_key=["id"]
+    )
+    src.append(
+        spark.createDataFrame(
+            [(i, "ab" if i % 2 else "cd", i) for i in range(30)], SCHEMA
+        )
+    )
+    delete_where(src, "id = 7")  # live position delete clones by path
+    t = snapshot_table(src, os.path.join(tmp_table_dir, "clone"))
+    assert t.snapshot().operation == "snapshot-table"
+    # zero copy: every cloned data entry is a source-owned path
+    assert all(
+        e.path.startswith(os.path.abspath(src.root)) for e in t.data_files()
+    )
+    want = {(r["id"], r["v"]) for r in src.scan().collect()}
+    assert {(r["id"], r["v"]) for r in t.scan().collect()} == want
+    assert t.scan().filter("id = 7").count() == 0  # pos delete applied
+    # the clone evolves independently: a write lands in ITS data_dir and
+    # the source is untouched
+    t.append(spark.createDataFrame([(100, "x", 1)], SCHEMA))
+    assert t.scan().count() == 30 and src.scan().count() == 29
+    # clone GC never touches source files
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files(grace_period_ms=0)
+    assert src.scan().count() == 29
+
+
+def test_snapshot_table_refuses_live_equality_deletes(spark, tmp_table_dir):
+    from airbyte_spark.lake.import_files import snapshot_table
+    from airbyte_spark.operators.merge import merge_into
+
+    sch = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("updated_at", LongType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"), sch, primary_key=["id"]
+    )
+    src.append(spark.createDataFrame([(i, 1, i) for i in range(10)], sch))
+    merge_into(
+        src, spark.createDataFrame([(3, 2, 300)], sch),
+        cursor_col="updated_at", cdc_col=None, mode="mor",
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        snapshot_table(src, os.path.join(tmp_table_dir, "clone"))
+
+
+def test_snapshot_table_inherits_registries(spark, tmp_table_dir):
+    """Mixed-schema-era files and clustered stamps stay readable/clean in
+    the clone (schema + sort-order registries copied)."""
+    from airbyte_spark.lake.import_files import snapshot_table
+    from airbyte_spark.operators.cluster import cluster
+
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"), SCHEMA, primary_key=["id"]
+    )
+    src.append(
+        spark.createDataFrame([(i, "a", i) for i in range(20)], SCHEMA)
+    )
+    cluster(src, dims=["id", "v"], curve="zorder", target_file_bytes=1 << 20)
+    src.evolve_schema(
+        StructType(SCHEMA.fields + [StructField("extra", IntegerType())])
+    )
+    src.append(
+        spark.createDataFrame(
+            [(100 + i, "b", i, i) for i in range(5)], src.schema()
+        )
+    )
+    t = snapshot_table(src, os.path.join(tmp_table_dir, "clone"))
+    assert t.scan().count() == 25
+    # pre-evolution files read null-padded through the copied registry
+    assert t.scan().filter("extra IS NULL").count() == 20
+    # registries carried over verbatim: mixed schema ids resolve and the
+    # clustered files' sort stamps name a registered order (ids NOT reset
+    # to an empty registry where every stamp would read as dirty)
+    assert t.sort_orders() == src.sort_orders()
+    stamps = {e.sort_order_id for e in t.data_files() if e.sort_order_id}
+    assert stamps and stamps <= set(t.sort_orders())
+    schema_ids = {e.schema_id for e in t.data_files()}
+    assert len(schema_ids) == 2
+    for sid in schema_ids:
+        assert t.registered_schema(sid) is not None
+    # a dirty pass over the clone still works end-to-end (may legally
+    # repack undersized files; state stays identical)
+    before = {(r["id"], r["v"]) for r in t.scan().collect()}
+    cluster(
+        t, dims=["id", "v"], curve="zorder", scope="dirty",
+        target_file_bytes=1 << 20,
+    )
+    assert {(r["id"], r["v"]) for r in t.scan().collect()} == before
