@@ -2836,6 +2836,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT),    'compact'),
               ('compact.partial-progress.max-commits', 'integer', '10',
                CAST(2 AS BIGINT),       'compact'),
+              ('compact.planning.distributed-threshold', 'integer', '100000',
+               CAST(0 AS BIGINT),       'compact'),
               ('merge.bloom.max-probe-keys',   'integer', '2000000',
                CAST(0 AS BIGINT),       'merge'),
               ('merge.mor.max-delete-eras',    'integer', '8',

@@ -188,6 +188,18 @@ PROPERTY_SPECS: dict[str, dict] = {
         "group": "cluster",
         "consumer": "operators/cluster.py::_cluster_partial",
     },
+    "compact.planning.distributed-threshold": {
+        "type": "integer",
+        "default": 100000,
+        "minimum": 0,
+        "description": "Above this many manifest entries (from the "
+        "manifest-list summaries), compaction candidates are selected on "
+        "executors over entries_df — the driver collects only the small "
+        "files' entry blobs, never the table's file list — and partial-"
+        "progress chunk validation switches to entries_df semi-joins.",
+        "group": "compact",
+        "consumer": "operators/compact.py::compact",
+    },
     "compact.partial-progress.enabled": {
         "type": "boolean",
         "default": False,

@@ -91,12 +91,37 @@ def compact(
     # pin the snapshot we plan against: a concurrent commit between
     # planning and commit raises CommitConflict instead of being discarded
     planned_parent = table.current_snapshot_id(branch)
-    # partition_filter prunes whole manifests via the summaries too
-    entries = table.data_files(branch=branch, partition_filter=partition_filter)
-    if partition_filter:
-        from airbyte_spark.lake.table import partition_matches
+    # candidate predicate is pure per-entry (bytes < cutoff), so past the
+    # distributed threshold selection runs over executor-parsed manifests
+    # and the driver collects only O(small files) entry blobs — the same
+    # shape as cluster's distributed victim selection; entry counts come
+    # from the manifest-list summaries (deciding HOW to plan must not
+    # itself cost an O(table) manifest parse)
+    cutoff = int(target_file_bytes * small_file_threshold)
+    infos = table.snapshot(branch=branch).manifest_infos
+    total_entries = sum(i.get("entry_count", 0) for i in infos) if infos else None
+    dist_threshold = int(
+        props.get("compact.planning.distributed-threshold", 100_000)
+    )
+    distributed = total_entries is not None and total_entries > dist_threshold
+    pre_skipped = 0
+    if distributed:
+        entries, files_before = _small_candidates_distributed(
+            table, branch, planned_parent, partition_filter, cutoff
+        )
+        pre_skipped = files_before - len(entries)
+    else:
+        # partition_filter prunes whole manifests via the summaries too
+        entries = table.data_files(
+            branch=branch, partition_filter=partition_filter
+        )
+        if partition_filter:
+            from airbyte_spark.lake.table import partition_matches
 
-        entries = [e for e in entries if partition_matches(e, partition_filter)]
+            entries = [
+                e for e in entries if partition_matches(e, partition_filter)
+            ]
+        files_before = len(entries)
     deletes = table.delete_files(branch=branch)
     pos_deletes = table.position_delete_files(branch=branch)
     # group by (generation, schema, partition) — files may only be packed
@@ -124,15 +149,15 @@ def compact(
 
     merged_plan = CompactionPlan(
         bins=[b for p in plans for b in p.bins],
-        skipped_files=sum(p.skipped_files for p in plans),
+        skipped_files=sum(p.skipped_files for p in plans) + pre_skipped,
     )
     if not group_plans:
-        return CompactionResult(None, merged_plan, len(entries), len(entries), 0)
+        return CompactionResult(None, merged_plan, files_before, files_before, 0)
 
     if partial_progress and len(merged_plan.bins) > 1 and max_commits > 1:
         return _compact_partial(
             table, group_plans, deletes, pos_deletes, branch,
-            merged_plan, len(entries), max_commits, _between_chunks,
+            merged_plan, files_before, max_commits, _between_chunks,
         )
 
     all_new, all_victims = [], set()
@@ -147,12 +172,14 @@ def compact(
     # commit is retired alongside (its tombstones were folded into the bins)
     from airbyte_spark.operators.posdeletes import dead_position_deletes
 
-    if partition_filter is None:
+    if partition_filter is None and not distributed:
         survivors = [e for e in entries if e.path not in all_victims]
         dead_pos = dead_position_deletes(
             table, pos_deletes, all_victims, survivors=survivors
         )
     else:
+        # scoped or distributed planning never held the full entry list —
+        # referenced-path liveness resolves via the entries_df semi-join
         dead_pos = dead_position_deletes(
             table, pos_deletes, all_victims, branch=branch,
             snapshot_id=planned_parent,
@@ -172,11 +199,47 @@ def compact(
     return CompactionResult(
         snapshot=snap,
         plan=merged_plan,
-        files_before=len(entries),
-        files_after=len(table.data_files(branch=branch)),
+        files_before=files_before,
+        # arithmetic, not a second table listing (at 30M files the old
+        # len(table.data_files()) here was its own O(table) driver pass)
+        files_after=files_before - len(all_victims) + len(all_new),
         rewritten_bytes=sum(b.bytes for b in merged_plan.bins),
         snapshots=[snap],
     )
+
+
+def _small_candidates_distributed(
+    table: LakeTable,
+    branch: str,
+    snapshot_id: str | None,
+    partition_filter: dict | None,
+    cutoff: int,
+):
+    """(candidate small data entries, total matching data-file count),
+    selected on executors over entries_df — the FFD candidate predicate
+    (bytes < small_file_threshold × target) is pure per-entry, so past
+    the planning threshold the driver collects only O(small files) entry
+    blobs, never the table's file list (same shape as cluster's
+    select_cluster_victims_distributed / Iceberg SparkDistributedDataScan
+    planning). Partition scoping matches the driver rule exactly: an
+    anchored canonical-key pair match per filter entry."""
+    import json as _json
+    import re as _re
+
+    from airbyte_spark.lake.format import DataFileEntry
+    from airbyte_spark.lake.table import partition_str
+
+    edf = table.entries_df(branch=branch, snapshot_id=snapshot_id)
+    cond = F.col("content") == "data"
+    if partition_filter:
+        for k, v in partition_filter.items():
+            pair = _re.escape(f"{k}={partition_str(v)}")
+            cond = cond & F.col("partition_key").rlike(f"(^|/){pair}(/|$)")
+    data = edf.filter(cond)
+    total = data.count()
+    rows = data.filter(F.col("bytes") < cutoff).select("entry_json").collect()
+    entries = [DataFileEntry.from_json(_json.loads(r["entry_json"])) for r in rows]
+    return entries, total
 
 
 class _ChunkAbandoned(Exception):
@@ -228,6 +291,7 @@ def _compact_partial(
     snaps: list[Snapshot] = []
     skipped_chunks = 0
     rewritten_bytes = 0
+    n_removed = n_added = 0
     for ci, chunk in enumerate(chunks):
         new_entries, victims = [], set()
         by_group: dict[int, list] = {}
@@ -248,19 +312,55 @@ def _compact_partial(
 
         def attempt():
             parent = table.current_snapshot_id(branch)
-            live_entries = table.data_files(branch=branch)
-            if not victims <= {e.path for e in live_entries}:
-                raise _ChunkAbandoned("victim rewritten by a concurrent commit")
             live_pos = table.position_delete_files(branch=branch)
             current_delete_paths = {
                 d.path for d in table.delete_files(branch=branch)
             } | {d.path for d in live_pos}
             if current_delete_paths - planned_delete_paths:
                 raise _ChunkAbandoned("delete files landed since planning")
-            dead_pos = dead_position_deletes(
-                table, live_pos, victims,
-                survivors=[e for e in live_entries if e.path not in victims],
+            snap_now = table.snapshot(branch=branch)
+            infos = snap_now.manifest_infos
+            total_entries = (
+                sum(i.get("entry_count", 0) for i in infos) if infos else None
             )
+            dist_threshold = int(
+                table.properties.get(
+                    "compact.planning.distributed-threshold", 100_000
+                )
+            )
+            if total_entries is not None and total_entries > dist_threshold:
+                # liveness by a broadcast semi-join over executor-parsed
+                # manifests — the driver never lists the table inside the
+                # chunk loop (mirror of cluster's partial path)
+                vdf = table.spark.createDataFrame(
+                    [(p,) for p in sorted(victims)], "path string"
+                )
+                live_n = (
+                    table.entries_df(branch=branch)
+                    .filter(F.col("content") == "data")
+                    .join(F.broadcast(vdf), "path", "left_semi")
+                    .count()
+                )
+                if live_n != len(victims):
+                    raise _ChunkAbandoned(
+                        "victim rewritten by a concurrent commit"
+                    )
+                dead_pos = dead_position_deletes(
+                    table, live_pos, victims, branch=branch,
+                    snapshot_id=snap_now.snapshot_id,
+                )
+            else:
+                live_entries = table.data_files(branch=branch)
+                if not victims <= {e.path for e in live_entries}:
+                    raise _ChunkAbandoned(
+                        "victim rewritten by a concurrent commit"
+                    )
+                dead_pos = dead_position_deletes(
+                    table, live_pos, victims,
+                    survivors=[
+                        e for e in live_entries if e.path not in victims
+                    ],
+                )
             return table.commit(
                 "compact",
                 new_entries,
@@ -277,6 +377,8 @@ def _compact_partial(
         try:
             snaps.append(retry_on_conflict(attempt))
             rewritten_bytes += sum(b.bytes for _, b in chunk)
+            n_removed += len(victims)
+            n_added += len(new_entries)
         except (_ChunkAbandoned, CommitConflict):
             skipped_chunks += 1
             for e in new_entries:
@@ -290,7 +392,7 @@ def _compact_partial(
         snapshot=snaps[-1] if snaps else None,
         plan=merged_plan,
         files_before=files_before,
-        files_after=len(table.data_files(branch=branch)),
+        files_after=files_before - n_removed + n_added,
         rewritten_bytes=rewritten_bytes,
         snapshots=snaps,
         skipped_chunks=skipped_chunks,

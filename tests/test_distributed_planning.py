@@ -201,3 +201,92 @@ def test_distributed_planning_with_partition_pruning(spark, tmp_table_dir):
         )
     assert finals[0] == finals[1]
     assert (3, "new3", "eu") in finals[0] and (99, "new99", "us") in finals[0]
+
+
+def test_distributed_compact_candidates_match_driver(spark, tmp_table_dir):
+    """driver ≡ distributed compact planning: same bins, same final
+    state, same skipped accounting — past the threshold the driver
+    collects only the small files' entry blobs."""
+    import os
+
+    from airbyte_spark.operators.compact import compact
+
+    sch = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("v", StringType()),
+        ]
+    )
+    results = []
+    for sub, threshold in [("drv", 10**9), ("dist", 0)]:
+        root = os.path.join(tmp_table_dir, f"c{sub}")
+        t = LakeTable.create(
+            spark, root, sch, primary_key=["id"],
+            properties={"compact.planning.distributed-threshold": threshold},
+        )
+        for i in range(4):  # 4 small files + 1 "big" one
+            t.append(
+                spark.createDataFrame(
+                    [(i * 10 + j, f"v{j}" * 3) for j in range(10)], sch
+                ).coalesce(1)
+            )
+        t.append(
+            spark.createDataFrame(
+                [(1000 + j, "w" * 2000) for j in range(3000)], sch
+            ).coalesce(1)
+        )
+        big = [e.path for e in t.data_files() if e.bytes >= 40 * 1024]
+        res = compact(t, target_file_bytes=64 * 1024, small_file_threshold=0.75)
+        results.append(
+            (
+                len(res.plan.bins),
+                res.files_before,
+                res.files_after,
+                res.plan.skipped_files,
+                sorted(
+                    (r["id"], r["v"]) for r in t.scan().collect()
+                ),
+            )
+        )
+        # the big file was never a candidate and keeps its exact path
+        assert set(big) <= {e.path for e in t.data_files()}
+    assert results[0] == results[1]
+
+
+def test_distributed_compact_partial_progress_validation(spark, tmp_table_dir):
+    """Partial-progress chunk validation past the threshold runs the
+    victims-live check as an entries_df semi-join — same abandon/keep
+    behavior as the driver path when a victim disappears mid-pass."""
+    import os
+
+    from airbyte_spark.operators.compact import compact
+
+    sch = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("v", StringType()),
+        ]
+    )
+    root = os.path.join(tmp_table_dir, "pp")
+    t = LakeTable.create(
+        spark, root, sch, primary_key=["id"],
+        properties={"compact.planning.distributed-threshold": 0},
+    )
+    for i in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{j}" * 50) for j in range(10)], sch
+            ).coalesce(1)
+        )
+    # target sized to fit exactly two small files per bin -> >=3 bins,
+    # so the partial path actually lands multiple independent commits
+    sizes = sorted(e.bytes for e in t.data_files())
+    res = compact(
+        t, target_file_bytes=2 * sizes[-1] + 1, partial_progress=True,
+        max_commits=3,
+    )
+    assert res.skipped_chunks == 0 and len(res.snapshots) >= 2
+    assert res.files_after == len(t.data_files())
+    assert sorted(r["id"] for r in t.scan().collect()) == sorted(
+        i * 10 + j for i in range(6) for j in range(10)
+    )
