@@ -1,5 +1,5 @@
-"""Randomized model check of the delete lifecycle: interleaved
-delete_where / MoR merge / retire / tombstone-compaction / fold /
+"""Randomized model check of the DML lifecycle: interleaved
+delete_where / update_where / MoR merge / retire / tombstone-compaction / fold /
 compact / cluster sequences replayed against a pure-python dict model
 (pk -> row, deletes = predicate filters, merges = upserts). Whatever the
 operator sequence, the scan must equal the model — this is the north
@@ -22,6 +22,7 @@ from airbyte_spark.operators.posdeletes import (
     compact_position_deletes,
     delete_where,
     retire_equality_deletes,
+    update_where,
 )
 
 SCHEMA = StructType(
@@ -45,7 +46,7 @@ def _model_rows(model):
     return sorted((k, b, v) for k, (b, v) in model.items())
 
 
-@pytest.mark.parametrize("seed", [1, 7])
+@pytest.mark.parametrize("seed", [1, 7, 23])
 def test_random_delete_lifecycle_matches_model(spark, tmp_path, seed):
     rng = np.random.default_rng(seed)
     t = LakeTable.create(
@@ -61,7 +62,7 @@ def test_random_delete_lifecycle_matches_model(spark, tmp_path, seed):
 
     cursor = N_IDS * 10  # strictly increasing merge cursor: src always wins
     for step in range(12):
-        op = rng.integers(0, 6)
+        op = rng.integers(0, 7)
         if op == 0:  # DELETE WHERE bucket = b AND id < cut
             b = int(rng.integers(0, 7))
             cut = int(rng.integers(0, N_IDS + 20))
@@ -89,6 +90,19 @@ def test_random_delete_lifecycle_matches_model(spark, tmp_path, seed):
             compact_position_deletes(t, min_input_files=2)
         elif op == 4:
             rewrite_deletes(t)
+        elif op == 5:  # UPDATE WHERE bucket = b AND id >= cut (non-cursor
+            # column only: v is the merge cursor, and bumping it would
+            # change later merge winners in ways the model doesn't track)
+            b = int(rng.integers(0, 7))
+            cut = int(rng.integers(0, N_IDS + 20))
+            update_where(
+                t, f"bucket = {b} and id >= {cut}",
+                {"bucket": F.col("bucket") + 7},
+            )
+            model = {
+                k: ((bb + 7, v) if (bb == b and k >= cut) else (bb, v))
+                for k, (bb, v) in model.items()
+            }
         else:
             if rng.random() < 0.5:
                 compact(t, target_file_bytes=1 << 20)
