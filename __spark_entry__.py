@@ -405,6 +405,23 @@ def q_dedup_minhash_lsh(spark, sf):
     return pairs
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERS from the LSH candidate pairs (functions/dedup.py
+    ::connected_components — distributed min-label propagation, no graph
+    library): cluster id = min doc_id reachable through the pair graph.
+    Pair-level dedup over-/under-keeps on chains A-B-C; clustering keeps
+    exactly one representative. The DuckDB oracle recomputes the
+    components with a recursive CTE doing the same monotone min
+    propagation over the identical candidate pairs, so both the pair set
+    AND the transitive closure are value-checked."""
+    from airbyte_spark.functions.dedup import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster")
+    )
+
+
 def q_dedup_jaccard(spark, sf):
     """Exact trigram-shingle Jaccard for every LSH candidate pair (reuses
     the persisted candidate set — the LSH pipeline runs once per session)."""
@@ -2164,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "embedding_norms": q_embedding_norms,
         "dedup_simhash": q_dedup_simhash,
@@ -2459,6 +2477,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, {_minhash64_sig_sql()}
               FROM sh)
             SELECT DISTINCT id_a, id_b FROM ({_MINHASH64_CAND_SQL})
+        """,
+        # same candidate pairs, then min-label propagation as a recursive
+        # CTE (monotone: only labels smaller than the target id propagate,
+        # so generated rows are bounded by per-node distinct smaller labels)
+        "dedup_clusters": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id, {_SHINGLES_SQL} AS ws FROM tok),
+            sig AS (
+              SELECT doc_id, {_minhash64_sig_sql()}
+              FROM sh),
+            cand AS (
+              SELECT DISTINCT id_a, id_b FROM ({_MINHASH64_CAND_SQL})),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM cand
+              UNION
+              SELECT id_b AS a, id_a AS b FROM cand),
+            walk(id, comp) AS (
+              SELECT a AS id, a AS comp FROM edges
+              UNION
+              SELECT e.a AS id, w.comp AS comp
+              FROM edges e JOIN walk w ON w.id = e.b
+              WHERE w.comp < e.a
+            )
+            SELECT id AS doc_id, MIN(comp) AS cluster FROM walk GROUP BY id
         """,
         "dedup_jaccard": f"""
             WITH tok AS (

@@ -660,3 +660,92 @@ def simhash_near_dup_pairs(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in `pairs`, where component
+    is the minimum id reachable through the pair graph — turns near-dup
+    candidate PAIRS (LSH / simhash / embedding buckets) into duplicate
+    CLUSTERS so a curation pipeline can keep one representative per
+    cluster instead of dropping both sides of every pair.
+
+    Distributed min-label propagation: each round joins the edge list
+    against current labels and takes the per-node minimum — O(cluster
+    diameter) rounds, and near-dup clusters are shallow (a dup class is
+    dense), so convergence is a handful of rounds even at 10^9 docs. No
+    driver-side graph: edges and labels stay DataFrames throughout; each
+    round is one shuffle on id. Convergence is detected by the SUM of
+    labels (strictly decreasing until fixpoint — one cheap agg, no
+    row-level diff join), and lineage is cut with localCheckpoint every
+    few rounds so the plan does not grow with iterations (the classic
+    iterative-DataFrame OOM). Raises if max_iterations rounds do not
+    converge — a silent partial clustering would under-merge and leak
+    duplicates downstream.
+
+    Reference shape: MapReduce connected components ("Hash-to-Min",
+    Rastogi et al.; GraphFrames' connectedComponents) re-expressed as
+    plain DataFrame joins so it needs no graph library."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    try:
+        for i in range(max_iterations):
+            nbr = edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp")), "b"
+            ).select(F.col("a").alias("id"), "comp")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            if (i + 1) % 5 == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
+            cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations (component diameter exceeds it)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_id: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Docs surviving cluster-level dedup: one representative (the min
+    id) per near-dup cluster, plus every doc in no pair at all. The
+    cluster step is what pair-level dedup gets wrong — dropping the
+    larger side of every pair on chains A-B, B-C keeps nothing of
+    {A,B,C} or double-keeps, depending on order; clustering keeps
+    exactly A."""
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(doc_id)
+    )
+    return docs.join(losers, doc_id, "left_anti")
