@@ -535,6 +535,22 @@ def q_dedup_phash(spark, sf):
     return phash_near_dup_pairs(df, max_hamming=4, max_bucket_size=None)
 
 
+def q_dedup_phash_clusters(spark, sf):
+    """Image near-dup CLUSTERS: the phash pair pipeline (q_dedup_phash —
+    real decode→DCT-hash→banded join) feeds connected_components, giving
+    one cluster per visually-identical image family. Closed-form oracle:
+    the fixture's clusters ARE the pattern groups (event_id % 8), so the
+    component id must equal the group's min event_id — checking that the
+    distributed min-label propagation converged to exactly the
+    transitive closure of the pair graph."""
+    from airbyte_spark.functions.dedup import connected_components
+
+    pairs = q_dedup_phash(spark, sf).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("image_id"), F.col("comp").alias("cluster")
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, oracle-checked (r3 verdict item 4): the
     md5-token-hash variant (`simhash_md5_udf` — uint64(md5[8:16], LE) ==
@@ -2186,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "dedup_simhash": q_dedup_simhash,
         "dedup_phash": q_dedup_phash,
+        "dedup_phash_clusters": q_dedup_phash_clusters,
         "images_maintenance": q_images_maintenance,
         "daily_rollup": q_daily_rollup,
         "semi_join_exists": q_semi_join_exists,
@@ -2800,6 +2817,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS hamming
             FROM imgs a JOIN imgs b
               ON a.grp = b.grp AND a.event_id < b.event_id
+        """,
+        # the fixture's clusters ARE the pattern groups: component id ==
+        # the group's min event_id (groups of one appear in no pair and
+        # are absent from the component output)
+        "dedup_phash_clusters": """
+            WITH imgs AS (
+              SELECT event_id, event_id % 8 AS grp
+              FROM events WHERE event_id % 23 = 3),
+            mins AS (
+              SELECT grp, MIN(event_id) AS m, COUNT(*) AS n
+              FROM imgs GROUP BY grp)
+            SELECT i.event_id AS image_id, m.m AS cluster
+            FROM imgs i JOIN mins m ON i.grp = m.grp
+            WHERE m.n > 1
         """,
         # final state of the global sync: seed ids UNION batch ids per
         # stream (the dedup merge makes re-sent ids idempotent), two
