@@ -165,7 +165,7 @@ def test_delete_debt_audit(spark, tmp_table_dir):
 def test_drop_source_after_publish(spark, tmp_table_dir):
     t = _staged(spark, tmp_table_dir, [("a", 1)], [("b", 2)])
     publish_branch(t, "staging", drop_source=True)
-    assert "staging" not in t.branches()()
+    assert "staging" not in t.branches()
     assert t.scan().count() == 2
 
 
