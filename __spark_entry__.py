@@ -1429,6 +1429,114 @@ def q_retire_eq_deletes(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_scan_aggregate(spark, sf):
+    """Metadata-only aggregate pushdown (operators/aggregate.py — the
+    Iceberg aggregate-push-down analog, SparkScanBuilder#pushAggregation),
+    ORACLE-CHECKED: COUNT(*)/COUNT(col)/MIN/MAX over a lake table carrying
+    BOTH live equality-delete debt (MoR merge) and position-delete
+    tombstones (DELETE FROM) must equal the same aggregates over the SQL
+    final state. The table is appended in three disjoint event_id ranges
+    and both mutations are confined to id < 300, so range stats + PK
+    bloom sidecars keep the upper slices METADATA-answered while only
+    delete-hit files pay the residual scan — asserted via the plan
+    report."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.aggregate import AggregateReport, scan_aggregate
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("_airbyte_raw_id", ST()),
+            SF_("_airbyte_extracted_at", TT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        # NULL out 'error' rows so count(value) < count(*) exercises the
+        # null_count metadata path
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.concat(F.lit("r"), F.col("event_id")).alias("_airbyte_raw_id"),
+        F.col("ts").alias("_airbyte_extracted_at"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-agg-")
+    try:
+        t = LakeTable.create(spark, root, schema, primary_key=["event_id"])
+        # three appends with DISJOINT event_id ranges: per-file range
+        # stats let delete_may_hit clear the upper slices outright
+        t.append(base.filter(F.col("event_id") < 300))
+        t.append(base.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)))
+        t.append(base.filter(F.col("event_id") >= 600))
+        batch = base.filter(
+            (F.col("event_id") % 13 == 0) & (F.col("event_id") < 300)
+        ).withColumns(
+            {
+                "value": F.col("value") + 1000,
+                "_airbyte_raw_id": F.concat(F.lit("s"), F.col("event_id")),
+                "_airbyte_extracted_at": F.col("_airbyte_extracted_at")
+                + F.expr("INTERVAL 1 DAY"),
+                "updated_at": F.col("updated_at") + F.expr("INTERVAL 1 DAY"),
+            }
+        )
+        merge_into(t, batch, mode="mor")
+        assert t.delete_files(), "MoR merge must leave live eq-delete debt"
+        res = delete_where(
+            t, "event_id % 17 = 0 AND event_id >= 300 AND event_id < 600"
+        )
+        assert res.delete_rows > 0, "DELETE FROM must tombstone rows"
+        rep = AggregateReport()
+        out = scan_aggregate(
+            t,
+            [
+                ("count", "*"),
+                ("count", "value"),
+                ("min", "event_id"),
+                ("max", "event_id"),
+                ("min", "value"),
+                ("max", "value"),
+            ],
+            report=rep,
+        )
+        assert rep.meta_files >= 1, "upper slices must stay metadata-answered"
+        assert rep.scanned_files >= 1, "delete-hit files must pay the scan"
+        assert rep.scan_reasons.get("equality-delete", 0) >= 1
+        assert rep.scan_reasons.get("position-delete", 0) >= 1
+        rows = out.select(
+            "count_star",
+            "count_value",
+            "min_event_id",
+            "max_event_id",
+            F.round("min_value", 4).alias("min_value"),
+            F.round("max_value", 4).alias("max_value"),
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "count_star long, count_value long, min_event_id long, "
+            "max_event_id long, min_value double, max_value double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_changelog_scan(spark, sf):
     """Row-level changelog (Iceberg changelog scan / Delta CDF analog),
     ORACLE-CHECKED: after the same MoR merge as `merge_mor_upsert`,
@@ -2219,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_upsert": q_merge_mor_upsert,
         "delete_where_scan": q_delete_where_scan,
         "retire_eq_deletes": q_retire_eq_deletes,
+        "scan_aggregate": q_scan_aggregate,
         "partition_evolution_scan": q_partition_evolution_scan,
         "changelog_scan": q_changelog_scan,
         "merge_soft_delete": q_merge_soft_delete,
@@ -2671,6 +2780,35 @@ def oracle_sql() -> dict[str, str]:
         "partition_evolution_scan": """
             SELECT event_id, event_type, round(value, 4) AS value
             FROM events WHERE event_type = 'click'
+        """,
+        # aggregate pushdown: the hybrid metadata+residual plan must equal
+        # plain aggregates over the SQL final state (upsert then delete)
+        "scan_aggregate": """
+            WITH base AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE value END AS value
+              FROM events),
+            batch AS (
+              SELECT event_id, event_type, value + 1000 AS value
+              FROM base WHERE event_id % 13 = 0 AND event_id < 300),
+            merged AS (
+              SELECT e.event_id,
+                     COALESCE(b.event_type, e.event_type) AS event_type,
+                     CASE WHEN b.event_id IS NOT NULL THEN b.value
+                          ELSE e.value END AS value
+              FROM base e LEFT JOIN batch b USING (event_id)),
+            final AS (
+              SELECT * FROM merged
+              WHERE NOT (event_id % 17 = 0
+                         AND event_id >= 300 AND event_id < 600))
+            SELECT CAST(count(*) AS BIGINT) AS count_star,
+                   CAST(count(value) AS BIGINT) AS count_value,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM final
         """,
         # eq->pos retirement is scan-invariant: same oracle as the MoR
         # upsert whose delete debt it converts
