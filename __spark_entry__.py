@@ -1429,6 +1429,100 @@ def q_retire_eq_deletes(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_rollup_incremental(spark, sf):
+    """Incrementally-maintained rollup (operators/rollup.py — counting
+    IVM over the Iceberg-style changelog), ORACLE-CHECKED: after an
+    initial GROUP BY build, a window holding a MoR upsert, a DELETE
+    FROM, and an append folds into the rollup O(delta) — arithmetic for
+    counts/sums, extreme-hit-only group recomputes for min/max — and the
+    result must equal a from-scratch GROUP BY of the SQL final state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType as DT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+    from pyspark.sql.types import TimestampType as TT
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import delete_where
+    from airbyte_spark.operators.rollup import create_rollup, materialize_rollup
+
+    ev = _t(spark, sf, "events")
+    schema = STt(
+        [
+            SF_("event_id", LT(), False),
+            SF_("event_type", ST()),
+            SF_("value", DT()),
+            SF_("updated_at", TT()),
+        ]
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.col("ts").alias("updated_at"),
+    )
+    root = tempfile.mkdtemp(prefix="entry-rollup-")
+    try:
+        src = LakeTable.create(
+            spark, root + "/src", schema, primary_key=["event_id"]
+        )
+        src.append(base)
+        roll = create_rollup(
+            src,
+            root + "/roll",
+            ["event_type"],
+            [("count", "*"), ("sum", "value"), ("min", "value"), ("max", "value")],
+        )
+        res1 = materialize_rollup(src, roll)
+        assert res1.mode == "initial"
+        # one incremental window: upsert + row deletes + fresh group
+        batch = base.filter(F.col("event_id") % 13 == 0).withColumns(
+            {
+                "value": F.col("value") + 1000,
+                "updated_at": F.col("updated_at") + F.expr("INTERVAL 1 DAY"),
+            }
+        )
+        merge_into(src, batch, mode="mor")
+        delete_where(src, "event_id % 17 = 0")
+        src.append(
+            base.filter(F.col("event_id") % 11 == 0).select(
+                (F.col("event_id") + 1000000).alias("event_id"),
+                F.lit("fresh").alias("event_type"),
+                (F.col("value") * 2).alias("value"),
+                "updated_at",
+            )
+        )
+        res2 = materialize_rollup(src, roll)
+        assert res2.mode == "incremental", "window must fold O(delta)"
+        assert res2.merge is not None
+        rows = (
+            roll.scan()
+            .select(
+                "event_type",
+                "count_star",
+                "count_value",
+                F.round("sum_value", 2).alias("sum_value"),
+                F.round("min_value", 4).alias("min_value"),
+                F.round("max_value", 4).alias("max_value"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, count_star long, count_value long, "
+            "sum_value double, min_value double, max_value double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_scan_aggregate(spark, sf):
     """Metadata-only aggregate pushdown (operators/aggregate.py — the
     Iceberg aggregate-push-down analog, SparkScanBuilder#pushAggregation),
@@ -2328,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_scan": q_delete_where_scan,
         "retire_eq_deletes": q_retire_eq_deletes,
         "scan_aggregate": q_scan_aggregate,
+        "rollup_incremental": q_rollup_incremental,
         "partition_evolution_scan": q_partition_evolution_scan,
         "changelog_scan": q_changelog_scan,
         "merge_soft_delete": q_merge_soft_delete,
@@ -2780,6 +2875,38 @@ def oracle_sql() -> dict[str, str]:
         "partition_evolution_scan": """
             SELECT event_id, event_type, round(value, 4) AS value
             FROM events WHERE event_type = 'click'
+        """,
+        # incremental rollup: the O(delta)-maintained summary must equal a
+        # from-scratch GROUP BY of the final state (upsert, delete, append)
+        "rollup_incremental": """
+            WITH base AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE value END AS value
+              FROM events),
+            batch AS (
+              SELECT event_id, event_type, value + 1000 AS value
+              FROM base WHERE event_id % 13 = 0),
+            merged AS (
+              SELECT e.event_id,
+                     COALESCE(b.event_type, e.event_type) AS event_type,
+                     CASE WHEN b.event_id IS NOT NULL THEN b.value
+                          ELSE e.value END AS value
+              FROM base e LEFT JOIN batch b USING (event_id)),
+            after_del AS (
+              SELECT * FROM merged WHERE event_id % 17 <> 0),
+            final AS (
+              SELECT * FROM after_del
+              UNION ALL
+              SELECT event_id + 1000000, 'fresh', value * 2
+              FROM base WHERE event_id % 11 = 0)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS count_star,
+                   CAST(count(value) AS BIGINT) AS count_value,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM final GROUP BY event_type
         """,
         # aggregate pushdown: the hybrid metadata+residual plan must equal
         # plain aggregates over the SQL final state (upsert then delete)
