@@ -190,3 +190,52 @@ def test_time_travel_aggregates_at_the_old_snapshot(spark, table):
     got = _got(table, aggs=[("count", "*"), ("max", "id")],
                snapshot_id=snap)
     assert got == {"count_star": 200, "max_id": 199}
+
+
+def _mutated(spark, table):
+    """eq-delete + pos-delete debt on the shared fixture."""
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    upd = spark.createDataFrame(
+        [(i, "z", 999.0) for i in range(0, 40, 2)], SCHEMA
+    )
+    merge_into(table, upd, mode="mor", cursor_col="v")
+    delete_where(table, "id % 7 = 0 AND id >= 120")
+    return table
+
+
+def test_distributed_planning_matches_driver(spark, table):
+    t = _mutated(spark, table)
+    rd, rx = AggregateReport(), AggregateReport()
+    a = _got(t, report=rd, planning="driver")
+    b = _got(t, report=rx, planning="distributed")
+    assert a == b == _groundtruth(t)
+    assert rd.planning == "driver" and rx.planning == "distributed"
+    assert (rx.meta_files, rx.scanned_files, rx.meta_rows) == (
+        rd.meta_files,
+        rd.scanned_files,
+        rd.meta_rows,
+    )
+    assert rx.scan_reasons == rd.scan_reasons
+
+
+def test_distributed_planning_with_key_range(spark, table):
+    t = _mutated(spark, table)
+    kw = dict(key_range=("id", 30, 170))
+    rd, rx = AggregateReport(), AggregateReport()
+    a = _got(t, report=rd, planning="driver", **kw)
+    b = _got(t, report=rx, planning="distributed", **kw)
+    assert a == b == _groundtruth(t, **kw)
+    assert rx.scan_reasons == rd.scan_reasons
+
+
+def test_auto_planning_crosses_the_threshold(spark, table):
+    t = _mutated(spark, table)
+    rep = AggregateReport()
+    baseline = _got(t, report=rep)
+    assert rep.planning == "driver"  # tiny table stays driver-side
+    t.set_properties({"cluster.planning.distributed-threshold": 1})
+    rep2 = AggregateReport()
+    assert _got(t, report=rep2) == baseline == _groundtruth(t)
+    assert rep2.planning == "distributed"
