@@ -1,0 +1,331 @@
+"""Incrementally-maintained perceptual-hash near-duplicate index.
+
+One-shot near-dup detection (`phash_near_dup_pairs`) re-hashes and
+re-joins the WHOLE corpus every run — at 10⁹ images that is a full
+decode + shuffle per sync. This operator keeps the banded phash index
+AS A LAKE TABLE and advances it O(batch) from the source table's
+changelog, the continuous-ingest shape a web-scale image pipeline
+actually runs:
+
+- index rows are `(image_id, band, phash, bh)` — one row per
+  radius-complete sub-band (`simhash_band_layout` pigeonhole property:
+  a pair within `max_hamming` MUST collide on at least one band), PK
+  `(image_id, band)`, hidden-partitioned `bucket(N, bh)` so a probe
+  touches only the buckets the batch hashes into;
+- each update identifies the window's touched ids from
+  `scan_changelog`, resolves the LAST event per id by snapshot ordinal
+  (insert at the head ordinal => upsert, else removal), re-hashes only
+  surviving payloads (one Arrow pass over the batch), and lands the
+  rows via a MoR merge keyed by the source commit sequence —
+  idempotent replay, tombstones through the CDC path;
+- the probe then joins ONLY the batch's band rows against the index
+  files whose `bh_bucket` partition value the batch actually produced
+  (manifest-level pruning via the writer's own transform expression) —
+  emitted pairs are exact (popcount-verified), and the stream of pairs
+  across updates equals a from-scratch pass over the final state for
+  every pair whose endpoints are still alive (pinned by tests).
+
+The index table is ordinary: compaction folds the per-merge bucket
+files, time travel pins a probe, expire/GC applies.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from airbyte_spark.functions.dedup import simhash_band_layout
+from airbyte_spark.functions.images import phash_udf
+from airbyte_spark.lake.table import MAIN, LakeTable
+from airbyte_spark.lake.transforms import fields_by_key
+from airbyte_spark.operators.merge import CDC_DELETED_COL, merge_into
+
+CONF_PROP = "phash-index.config"
+WATERMARK_PROP = "phash-index.source-snapshot-watermark"
+
+
+@dataclass
+class PhashIndexResult:
+    mode: str  # "initial" | "incremental" | "noop"
+    watermark: str
+    images_upserted: int = 0
+    images_removed: int = 0
+    #: exact near-dup pairs (id_a, id_b, hamming) THIS window introduced
+    #: (both batch-vs-corpus and batch-internal); None when probe=False
+    pairs: DataFrame | None = None
+    probed_files: int = 0  # index files the probe opened...
+    total_files: int = 0  # ...out of this many live
+
+
+def create_phash_index(
+    source: LakeTable,
+    root: str,
+    id_col: str = "image_id",
+    max_hamming: int = 4,
+    bucket_count: int = 32,
+    branch: str = MAIN,
+) -> LakeTable:
+    """Create the (empty) index table for `source`; config is pinned in
+    table properties so every updater maintains the same radius/layout."""
+    src = source.schema(branch=branch)
+    if id_col not in src.fieldNames():
+        raise ValueError(f"unknown id column {id_col!r}")
+    layout = simhash_band_layout(max_hamming)
+    fields = [
+        StructField(id_col, src[id_col].dataType, False),
+        StructField("band", IntegerType(), False),
+        StructField("phash", LongType(), True),
+        StructField("bh", LongType(), True),
+        StructField("_idx_seq", LongType(), True),
+    ]
+    t = LakeTable.create(
+        source.spark,
+        root,
+        StructType(fields),
+        primary_key=[id_col, "band"],
+        partition_by=[f"bucket({bucket_count}, bh)"],
+    )
+    t.set_properties(
+        {
+            CONF_PROP: json.dumps(
+                {
+                    "id_col": id_col,
+                    "max_hamming": max_hamming,
+                    "n_bands": len(layout),
+                }
+            )
+        }
+    )
+    return t
+
+
+def _band_rows(hashed: DataFrame, id_col: str, layout) -> DataFrame:
+    """(id, phash) -> one row per sub-band: (id, band, phash, bh)."""
+    return hashed.select(
+        id_col,
+        F.col("_ph").alias("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        # arithmetic shiftright sign-extends int64; the
+                        # mask clears the extension for the top band
+                        F.shiftright("_ph", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bh"),
+                    )
+                    for b, (off, w) in enumerate(layout)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "phash", "bk.band", "bk.bh")
+
+
+def _probe(
+    index: LakeTable,
+    batch_bands: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    branch: str,
+    broadcast_batch: bool = True,
+) -> tuple[DataFrame, int, int]:
+    """Join the batch's band rows against ONLY the index files whose
+    bucket partition the batch can collide with; exact popcount verify.
+    Returns (pairs, files probed, files live)."""
+    from airbyte_spark.lake.transforms import partition_expr
+
+    fld = fields_by_key(index.partition_fields()).get("bh_bucket")
+    schema = index.schema(branch=branch)
+    live = index.all_files(branch=branch)
+    data = [e for e in live if e.content == "data"]
+    deletes = [e for e in live if e.content != "data"]
+    if fld is not None:
+        buckets = {
+            r["b"]
+            for r in batch_bands.select(
+                partition_expr(fld, schema["bh"].dataType).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        kept = [
+            e
+            for e in data
+            if fld.name not in e.partition or e.partition[fld.name] in buckets
+        ]
+    else:  # unpartitioned index: probe everything
+        kept = data
+    b = batch_bands.select(
+        F.col(id_col).alias("_b_id"),
+        F.col("phash").alias("_b_ph"),
+        "band",
+        "bh",
+    )
+    if not kept:
+        empty = index.spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", schema[id_col].dataType),
+                    StructField("id_b", schema[id_col].dataType),
+                    StructField("hamming", IntegerType()),
+                ]
+            ),
+        )
+        return empty, 0, len(data)
+    idx = index.read_entries(kept, schema, deletes=deletes)
+    pairs = (
+        idx.join(F.broadcast(b) if broadcast_batch else b, on=["band", "bh"])
+        .filter(F.col(id_col) != F.col("_b_id"))
+        .select(
+            F.least(id_col, "_b_id").alias("id_a"),
+            F.greatest(id_col, "_b_id").alias("id_b"),
+            F.bit_count(
+                F.col("phash").bitwiseXOR(F.col("_b_ph"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs, len(kept), len(data)
+
+
+def update_phash_index(
+    source: LakeTable,
+    index: LakeTable,
+    bytes_col: str = "bytes",
+    probe: bool = True,
+    branch: str = MAIN,
+) -> PhashIndexResult:
+    """Advance the index to `source`'s head (see module docstring)."""
+    try:
+        conf = json.loads(index.properties[CONF_PROP])
+    except KeyError as e:
+        raise ValueError(
+            "not a phash index (create it with create_phash_index)"
+        ) from e
+    id_col, mh = conf["id_col"], int(conf["max_hamming"])
+    layout = simhash_band_layout(mh)
+    head = source.snapshot(branch=branch)
+    wm = index.properties.get(WATERMARK_PROP)
+    if wm == head.snapshot_id:
+        return PhashIndexResult("noop", wm)
+
+    if wm is None:
+        hashed = source.scan(branch=branch, snapshot_id=head.snapshot_id).select(
+            F.col(id_col), phash_udf(F.col(bytes_col)).alias("_ph")
+        )
+        bands = _band_rows(hashed, id_col, layout).withColumn(
+            "_idx_seq", F.lit(head.sequence)
+        )
+        index.append(bands)
+        index.set_properties({WATERMARK_PROP: head.snapshot_id})
+        n = index.scan(branch=branch).select(id_col).distinct().count()
+        pairs = probed = total = None
+        if probe:
+            # probe the fresh index against itself: reads back the rows
+            # just written (no re-hash), complete by the band property.
+            # The "batch" IS the corpus here — shuffle join, no broadcast
+            pairs, probed, total = _probe(
+                index,
+                index.scan(branch=branch),
+                id_col,
+                mh,
+                branch,
+                broadcast_batch=False,
+            )
+        return PhashIndexResult(
+            "initial",
+            head.snapshot_id,
+            images_upserted=n,
+            pairs=pairs,
+            probed_files=probed or 0,
+            total_files=total or 0,
+        )
+
+    # ---- incremental window ------------------------------------------
+    # snapshot ordinals: walk head -> watermark once (O(window) metadata)
+    ords: dict[str, int] = {}
+    s = head
+    chain = []
+    while s.snapshot_id != wm:
+        chain.append(s.snapshot_id)
+        if s.parent_id is None:
+            raise ValueError(f"{wm} is not an ancestor of {head.snapshot_id}")
+        s = source.snapshot(s.parent_id)
+    for i, sid in enumerate(reversed(chain)):
+        ords[sid] = i
+    cl = source.scan_changelog(wm, branch=branch, to_snapshot_id=head.snapshot_id)
+    ord_df = source.spark.createDataFrame(
+        [(k, v) for k, v in ords.items()], "_snap string, _ord long"
+    )
+    ev = cl.select(
+        id_col, bytes_col, "_change_type", "_change_snapshot_id"
+    ).join(
+        F.broadcast(ord_df),
+        F.col("_change_snapshot_id") == F.col("_snap"),
+    )
+    last = ev.groupBy(id_col).agg(F.max("_ord").alias("_mo"))
+    head_events = ev.join(F.broadcast(last), on=id_col).filter(
+        F.col("_ord") == F.col("_mo")
+    )
+    # an id whose head-ordinal events include an insert survives (its
+    # delete there is the update's pre-image); otherwise it was removed
+    ups = head_events.filter(F.col("_change_type") == "insert")
+    removed = (
+        head_events.groupBy(id_col)
+        .agg(
+            F.max(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("_ins")
+        )
+        .filter(F.col("_ins") == 0)
+        .select(id_col)
+    )
+    hashed = ups.select(F.col(id_col), phash_udf(F.col(bytes_col)).alias("_ph"))
+    up_bands = (
+        _band_rows(hashed, id_col, layout)
+        .withColumn("_idx_seq", F.lit(head.sequence))
+        .withColumn(CDC_DELETED_COL, F.lit(None).cast("timestamp"))
+        .persist()
+    )
+    try:
+        n_up = up_bands.select(id_col).distinct().count()
+        tomb = removed.select(
+            id_col,
+            F.explode(
+                F.array(*[F.lit(b).cast("int") for b in range(len(layout))])
+            ).alias("band"),
+            F.lit(None).cast("long").alias("phash"),
+            F.lit(None).cast("long").alias("bh"),
+            F.lit(head.sequence).alias("_idx_seq"),
+            F.current_timestamp().alias(CDC_DELETED_COL),
+        )
+        n_rm = removed.count()
+        merge_into(
+            index,
+            up_bands.unionByName(tomb),
+            cursor_col="_idx_seq",
+            mode="mor",
+            branch=branch,
+        )
+        pairs = probed = total = None
+        if probe and n_up:
+            pairs, probed, total = _probe(index, up_bands, id_col, mh, branch)
+    finally:
+        up_bands.unpersist()
+    index.set_properties({WATERMARK_PROP: head.snapshot_id})
+    return PhashIndexResult(
+        "incremental",
+        head.snapshot_id,
+        images_upserted=n_up,
+        images_removed=n_rm,
+        pairs=pairs,
+        probed_files=probed or 0,
+        total_files=total or 0,
+    )
