@@ -495,10 +495,6 @@ def q_dedup_phash(spark, sf):
     pipeline (encode -> Arrow decode+phash -> radius-complete banded
     self-join -> popcount verify) runs end-to-end; hamming > 0 recall is
     pinned by the brute-force parity test in the same file."""
-    import numpy as np
-    import pandas as pd
-
-    from airbyte_spark.codecs import encode_image
     from airbyte_spark.functions.images import phash_near_dup_pairs
 
     ev = (
@@ -506,6 +502,22 @@ def q_dedup_phash(spark, sf):
         .filter(F.col("event_id") % 23 == 3)
         .select("event_id")
     )
+    df = _phash_fixture_images(ev)
+    # max_bucket_size=None: oracle replays the full pair set (the
+    # production default star-caps degenerate buckets, same trade as
+    # dedup_simhash)
+    return phash_near_dup_pairs(df, max_hamming=4, max_bucket_size=None)
+
+
+def _phash_fixture_images(ids_df):
+    """(event_id) -> (image_id, bytes): the deterministic 8-wave phash
+    fixture shared by q_dedup_phash / q_dedup_phash_clusters /
+    q_dedup_phash_index (see q_dedup_phash's docstring for why radius-4
+    near-dup pairs == same-group pairs with hamming 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.codecs import encode_image
 
     def make(batches):
         yy, xx = np.mgrid[0:64, 0:64]
@@ -528,11 +540,7 @@ def q_dedup_phash(spark, sf):
                 )
             yield pd.DataFrame(rows)
 
-    df = ev.mapInPandas(make, "image_id long, bytes binary")
-    # max_bucket_size=None: oracle replays the full pair set (the
-    # production default star-caps degenerate buckets, same trade as
-    # dedup_simhash)
-    return phash_near_dup_pairs(df, max_hamming=4, max_bucket_size=None)
+    return ids_df.mapInPandas(make, "image_id long, bytes binary")
 
 
 def q_dedup_phash_clusters(spark, sf):
@@ -549,6 +557,67 @@ def q_dedup_phash_clusters(spark, sf):
     return connected_components(pairs).select(
         F.col("id").alias("image_id"), F.col("comp").alias("cluster")
     )
+
+
+def q_dedup_phash_index(spark, sf):
+    """Incrementally-maintained phash near-dup index, ORACLE-CHECKED
+    (operators/dedup_index.py): the banded index lives as a lake table
+    and advances O(batch) from the source changelog instead of
+    re-hashing the corpus per sync. This entry drives three windows over
+    the deterministic 8-wave fixture — initial build (odd event_ids),
+    an incremental append (even event_ids, probe prunes to the batch's
+    hash buckets), and a position-delete window (event_id % 16 == 3) —
+    and returns the union of pairs the probes emitted, restricted to
+    endpoints alive at the end. The index invariant (pinned by
+    tests/test_phash_index.py) makes that union equal a from-scratch
+    pass over the final state, which DuckDB recomputes from event_id
+    arithmetic alone: same-group (event_id % 8) pairs at hamming 0."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import BinaryType as BT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.dedup_index import (
+        create_phash_index,
+        update_phash_index,
+    )
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 23 == 3)
+        .select("event_id")
+    )
+    schema = STt([SF_("image_id", LT(), False), SF_("bytes", BT())])
+    root = tempfile.mkdtemp(prefix="entry-phidx-")
+    try:
+        src = LakeTable.create(
+            spark, root + "/src", schema, primary_key=["image_id"]
+        )
+        idx = create_phash_index(src, root + "/idx", max_hamming=4)
+        src.append(_phash_fixture_images(ev.filter(F.col("event_id") % 2 == 1)))
+        r1 = update_phash_index(src, idx)
+        assert r1.mode == "initial"
+        emitted = r1.pairs.collect()
+        src.append(_phash_fixture_images(ev.filter(F.col("event_id") % 2 == 0)))
+        r2 = update_phash_index(src, idx)
+        assert r2.mode == "incremental" and r2.probed_files <= r2.total_files
+        emitted += r2.pairs.collect()
+        delete_where(src, "image_id % 16 = 3")
+        r3 = update_phash_index(src, idx)
+        assert r3.pairs is None  # removal-only window probes nothing
+        # materialize before the table dirs are removed
+        return (
+            spark.createDataFrame(emitted, "id_a long, id_b long, hamming int")
+            .filter((F.col("id_a") % 16 != 3) & (F.col("id_b") % 16 != 3))
+            .distinct()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_dedup_simhash(spark, sf):
@@ -2405,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_phash": q_dedup_phash,
         "dedup_phash_clusters": q_dedup_phash_clusters,
+        "dedup_phash_index": q_dedup_phash_index,
         "images_maintenance": q_images_maintenance,
         "daily_rollup": q_daily_rollup,
         "semi_join_exists": q_semi_join_exists,
@@ -3078,6 +3148,19 @@ def oracle_sql() -> dict[str, str]:
             WITH imgs AS (
               SELECT event_id, event_id % 8 AS grp
               FROM events WHERE event_id % 23 = 3)
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM imgs a JOIN imgs b
+              ON a.grp = b.grp AND a.event_id < b.event_id
+        """,
+        # union of incrementally-emitted pairs over alive endpoints ==
+        # from-scratch pairs over the final state: same-group pairs among
+        # ids surviving the delete window (event_id % 16 == 3 removed)
+        "dedup_phash_index": """
+            WITH imgs AS (
+              SELECT event_id, event_id % 8 AS grp
+              FROM events
+              WHERE event_id % 23 = 3 AND event_id % 16 <> 3)
             SELECT a.event_id AS id_a, b.event_id AS id_b,
                    CAST(0 AS INT) AS hamming
             FROM imgs a JOIN imgs b
