@@ -620,6 +620,63 @@ def q_dedup_phash_index(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dedup_simhash_index(spark, sf):
+    """Text flavor of the incrementally-maintained near-dup index,
+    ORACLE-CHECKED (operators/dedup_index.py, hasher="simhash-md5"):
+    the same changelog-advanced banded index as dedup_phash_index, hash
+    pass swapped to the SQL-reproducible md5 simhash over document text.
+    Three windows — initial build (odd doc_ids), incremental append
+    (even doc_ids), position-delete (doc_id % 16 == 3) — and the union
+    of probe-emitted pairs over alive endpoints must equal DuckDB's
+    from-scratch signature + banded-join + popcount pass over the
+    surviving documents."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.dedup_index import (
+        create_near_dup_index,
+        update_near_dup_index,
+    )
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    schema = STt([SF_("doc_id", LT(), False), SF_("text", ST())])
+    root = tempfile.mkdtemp(prefix="entry-shidx-")
+    try:
+        src = LakeTable.create(
+            spark, root + "/src", schema, primary_key=["doc_id"]
+        )
+        idx = create_near_dup_index(
+            src, root + "/idx", "text", "doc_id",
+            hasher="simhash-md5", max_hamming=8,
+        )
+        src.append(docs.filter(F.col("doc_id") % 2 == 1))
+        r1 = update_near_dup_index(src, idx)
+        assert r1.mode == "initial"
+        emitted = r1.pairs.collect()
+        src.append(docs.filter(F.col("doc_id") % 2 == 0))
+        r2 = update_near_dup_index(src, idx)
+        assert r2.mode == "incremental"
+        emitted += r2.pairs.collect()
+        delete_where(src, "doc_id % 16 = 3")
+        r3 = update_near_dup_index(src, idx)
+        assert r3.pairs is None  # removal-only window probes nothing
+        # materialize before the table dirs are removed
+        return (
+            spark.createDataFrame(emitted, "id_a long, id_b long, hamming int")
+            .filter((F.col("id_a") % 16 != 3) & (F.col("id_b") % 16 != 3))
+            .distinct()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, oracle-checked (r3 verdict item 4): the
     md5-token-hash variant (`simhash_md5_udf` — uint64(md5[8:16], LE) ==
@@ -2475,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash": q_dedup_phash,
         "dedup_phash_clusters": q_dedup_phash_clusters,
         "dedup_phash_index": q_dedup_phash_index,
+        "dedup_simhash_index": q_dedup_simhash_index,
         "images_maintenance": q_images_maintenance,
         "daily_rollup": q_daily_rollup,
         "semi_join_exists": q_semi_join_exists,
@@ -2556,11 +2614,12 @@ _MINHASH64_CAND_SQL = " UNION ALL ".join(
 )
 
 
-def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+def _simhash_oracle_sql(max_hamming: int = 8, where: str = "") -> str:
     """DuckDB replica of q_dedup_simhash: md5_number_lower token hashes
     (== dedup.py::_md5_token_hash_vec, verified bit-identical), per-bit
     sign sums in UBIGINT, the radius-complete band layout, and
-    bit_count(xor()) for the exact hamming verify."""
+    bit_count(xor()) for the exact hamming verify. `where` restricts the
+    corpus (q_dedup_simhash_index's alive-docs filter)."""
     from airbyte_spark.functions.dedup import simhash_band_layout
 
     bit_terms = " + ".join(
@@ -2575,7 +2634,7 @@ def _simhash_oracle_sql(max_hamming: int = 8) -> str:
         for b, (off, w) in enumerate(simhash_band_layout(max_hamming))
     )
     return f"""
-        WITH t AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+        WITH t AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM documents {where}),
         h AS (SELECT doc_id,
                      list_transform(toks, s -> md5_number_lower(s)) AS hs
               FROM t),
@@ -3140,6 +3199,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(8),
+        # union of incrementally-emitted pairs over alive endpoints ==
+        # from-scratch simhash pass over the surviving docs
+        "dedup_simhash_index": _simhash_oracle_sql(
+            8, where="WHERE doc_id % 16 <> 3"
+        ),
         # within-group pairs only: the 8 fixed patterns are >=10 hamming
         # apart and power-of-2 contrast variants hash identically (pinned
         # by tests/test_phash_dedup.py), so radius-4 pairs == same-group

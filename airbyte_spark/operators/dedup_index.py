@@ -1,11 +1,14 @@
-"""Incrementally-maintained perceptual-hash near-duplicate index.
+"""Incrementally-maintained near-duplicate index (phash / simhash).
 
-One-shot near-dup detection (`phash_near_dup_pairs`) re-hashes and
-re-joins the WHOLE corpus every run — at 10⁹ images that is a full
-decode + shuffle per sync. This operator keeps the banded phash index
-AS A LAKE TABLE and advances it O(batch) from the source table's
-changelog, the continuous-ingest shape a web-scale image pipeline
-actually runs:
+One-shot near-dup detection (`phash_near_dup_pairs`,
+`simhash_near_dup_pairs`) re-hashes and re-joins the WHOLE corpus every
+run — at 10⁹ documents that is a full decode + shuffle per sync. This
+operator keeps the banded 64-bit-hash index AS A LAKE TABLE and
+advances it O(batch) from the source table's changelog, the
+continuous-ingest shape a web-scale pipeline actually runs. The hash
+pass is pluggable (`hasher="phash"` over image bytes,
+`"simhash-md5"`/`"simhash-fnv"` over text); everything downstream —
+radius-complete banding, bucket layout, merge, probe — is hash-agnostic:
 
 - index rows are `(image_id, band, phash, bh)` — one row per
   radius-complete sub-band (`simhash_band_layout` pigeonhole property:
@@ -36,16 +39,33 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from airbyte_spark.functions.dedup import simhash_band_layout
-from airbyte_spark.functions.images import phash_udf
 from airbyte_spark.lake.table import MAIN, LakeTable
 from airbyte_spark.lake.transforms import fields_by_key
 from airbyte_spark.operators.merge import CDC_DELETED_COL, merge_into
 
 CONF_PROP = "phash-index.config"
 WATERMARK_PROP = "phash-index.source-snapshot-watermark"
+
+#: hasher name -> (pandas UDF over the content column, required type)
+def _hashers():
+    from airbyte_spark.functions.dedup import simhash_md5_udf, simhash_udf
+    from airbyte_spark.functions.images import phash_udf
+
+    return {
+        "phash": (phash_udf, BinaryType),
+        "simhash-md5": (simhash_md5_udf, StringType),
+        "simhash-fnv": (simhash_udf, StringType),
+    }
 
 
 @dataclass
@@ -61,19 +81,34 @@ class PhashIndexResult:
     total_files: int = 0  # ...out of this many live
 
 
-def create_phash_index(
+def create_near_dup_index(
     source: LakeTable,
     root: str,
-    id_col: str = "image_id",
-    max_hamming: int = 4,
+    content_col: str,
+    id_col: str,
+    hasher: str = "simhash-md5",
+    max_hamming: int = 8,
     bucket_count: int = 32,
     branch: str = MAIN,
 ) -> LakeTable:
     """Create the (empty) index table for `source`; config is pinned in
-    table properties so every updater maintains the same radius/layout."""
+    table properties so every updater maintains the same hash/radius/
+    layout."""
     src = source.schema(branch=branch)
     if id_col not in src.fieldNames():
         raise ValueError(f"unknown id column {id_col!r}")
+    if hasher not in _hashers():
+        raise ValueError(
+            f"unknown hasher {hasher!r} (one of {sorted(_hashers())})"
+        )
+    _, want = _hashers()[hasher]
+    if content_col not in src.fieldNames() or not isinstance(
+        src[content_col].dataType, want
+    ):
+        raise ValueError(
+            f"hasher {hasher!r} needs a {want.__name__} column, got "
+            f"{content_col!r}"
+        )
     layout = simhash_band_layout(max_hamming)
     fields = [
         StructField(id_col, src[id_col].dataType, False),
@@ -94,6 +129,8 @@ def create_phash_index(
             CONF_PROP: json.dumps(
                 {
                     "id_col": id_col,
+                    "content_col": content_col,
+                    "hasher": hasher,
                     "max_hamming": max_hamming,
                     "n_bands": len(layout),
                 }
@@ -101,6 +138,28 @@ def create_phash_index(
         }
     )
     return t
+
+
+def create_phash_index(
+    source: LakeTable,
+    root: str,
+    id_col: str = "image_id",
+    content_col: str = "bytes",
+    max_hamming: int = 4,
+    bucket_count: int = 32,
+    branch: str = MAIN,
+) -> LakeTable:
+    """Image-flavored `create_near_dup_index` (DCT perceptual hash)."""
+    return create_near_dup_index(
+        source,
+        root,
+        content_col,
+        id_col,
+        hasher="phash",
+        max_hamming=max_hamming,
+        bucket_count=bucket_count,
+        branch=branch,
+    )
 
 
 def _band_rows(hashed: DataFrame, id_col: str, layout) -> DataFrame:
@@ -195,10 +254,9 @@ def _probe(
     return pairs, len(kept), len(data)
 
 
-def update_phash_index(
+def update_near_dup_index(
     source: LakeTable,
     index: LakeTable,
-    bytes_col: str = "bytes",
     probe: bool = True,
     branch: str = MAIN,
 ) -> PhashIndexResult:
@@ -207,9 +265,12 @@ def update_phash_index(
         conf = json.loads(index.properties[CONF_PROP])
     except KeyError as e:
         raise ValueError(
-            "not a phash index (create it with create_phash_index)"
+            "not a near-dup index (create it with create_near_dup_index "
+            "/ create_phash_index)"
         ) from e
     id_col, mh = conf["id_col"], int(conf["max_hamming"])
+    bytes_col = conf.get("content_col", "bytes")
+    hash_udf, _ = _hashers()[conf.get("hasher", "phash")]
     layout = simhash_band_layout(mh)
     head = source.snapshot(branch=branch)
     wm = index.properties.get(WATERMARK_PROP)
@@ -218,7 +279,7 @@ def update_phash_index(
 
     if wm is None:
         hashed = source.scan(branch=branch, snapshot_id=head.snapshot_id).select(
-            F.col(id_col), phash_udf(F.col(bytes_col)).alias("_ph")
+            F.col(id_col), hash_udf(F.col(bytes_col)).alias("_ph")
         )
         bands = _band_rows(hashed, id_col, layout).withColumn(
             "_idx_seq", F.lit(head.sequence)
@@ -287,7 +348,7 @@ def update_phash_index(
         .filter(F.col("_ins") == 0)
         .select(id_col)
     )
-    hashed = ups.select(F.col(id_col), phash_udf(F.col(bytes_col)).alias("_ph"))
+    hashed = ups.select(F.col(id_col), hash_udf(F.col(bytes_col)).alias("_ph"))
     up_bands = (
         _band_rows(hashed, id_col, layout)
         .withColumn("_idx_seq", F.lit(head.sequence))
@@ -329,3 +390,7 @@ def update_phash_index(
         probed_files=probed or 0,
         total_files=total or 0,
     )
+
+
+#: image-flavored alias — the original public name
+update_phash_index = update_near_dup_index

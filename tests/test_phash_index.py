@@ -187,7 +187,19 @@ def test_union_across_windows_equals_final_oneshot(spark, source, index):
 
 
 def test_validation(source, tmp_table_dir):
+    from airbyte_spark.operators.dedup_index import create_near_dup_index
+
     with pytest.raises(ValueError, match="unknown id column"):
         create_phash_index(source, tmp_table_dir + "/x", id_col="nope")
-    with pytest.raises(ValueError, match="not a phash index"):
+    with pytest.raises(ValueError, match="not a near-dup index"):
         update_phash_index(source, source)
+    with pytest.raises(ValueError, match="unknown hasher"):
+        create_near_dup_index(
+            source, tmp_table_dir + "/y", "bytes", "image_id", hasher="crc32"
+        )
+    # type mismatch: simhash wants a string column, bytes is binary
+    with pytest.raises(ValueError, match="needs a StringType column"):
+        create_near_dup_index(
+            source, tmp_table_dir + "/z", "bytes", "image_id",
+            hasher="simhash-md5",
+        )
