@@ -677,6 +677,67 @@ def q_dedup_simhash_index(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dedup_embedding_index(spark, sf):
+    """Embedding flavor of the incrementally-maintained near-dup index,
+    ORACLE-CHECKED (operators/dedup_index.py, hasher="hyperplane"): 64
+    fixed ±1 sign planes (signed_planes seed=777 — the engine-portable
+    SRP family q_ann_lsh_topk's oracle already pins) fold each
+    embedding into a 64-bit signature; the index bands it
+    radius-complete at hamming<=16 and advances from the changelog like
+    the phash/simhash flavors. Three windows (odd / even / delete
+    vec_id % 16 == 3); DuckDB rebuilds the signatures with the same
+    plane literals via left-to-right list_dot_product and replays the
+    full O(n^2) popcount join over alive vectors — banding is
+    radius-complete, so band-join + verify == full-join + verify."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import ArrayType as AT
+    from pyspark.sql.types import FloatType as FT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.dedup_index import (
+        create_near_dup_index,
+        update_near_dup_index,
+    )
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    schema = STt(
+        [SF_("vec_id", LT(), False), SF_("embedding", AT(FT()), False)]
+    )
+    root = tempfile.mkdtemp(prefix="entry-embidx-")
+    try:
+        src = LakeTable.create(
+            spark, root + "/src", schema, primary_key=["vec_id"]
+        )
+        idx = create_near_dup_index(
+            src, root + "/idx", "embedding", "vec_id",
+            hasher="hyperplane", max_hamming=16, dim=_LSH_DIM,
+        )
+        src.append(emb.filter(F.col("vec_id") % 2 == 1))
+        r1 = update_near_dup_index(src, idx)
+        assert r1.mode == "initial"
+        emitted = r1.pairs.collect()
+        src.append(emb.filter(F.col("vec_id") % 2 == 0))
+        r2 = update_near_dup_index(src, idx)
+        assert r2.mode == "incremental"
+        emitted += r2.pairs.collect()
+        delete_where(src, "vec_id % 16 = 3")
+        r3 = update_near_dup_index(src, idx)
+        assert r3.pairs is None  # removal-only window probes nothing
+        return (
+            spark.createDataFrame(emitted, "id_a long, id_b long, hamming int")
+            .filter((F.col("id_a") % 16 != 3) & (F.col("id_b") % 16 != 3))
+            .distinct()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, oracle-checked (r3 verdict item 4): the
     md5-token-hash variant (`simhash_md5_udf` — uint64(md5[8:16], LE) ==
@@ -834,6 +895,35 @@ def q_ann_lsh_topk(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return lsh_topk_fixed_planes(emb, queries_df, _lsh_planes(), k=10)
+
+
+def _hyperplane_oracle_sql(max_hamming: int = 16, where: str = "") -> str:
+    """DuckDB replica of q_dedup_embedding_index: the SAME ±1 plane
+    values inlined as list literals, signature bits from left-to-right
+    list_dot_product signs (exactly the UDF's accumulation order), then
+    a full O(n^2) popcount pair join — complete by construction, equal
+    to the banded join because banding is radius-complete."""
+    from airbyte_spark.functions.similarity import signed_planes
+
+    planes = signed_planes(1, 64, _LSH_DIM, seed=_LSH_SEED)[0]
+
+    def dot(p):
+        return "list_dot_product(v, [" + ", ".join(f"{v:.1f}" for v in p) + "])"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN {dot(planes[b])} > 0 THEN {1 << b}::UBIGINT "
+        f"ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings {where}),
+        sig AS (SELECT vec_id, ({sig_terms}) AS sh FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
 
 
 def _lsh_oracle_sql() -> str:
@@ -2533,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_clusters": q_dedup_phash_clusters,
         "dedup_phash_index": q_dedup_phash_index,
         "dedup_simhash_index": q_dedup_simhash_index,
+        "dedup_embedding_index": q_dedup_embedding_index,
         "images_maintenance": q_images_maintenance,
         "daily_rollup": q_daily_rollup,
         "semi_join_exists": q_semi_join_exists,
@@ -3203,6 +3294,9 @@ def oracle_sql() -> dict[str, str]:
         # from-scratch simhash pass over the surviving docs
         "dedup_simhash_index": _simhash_oracle_sql(
             8, where="WHERE doc_id % 16 <> 3"
+        ),
+        "dedup_embedding_index": _hyperplane_oracle_sql(
+            16, where="WHERE vec_id % 16 <> 3"
         ),
         # within-group pairs only: the 8 fixed patterns are >=10 hamming
         # apart and power-of-2 contrast variants hash identically (pinned

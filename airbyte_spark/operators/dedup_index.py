@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -56,16 +57,39 @@ from airbyte_spark.operators.merge import CDC_DELETED_COL, merge_into
 CONF_PROP = "phash-index.config"
 WATERMARK_PROP = "phash-index.source-snapshot-watermark"
 
-#: hasher name -> (pandas UDF over the content column, required type)
-def _hashers():
-    from airbyte_spark.functions.dedup import simhash_md5_udf, simhash_udf
-    from airbyte_spark.functions.images import phash_udf
+#: hasher name -> required content-column type. "hyperplane" is the
+#: embedding flavor: 64 fixed ±1 sign planes (signed_planes — the
+#: engine-portable SRP family q_ann_lsh_topk's oracle already pins)
+#: fold an array<float> into a 64-bit signature whose hamming distance
+#: estimates angular distance.
+HASHER_TYPES = {
+    "phash": BinaryType,
+    "simhash-md5": StringType,
+    "simhash-fnv": StringType,
+    "hyperplane": ArrayType,
+}
 
-    return {
-        "phash": (phash_udf, BinaryType),
-        "simhash-md5": (simhash_md5_udf, StringType),
-        "simhash-fnv": (simhash_udf, StringType),
-    }
+
+def _hash_udf(conf: dict):
+    """The configured content -> int64 signature pandas UDF."""
+    h = conf.get("hasher", "phash")
+    if h == "phash":
+        from airbyte_spark.functions.images import phash_udf
+
+        return phash_udf
+    if h in ("simhash-md5", "simhash-fnv"):
+        from airbyte_spark.functions.dedup import simhash_md5_udf, simhash_udf
+
+        return simhash_md5_udf if h == "simhash-md5" else simhash_udf
+    from airbyte_spark.functions.similarity import (
+        fixed_plane_bucket_udf,
+        signed_planes,
+    )
+
+    planes = signed_planes(
+        1, 64, int(conf["dim"]), seed=int(conf.get("seed", 777))
+    )
+    return fixed_plane_bucket_udf(planes[0])
 
 
 @dataclass
@@ -90,18 +114,22 @@ def create_near_dup_index(
     max_hamming: int = 8,
     bucket_count: int = 32,
     branch: str = MAIN,
+    dim: int | None = None,
+    seed: int = 777,
 ) -> LakeTable:
     """Create the (empty) index table for `source`; config is pinned in
     table properties so every updater maintains the same hash/radius/
-    layout."""
+    layout. `dim`/`seed` apply to the "hyperplane" hasher only (the ±1
+    plane family is a pure function of them, so any updater rebuilds the
+    identical planes)."""
     src = source.schema(branch=branch)
     if id_col not in src.fieldNames():
         raise ValueError(f"unknown id column {id_col!r}")
-    if hasher not in _hashers():
+    if hasher not in HASHER_TYPES:
         raise ValueError(
-            f"unknown hasher {hasher!r} (one of {sorted(_hashers())})"
+            f"unknown hasher {hasher!r} (one of {sorted(HASHER_TYPES)})"
         )
-    _, want = _hashers()[hasher]
+    want = HASHER_TYPES[hasher]
     if content_col not in src.fieldNames() or not isinstance(
         src[content_col].dataType, want
     ):
@@ -109,6 +137,8 @@ def create_near_dup_index(
             f"hasher {hasher!r} needs a {want.__name__} column, got "
             f"{content_col!r}"
         )
+    if hasher == "hyperplane" and not dim:
+        raise ValueError("hasher 'hyperplane' needs dim=<embedding length>")
     layout = simhash_band_layout(max_hamming)
     fields = [
         StructField(id_col, src[id_col].dataType, False),
@@ -133,6 +163,7 @@ def create_near_dup_index(
                     "hasher": hasher,
                     "max_hamming": max_hamming,
                     "n_bands": len(layout),
+                    **({"dim": dim, "seed": seed} if dim else {}),
                 }
             )
         }
@@ -270,7 +301,7 @@ def update_near_dup_index(
         ) from e
     id_col, mh = conf["id_col"], int(conf["max_hamming"])
     bytes_col = conf.get("content_col", "bytes")
-    hash_udf, _ = _hashers()[conf.get("hasher", "phash")]
+    hash_udf = _hash_udf(conf)
     layout = simhash_band_layout(mh)
     head = source.snapshot(branch=branch)
     wm = index.properties.get(WATERMARK_PROP)
