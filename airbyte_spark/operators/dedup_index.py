@@ -285,6 +285,42 @@ def _probe(
     return pairs, len(kept), len(data)
 
 
+def _index_conf(index: LakeTable) -> dict:
+    try:
+        return json.loads(index.properties[CONF_PROP])
+    except KeyError as e:
+        raise ValueError(
+            "not a near-dup index (create it with create_near_dup_index "
+            "/ create_phash_index)"
+        ) from e
+
+
+def probe_index(
+    index: LakeTable,
+    batch: DataFrame,
+    branch: str = MAIN,
+) -> DataFrame:
+    """READ-ONLY near-dup lookup: hash `batch` (id + content columns per
+    the index config), prune to the index files whose hash-bucket
+    partitions the batch collides with, popcount-verify — WITHOUT
+    advancing the index. The ingest-gate shape: a curation pipeline
+    dedup-checks a candidate batch against the corpus BEFORE deciding
+    what to write. Pairs are batch-vs-corpus only (the batch is not in
+    the index, so batch-internal duplicates don't appear — run the
+    one-shot pair function over the batch for those). Time travel works
+    the usual way: probe an index branch/snapshot by reading the index
+    table at that ref before calling."""
+    conf = _index_conf(index)
+    id_col, mh = conf["id_col"], int(conf["max_hamming"])
+    hashed = batch.select(
+        F.col(id_col),
+        _hash_udf(conf)(F.col(conf.get("content_col", "bytes"))).alias("_ph"),
+    )
+    bands = _band_rows(hashed, id_col, simhash_band_layout(mh))
+    pairs, _, _ = _probe(index, bands, id_col, mh, branch)
+    return pairs
+
+
 def update_near_dup_index(
     source: LakeTable,
     index: LakeTable,
@@ -292,13 +328,7 @@ def update_near_dup_index(
     branch: str = MAIN,
 ) -> PhashIndexResult:
     """Advance the index to `source`'s head (see module docstring)."""
-    try:
-        conf = json.loads(index.properties[CONF_PROP])
-    except KeyError as e:
-        raise ValueError(
-            "not a near-dup index (create it with create_near_dup_index "
-            "/ create_phash_index)"
-        ) from e
+    conf = _index_conf(index)
     id_col, mh = conf["id_col"], int(conf["max_hamming"])
     bytes_col = conf.get("content_col", "bytes")
     hash_udf = _hash_udf(conf)

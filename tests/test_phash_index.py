@@ -186,6 +186,26 @@ def test_union_across_windows_equals_final_oneshot(spark, source, index):
     assert alive_pairs == _oneshot(source)
 
 
+def test_probe_is_read_only_ingest_gate(spark, source, index):
+    from airbyte_spark.operators.dedup_index import probe_index
+
+    update_phash_index(source, index)
+    wm_before = index.properties["phash-index.source-snapshot-watermark"]
+    # candidate batch: one dup each of groups 1 and 3
+    batch = spark.createDataFrame(
+        _rows([100], grp=1) + _rows([200], grp=3), SCHEMA
+    )
+    pairs = _pairset(probe_index(index, batch.select("image_id", "bytes")))
+    assert {p[:2] for p in pairs} == {(i, 100) for i in (1, 5, 9)} | {
+        (i, 200) for i in (3, 7, 11)
+    }
+    # read-only: watermark and index rows untouched
+    assert (
+        index.properties["phash-index.source-snapshot-watermark"] == wm_before
+    )
+    assert index.scan().count() == 12 * 5
+
+
 def test_validation(source, tmp_table_dir):
     from airbyte_spark.operators.dedup_index import create_near_dup_index
 
