@@ -186,6 +186,31 @@ def test_union_across_windows_equals_final_oneshot(spark, source, index):
     assert alive_pairs == _oneshot(source)
 
 
+def test_index_table_is_ordinary_compaction_preserves_probes(
+    spark, source, index
+):
+    """The module docstring's 'the index table is ordinary' claim:
+    after several MoR update windows scatter per-bucket files and
+    tombstones, compact() folds them and probes answer identically."""
+    from airbyte_spark.operators.compact import compact
+    from airbyte_spark.operators.dedup_index import probe_index
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    update_phash_index(source, index)
+    source.append(spark.createDataFrame(_rows([100, 101], grp=1), SCHEMA))
+    update_phash_index(source, index)
+    delete_where(source, "image_id = 5")
+    update_phash_index(source, index)
+    batch = spark.createDataFrame(_rows([300], grp=1), SCHEMA)
+    before = _pairset(probe_index(index, batch.select("image_id", "bytes")))
+    files_before = len(index.data_files())
+    res = compact(index, target_file_bytes=1 << 20)
+    assert res.rewritten_bytes > 0
+    assert len(index.data_files()) < files_before
+    after = _pairset(probe_index(index, batch.select("image_id", "bytes")))
+    assert after == before == {(1, 300, 0), (9, 300, 0), (100, 300, 0), (101, 300, 0)}
+
+
 def test_probe_is_read_only_ingest_gate(spark, source, index):
     from airbyte_spark.operators.dedup_index import probe_index
 
