@@ -3419,6 +3419,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 AS BIGINT),       'compact'),
               ('compact.planning.distributed-threshold', 'integer', '100000',
                CAST(0 AS BIGINT),       'compact'),
+              ('maintenance.derived-tables',   'string', '[]',
+               CAST(NULL AS BIGINT),    'maintenance'),
               ('merge.bloom.max-probe-keys',   'integer', '2000000',
                CAST(0 AS BIGINT),       'merge'),
               ('merge.mor.max-delete-eras',    'integer', '8',

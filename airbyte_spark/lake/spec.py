@@ -16,8 +16,8 @@ reject what the schema would reject — a typo like
 did-you-mean) at `check` / sync-start / table-create time instead of a
 silently applied default. Keys outside the engine-reserved prefixes
 (``RESERVED_PREFIXES``: ``write.`` / ``merge.`` / ``cluster.`` /
-``commit.`` / ``compact.``) stay free-form user metadata,
-matching Iceberg's arbitrary table-property semantics.
+``commit.`` / ``compact.`` / ``maintenance.``) stay free-form user
+metadata, matching Iceberg's arbitrary table-property semantics.
 """
 
 from __future__ import annotations
@@ -37,7 +37,14 @@ SYNC_MODE_FOR_LOADER_MODE = {
 
 #: prefixes the engine owns: an unrecognized key under one of these is a
 #: config error (typo), anything else is user metadata and passes through
-RESERVED_PREFIXES = ("write.", "merge.", "cluster.", "commit.", "compact.")
+RESERVED_PREFIXES = (
+    "write.",
+    "merge.",
+    "cluster.",
+    "commit.",
+    "compact.",
+    "maintenance.",
+)
 
 #: every table property the engine reads, with the JSON-schema fragment
 #: the spec advertises for it. `consumer` cites the code that reads it —
@@ -187,6 +194,16 @@ PROPERTY_SPECS: dict[str, dict] = {
         "round-robined across chunks by descending size.",
         "group": "cluster",
         "consumer": "operators/cluster.py::_cluster_partial",
+    },
+    "maintenance.derived-tables": {
+        "type": "string",
+        "default": "[]",
+        "description": "JSON list of registered derived artifacts "
+        '({"kind": "rollup"|"near-dup-index", "root": path}) advanced '
+        "by run_maintenance right after the branch swap and before "
+        "expire/GC; both updaters are watermark-idempotent.",
+        "group": "maintenance",
+        "consumer": "operators/derived.py, operators/maintenance.py",
     },
     "compact.planning.distributed-threshold": {
         "type": "integer",
@@ -360,6 +377,7 @@ def spec() -> dict:
         {"id": "cluster", "title": "Clustering"},
         {"id": "compact", "title": "Compaction"},
         {"id": "commit", "title": "Commit metadata"},
+        {"id": "maintenance", "title": "Maintenance"},
     ]
     return {
         "documentationUrl": DOCUMENTATION_URL,

@@ -181,11 +181,22 @@ def run_maintenance(
         return {"swapped": use_staging}
     _stage(6, "swap", _swap)
 
+    # derived artifacts (rollups / near-dup indexes) advance from the
+    # just-published state, BEFORE expire/GC shortens the snapshot chain
+    # their changelog windows read; the updaters are watermark-idempotent
+    # so checkpoint replay is safe, and a no-op registry costs nothing
+    def _derived():
+        from airbyte_spark.operators.derived import update_derived_tables
+
+        reports = update_derived_tables(table, branch=MAIN)
+        return {"artifacts": reports} if reports else {"skipped": "none registered"}
+    _stage(7, "update-derived", _derived)
+
     def _gc():
         expired = table.expire_snapshots(keep_last=expire_keep_last)
         orphans = table.remove_orphan_files()
         return {"expired_snapshots": len(expired), "orphan_files": len(orphans)}
-    _stage(7, "expire-gc", _gc)
+    _stage(8, "expire-gc", _gc)
 
     report.wall_s = time.monotonic() - t0
     if not report.rows:

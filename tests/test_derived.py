@@ -1,0 +1,157 @@
+"""Registered derived tables (operators/derived.py): rollups and
+near-dup indexes advance as a run_maintenance stage from the published
+state, before expire/GC; errors isolate per artifact."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.operators.derived import (
+    DERIVED_PROP,
+    deregister_derived_table,
+    register_derived_table,
+    registered_derived_tables,
+    update_derived_tables,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("cat", StringType()),
+        StructField("text", StringType()),
+        StructField("val", DoubleType()),
+        StructField("updated_at", TimestampType()),
+    ]
+)
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _text(i, grp=None):
+    import random
+
+    g = (i % 3) if grp is None else grp
+    rng = random.Random(g)
+    return " ".join(f"w{rng.randrange(2000)}" for _ in range(30))
+
+
+def _rows(ids, grp=None, day=0):
+    return [
+        (
+            i,
+            f"c{i % 2}",
+            _text(i, grp),
+            float(i),
+            TS + datetime.timedelta(days=day),
+        )
+        for i in ids
+    ]
+
+
+@pytest.fixture()
+def source(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir + "/src", SCHEMA, primary_key=["doc_id"]
+    )
+    t.append(spark.createDataFrame(_rows(range(8)), SCHEMA))
+    return t
+
+
+def test_registry_roundtrip(source, tmp_table_dir):
+    with pytest.raises(ValueError, match="kind must be one of"):
+        register_derived_table(source, "view", tmp_table_dir + "/v")
+    register_derived_table(source, "rollup", tmp_table_dir + "/ru")
+    # idempotent by root
+    register_derived_table(source, "rollup", tmp_table_dir + "/ru")
+    entries = register_derived_table(
+        source, "near-dup-index", tmp_table_dir + "/idx"
+    )
+    assert [e["root"] for e in entries] == [
+        tmp_table_dir + "/ru",
+        tmp_table_dir + "/idx",
+    ]
+    assert registered_derived_tables(source) == entries
+    left = deregister_derived_table(source, tmp_table_dir + "/ru")
+    assert [e["kind"] for e in left] == ["near-dup-index"]
+    deregister_derived_table(source, tmp_table_dir + "/idx")
+    assert source.properties.get(DERIVED_PROP) is None
+
+
+def test_maintenance_advances_registered_artifacts(
+    spark, source, tmp_table_dir
+):
+    from airbyte_spark.operators.dedup_index import create_near_dup_index
+    from airbyte_spark.operators.maintenance import run_maintenance
+    from airbyte_spark.operators.rollup import create_rollup
+
+    ru = create_rollup(
+        source, tmp_table_dir + "/ru", ["cat"], [("count", "*"), ("sum", "val")]
+    )
+    idx = create_near_dup_index(
+        source, tmp_table_dir + "/idx", "text", "doc_id",
+        hasher="simhash-md5", max_hamming=8,
+    )
+    register_derived_table(source, "rollup", ru.root)
+    register_derived_table(source, "near-dup-index", idx.root)
+
+    batch = spark.createDataFrame(
+        _rows([6, 7], grp=0, day=1) + _rows([20, 21], grp=5, day=1), SCHEMA
+    )
+    rep = run_maintenance(
+        source, "derived-job-1", merge_source=batch, merge_mode="mor",
+        cluster_dims=["doc_id"],
+    )
+    arts = rep.stages["update-derived"]["artifacts"]
+    assert [a["kind"] for a in arts] == ["rollup", "near-dup-index"]
+    assert all("error" not in a for a in arts)
+    assert arts[0]["mode"] == "initial" and arts[1]["mode"] == "initial"
+
+    # rollup state == direct GROUP BY of the published table
+    want = {
+        (r["cat"], r["count_star"], r["sum_val"])
+        for r in source.scan()
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("count_star"),
+            F.sum("val").alias("sum_val"),
+        )
+        .collect()
+    }
+    got = {
+        (r["cat"], r["count_star"], r["sum_val"])
+        for r in ru.scan().select("cat", "count_star", "sum_val").collect()
+    }
+    assert got == want
+    # index covers exactly the live ids
+    ids = {r["doc_id"] for r in idx.scan().select("doc_id").distinct().collect()}
+    assert ids == set(range(8)) | {20, 21}
+
+    # second cycle with no data change: both artifacts noop
+    rep2 = run_maintenance(
+        source, "derived-job-2", merge_source=None, cluster_dims=["doc_id"]
+    )
+    arts2 = rep2.stages["update-derived"]["artifacts"]
+    assert [a["mode"] for a in arts2] == ["noop", "noop"]
+
+
+def test_artifact_errors_isolate(spark, source, tmp_table_dir):
+    from airbyte_spark.operators.rollup import create_rollup
+
+    ru = create_rollup(
+        source, tmp_table_dir + "/ru", ["cat"], [("count", "*")]
+    )
+    register_derived_table(source, "near-dup-index", tmp_table_dir + "/gone")
+    register_derived_table(source, "rollup", ru.root)
+    reports = update_derived_tables(source)
+    assert "error" in reports[0] and reports[0]["kind"] == "near-dup-index"
+    assert reports[1]["mode"] == "initial"
+    assert ru.scan().count() == 2
