@@ -357,6 +357,13 @@ def run_partitioned_maintenance(
     backfilled = retry_on_conflict(lambda: table.backfill_pk_blooms())
     if backfilled:
         report.stages["attach-blooms"] = {"backfilled": backfilled}
+    # derived artifacts advance BEFORE GC shortens the snapshot chain
+    # their changelog windows read (same ordering as run_maintenance)
+    from airbyte_spark.operators.derived import update_derived_tables
+
+    derived = update_derived_tables(table)
+    if derived:
+        report.stages["update-derived"] = {"artifacts": derived}
     expired = table.expire_snapshots(keep_last=expire_keep_last)
     orphans = table.remove_orphan_files()
     report.stages["expire-gc"] = {

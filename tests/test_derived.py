@@ -155,3 +155,26 @@ def test_artifact_errors_isolate(spark, source, tmp_table_dir):
     assert "error" in reports[0] and reports[0]["kind"] == "near-dup-index"
     assert reports[1]["mode"] == "initial"
     assert ru.scan().count() == 2
+
+
+def test_partitioned_maintenance_advances_artifacts(spark, tmp_table_dir):
+    from airbyte_spark.operators.maintenance import run_partitioned_maintenance
+    from airbyte_spark.operators.rollup import create_rollup
+
+    t = LakeTable.create(
+        spark, tmp_table_dir + "/psrc", SCHEMA,
+        primary_key=["doc_id"], partition_by=["cat"],
+    )
+    t.append(spark.createDataFrame(_rows(range(8)), SCHEMA))
+    ru = create_rollup(
+        t, tmp_table_dir + "/pru", ["cat"], [("count", "*"), ("sum", "val")]
+    )
+    register_derived_table(t, "rollup", ru.root)
+    rep = run_partitioned_maintenance(
+        t, "pderived-1", cluster_dims=["doc_id"]
+    )
+    arts = rep.stages["update-derived"]["artifacts"]
+    assert arts[0]["mode"] == "initial" and "error" not in arts[0]
+    assert {
+        (r["cat"], r["count_star"]) for r in ru.scan().collect()
+    } == {("c0", 4), ("c1", 4)}
