@@ -178,3 +178,56 @@ def test_partitioned_maintenance_advances_artifacts(spark, tmp_table_dir):
     assert {
         (r["cat"], r["count_star"]) for r in ru.scan().collect()
     } == {("c0", 4), ("c1", 4)}
+
+
+def test_streaming_ingest_keeps_index_fresh(spark, tmp_table_dir):
+    """Composition pin: continuous ingest through the lake_stream SINK,
+    index advanced from the changelog the sink commits produced."""
+    import os
+    import shutil
+    import tempfile
+
+    from airbyte_spark.operators.dedup_index import (
+        create_near_dup_index,
+        update_near_dup_index,
+    )
+    from airbyte_spark.sources.lakestream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    t = LakeTable.create(
+        spark, tmp_table_dir + "/src", SCHEMA, primary_key=["doc_id"]
+    )
+    idx = create_near_dup_index(
+        t, tmp_table_dir + "/idx", "text", "doc_id",
+        hasher="simhash-md5", max_hamming=8,
+    )
+    src = tempfile.mkdtemp(prefix="idxsinksrc-")
+    ckpt = tempfile.mkdtemp(prefix="idxsinkckpt-")
+
+    def pump(path, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(path)
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(f"{src}/*")
+            .writeStream.format("lake_stream")
+            .option("path", t.root)
+            .option("stream_id", "idxq")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        pump(os.path.join(src, "f1"), _rows(range(6)))
+        r1 = update_near_dup_index(t, idx)
+        assert r1.mode == "initial" and r1.images_upserted == 6
+        # second micro-batch: two docs joining group 0
+        pump(os.path.join(src, "f2"), _rows([100, 101], grp=0))
+        r2 = update_near_dup_index(t, idx)
+        assert r2.mode == "incremental" and r2.images_upserted == 2
+        got = {(p["id_a"], p["id_b"]) for p in r2.pairs.collect()}
+        assert got == {(0, 100), (3, 100), (0, 101), (3, 101), (100, 101)}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
