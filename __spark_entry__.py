@@ -897,6 +897,65 @@ def q_ann_lsh_topk(spark, sf):
     return lsh_topk_fixed_planes(emb, queries_df, _lsh_planes(), k=10)
 
 
+def q_ann_index_topk(spark, sf):
+    """Incrementally-maintained ANN top-k index, ORACLE-CHECKED
+    (operators/ann_index.py): the covering LSH-bucket index lives as a
+    lake table (one row per LSH table, PK (vec_id, tbl),
+    hidden-partitioned bucket(N, bucket)) and advances O(batch) from the
+    source changelog. Three windows (odd / even / position-delete
+    vec_id % 16 == 3), then top-10 for the surviving vec_id < 5 queries
+    — read from ONLY the index files whose bucket partitions the queries
+    collide with, exact-cosine re-ranked. The plane family is the same
+    ±1 fixture as q_ann_lsh_topk, so DuckDB replays buckets, candidates
+    and ranks from plane literals over the alive corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import ArrayType as AT
+    from pyspark.sql.types import FloatType as FT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.ann_index import (
+        create_ann_index,
+        query_ann_index,
+        update_ann_index,
+    )
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    schema = STt(
+        [SF_("vec_id", LT(), False), SF_("embedding", AT(FT()), False)]
+    )
+    root = tempfile.mkdtemp(prefix="entry-annidx-")
+    try:
+        src = LakeTable.create(
+            spark, root + "/src", schema, primary_key=["vec_id"]
+        )
+        idx = create_ann_index(
+            src, root + "/idx", "embedding", "vec_id",
+            dim=_LSH_DIM, n_tables=_LSH_TABLES, nbits=_LSH_NBITS,
+            seed=_LSH_SEED,
+        )
+        src.append(emb.filter(F.col("vec_id") % 2 == 1))
+        assert update_ann_index(src, idx).mode == "initial"
+        src.append(emb.filter(F.col("vec_id") % 2 == 0))
+        assert update_ann_index(src, idx).mode == "incremental"
+        delete_where(src, "vec_id % 16 = 3")
+        assert update_ann_index(src, idx).mode == "incremental"
+        queries = src.scan().filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = query_ann_index(idx, queries, k=10).collect()
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, rank int"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _hyperplane_oracle_sql(max_hamming: int = 16, where: str = "") -> str:
     """DuckDB replica of q_dedup_embedding_index: the SAME ±1 plane
     values inlined as list literals, signature bits from left-to-right
@@ -926,11 +985,12 @@ def _hyperplane_oracle_sql(max_hamming: int = 16, where: str = "") -> str:
     """
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_oracle_sql(where: str = "") -> str:
     """DuckDB replica of q_ann_lsh_topk: the SAME ±1 plane values inlined
     as list literals; `list_dot_product` accumulates left-to-right in
     doubles, matching the UDF's explicit sequential accumulation, so the
-    sign bits — and hence buckets, candidates and ranks — agree exactly."""
+    sign bits — and hence buckets, candidates and ranks — agree exactly.
+    `where` restricts the corpus (q_ann_index_topk's alive filter)."""
     planes = _lsh_planes()
 
     def dot(p):
@@ -949,7 +1009,7 @@ def _lsh_oracle_sql() -> str:
     collide = " OR ".join(f"c.bkt{t} = q.qb{t}" for t in range(_LSH_TABLES))
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings {where}),
         b AS (SELECT vec_id, v, {bkt_cols} FROM e),
         q AS (SELECT vec_id AS query_id, v AS qv, {q_cols}
               FROM b WHERE vec_id < 5),
@@ -2632,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_watermark_filter": q_p4_watermark_filter,
         "training_data_filter": q_training_data_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "images_compact_ffd": q_images_compact_ffd,
@@ -3289,6 +3350,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_id % 10 != 0
         """,
         "ann_lsh_topk": _lsh_oracle_sql(),
+        # the index's final state covers exactly the alive corpus, so
+        # top-k from the index == the one-shot plane-literal replay
+        "ann_index_topk": _lsh_oracle_sql(where="WHERE vec_id % 16 <> 3"),
         "dedup_simhash": _simhash_oracle_sql(8),
         # union of incrementally-emitted pairs over alive endpoints ==
         # from-scratch simhash pass over the surviving docs

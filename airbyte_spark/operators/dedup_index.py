@@ -285,6 +285,59 @@ def _probe(
     return pairs, len(kept), len(data)
 
 
+def resolve_changelog_window(
+    source: LakeTable,
+    wm: str,
+    head,
+    id_col: str,
+    content_col: str,
+    branch: str = MAIN,
+):
+    """Resolve the (wm, head] changelog to the LAST event per id:
+    returns (upserts DataFrame [id_col, content_col], removed DataFrame
+    [id_col]). An id whose head-ordinal events include an insert
+    survives with that post-image (its same-ordinal delete is the
+    update's pre-image); otherwise it was removed. Shared by every
+    changelog-advanced index (near-dup, ANN)."""
+    # snapshot ordinals: walk head -> watermark once (O(window) metadata)
+    ords: dict[str, int] = {}
+    s = head
+    chain = []
+    while s.snapshot_id != wm:
+        chain.append(s.snapshot_id)
+        if s.parent_id is None:
+            raise ValueError(f"{wm} is not an ancestor of {head.snapshot_id}")
+        s = source.snapshot(s.parent_id)
+    for i, sid in enumerate(reversed(chain)):
+        ords[sid] = i
+    cl = source.scan_changelog(wm, branch=branch, to_snapshot_id=head.snapshot_id)
+    ord_df = source.spark.createDataFrame(
+        [(k, v) for k, v in ords.items()], "_snap string, _ord long"
+    )
+    ev = cl.select(
+        id_col, content_col, "_change_type", "_change_snapshot_id"
+    ).join(
+        F.broadcast(ord_df),
+        F.col("_change_snapshot_id") == F.col("_snap"),
+    )
+    last = ev.groupBy(id_col).agg(F.max("_ord").alias("_mo"))
+    head_events = ev.join(F.broadcast(last), on=id_col).filter(
+        F.col("_ord") == F.col("_mo")
+    )
+    ups = head_events.filter(F.col("_change_type") == "insert")
+    removed = (
+        head_events.groupBy(id_col)
+        .agg(
+            F.max(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("_ins")
+        )
+        .filter(F.col("_ins") == 0)
+        .select(id_col)
+    )
+    return ups, removed
+
+
 def _index_conf(index: LakeTable) -> dict:
     try:
         return json.loads(index.properties[CONF_PROP])
@@ -371,43 +424,8 @@ def update_near_dup_index(
         )
 
     # ---- incremental window ------------------------------------------
-    # snapshot ordinals: walk head -> watermark once (O(window) metadata)
-    ords: dict[str, int] = {}
-    s = head
-    chain = []
-    while s.snapshot_id != wm:
-        chain.append(s.snapshot_id)
-        if s.parent_id is None:
-            raise ValueError(f"{wm} is not an ancestor of {head.snapshot_id}")
-        s = source.snapshot(s.parent_id)
-    for i, sid in enumerate(reversed(chain)):
-        ords[sid] = i
-    cl = source.scan_changelog(wm, branch=branch, to_snapshot_id=head.snapshot_id)
-    ord_df = source.spark.createDataFrame(
-        [(k, v) for k, v in ords.items()], "_snap string, _ord long"
-    )
-    ev = cl.select(
-        id_col, bytes_col, "_change_type", "_change_snapshot_id"
-    ).join(
-        F.broadcast(ord_df),
-        F.col("_change_snapshot_id") == F.col("_snap"),
-    )
-    last = ev.groupBy(id_col).agg(F.max("_ord").alias("_mo"))
-    head_events = ev.join(F.broadcast(last), on=id_col).filter(
-        F.col("_ord") == F.col("_mo")
-    )
-    # an id whose head-ordinal events include an insert survives (its
-    # delete there is the update's pre-image); otherwise it was removed
-    ups = head_events.filter(F.col("_change_type") == "insert")
-    removed = (
-        head_events.groupBy(id_col)
-        .agg(
-            F.max(
-                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
-            ).alias("_ins")
-        )
-        .filter(F.col("_ins") == 0)
-        .select(id_col)
+    ups, removed = resolve_changelog_window(
+        source, wm, head, id_col, bytes_col, branch=branch
     )
     hashed = ups.select(F.col(id_col), hash_udf(F.col(bytes_col)).alias("_ph"))
     up_bands = (

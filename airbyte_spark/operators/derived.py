@@ -34,7 +34,7 @@ import json
 from airbyte_spark.lake.table import MAIN, LakeTable
 
 DERIVED_PROP = "maintenance.derived-tables"
-KINDS = ("rollup", "near-dup-index")
+KINDS = ("rollup", "near-dup-index", "ann-index")
 
 
 def registered_derived_tables(source: LakeTable) -> list[dict]:
@@ -74,6 +74,7 @@ def update_derived_tables(
     """Advance every registered artifact to `source`'s head on `branch`;
     one report dict per artifact ({kind, root, mode, ...} or
     {kind, root, error})."""
+    from airbyte_spark.operators.ann_index import update_ann_index
     from airbyte_spark.operators.dedup_index import update_near_dup_index
     from airbyte_spark.operators.rollup import materialize_rollup
 
@@ -88,6 +89,13 @@ def update_derived_tables(
                     mode=r.mode,
                     groups_updated=r.groups_updated,
                     groups_deleted=r.groups_deleted,
+                )
+            elif e["kind"] == "ann-index":
+                r = update_ann_index(source, t, branch=branch)
+                rep.update(
+                    mode=r.mode,
+                    upserted=r.vectors_upserted,
+                    removed=r.vectors_removed,
                 )
             else:
                 r = update_near_dup_index(source, t, probe=False, branch=branch)
