@@ -231,3 +231,40 @@ def test_streaming_ingest_keeps_index_fresh(spark, tmp_table_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_ann_index_kind_dispatches(spark, tmp_table_dir):
+    import numpy as np
+
+    from airbyte_spark.operators.ann_index import create_ann_index
+    from pyspark.sql.types import ArrayType, FloatType
+
+    vs = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+            StructField("updated_at", TimestampType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tmp_table_dir + "/vsrc", vs, primary_key=["vec_id"]
+    )
+
+    def vec(i):
+        rng = np.random.default_rng(i)
+        return [float(x) for x in rng.standard_normal(8)]
+
+    t.append(
+        spark.createDataFrame([(i, vec(i), TS) for i in range(6)], vs)
+    )
+    idx = create_ann_index(t, tmp_table_dir + "/vidx", "embedding", "vec_id", dim=8)
+    register_derived_table(t, "ann-index", idx.root)
+    reports = update_derived_tables(t)
+    assert reports[0] == {
+        "kind": "ann-index",
+        "root": idx.root,
+        "mode": "initial",
+        "upserted": 6,
+        "removed": 0,
+    }
+    assert update_derived_tables(t)[0]["mode"] == "noop"
