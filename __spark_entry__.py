@@ -3483,6 +3483,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 AS BIGINT),       'compact'),
               ('compact.planning.distributed-threshold', 'integer', '100000',
                CAST(0 AS BIGINT),       'compact'),
+              ('history.expire.max-ref-age-ms', 'integer', '0',
+               CAST(0 AS BIGINT),       'history'),
+              ('history.expire.max-snapshot-age-ms', 'integer', '0',
+               CAST(0 AS BIGINT),       'history'),
+              ('history.expire.min-snapshots-to-keep', 'integer', '2',
+               CAST(1 AS BIGINT),       'history'),
               ('maintenance.derived-tables',   'string', '[]',
                CAST(NULL AS BIGINT),    'maintenance'),
               ('merge.bloom.max-probe-keys',   'integer', '2000000',

@@ -16,8 +16,9 @@ reject what the schema would reject — a typo like
 did-you-mean) at `check` / sync-start / table-create time instead of a
 silently applied default. Keys outside the engine-reserved prefixes
 (``RESERVED_PREFIXES``: ``write.`` / ``merge.`` / ``cluster.`` /
-``commit.`` / ``compact.`` / ``maintenance.``) stay free-form user
-metadata, matching Iceberg's arbitrary table-property semantics.
+``commit.`` / ``compact.`` / ``maintenance.`` / ``history.``) stay
+free-form user metadata, matching Iceberg's arbitrary table-property
+semantics.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ RESERVED_PREFIXES = (
     "commit.",
     "compact.",
     "maintenance.",
+    "history.",
 )
 
 #: every table property the engine reads, with the JSON-schema fragment
@@ -194,6 +196,39 @@ PROPERTY_SPECS: dict[str, dict] = {
         "round-robined across chunks by descending size.",
         "group": "cluster",
         "consumer": "operators/cluster.py::_cluster_partial",
+    },
+    "history.expire.min-snapshots-to-keep": {
+        "type": "integer",
+        "default": 2,
+        "minimum": 1,
+        "description": "Per-branch snapshot count the expire stage always "
+        "retains (head plus nearest ancestors), regardless of age "
+        "(Iceberg history.expire.min-snapshots-to-keep). Supplies the "
+        "maintenance pipeline's keep_last when the caller does not.",
+        "group": "history",
+        "consumer": "lake/table.py::expire_snapshots_by_policy",
+    },
+    "history.expire.max-snapshot-age-ms": {
+        "type": "integer",
+        "default": 0,
+        "minimum": 0,
+        "description": "When > 0, snapshots that committed longer ago "
+        "than this are eligible for expiry beyond the min-snapshots-to-"
+        "keep window (Iceberg history.expire.max-snapshot-age-ms); 0 "
+        "keeps the count-only policy.",
+        "group": "history",
+        "consumer": "lake/table.py::expire_snapshots_by_policy",
+    },
+    "history.expire.max-ref-age-ms": {
+        "type": "integer",
+        "default": 0,
+        "minimum": 0,
+        "description": "When > 0, tags and non-main branches whose "
+        "pinned snapshot is older than this are dropped at expire time, "
+        "releasing their retention pins (Iceberg MAX_REF_AGE_MS); main "
+        "never ages out. 0 disables ref aging.",
+        "group": "history",
+        "consumer": "lake/table.py::expire_snapshots_by_policy",
     },
     "maintenance.derived-tables": {
         "type": "string",
@@ -378,6 +413,7 @@ def spec() -> dict:
         {"id": "compact", "title": "Compaction"},
         {"id": "commit", "title": "Commit metadata"},
         {"id": "maintenance", "title": "Maintenance"},
+        {"id": "history", "title": "Snapshot retention"},
     ]
     return {
         "documentationUrl": DOCUMENTATION_URL,

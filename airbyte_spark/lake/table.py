@@ -2109,6 +2109,32 @@ class LakeTable:
                 keep_last, older_than_ms, max_ref_age_ms
             )
 
+    def expire_snapshots_by_policy(
+        self, keep_last: int | None = None
+    ) -> list[str]:
+        """expire_snapshots driven by the table's retention properties
+        (Iceberg's HISTORY_EXPIRE-style table properties,
+        TableProperties.java MIN_SNAPSHOTS_TO_KEEP / MAX_SNAPSHOT_AGE_MS /
+        MAX_REF_AGE_MS): ``history.expire.min-snapshots-to-keep`` supplies
+        keep_last when the caller passes None, ``max-snapshot-age-ms`` > 0
+        turns into an older_than cutoff relative to now, and
+        ``max-ref-age-ms`` > 0 ages out tags/non-main branches. The
+        maintenance pipeline's expire stage goes through here so retention
+        is governed per-table instead of per-job-invocation."""
+        props = self.properties
+        if keep_last is None:
+            keep_last = int(
+                props.get("history.expire.min-snapshots-to-keep", 2)
+            )
+        age = int(props.get("history.expire.max-snapshot-age-ms", 0))
+        older_than_ms = (now_ms() - age) if age > 0 else None
+        ref_age = int(props.get("history.expire.max-ref-age-ms", 0))
+        return self.expire_snapshots(
+            keep_last=keep_last,
+            older_than_ms=older_than_ms,
+            max_ref_age_ms=ref_age if ref_age > 0 else None,
+        )
+
     def _expire_snapshots_locked(
         self,
         keep_last: int,

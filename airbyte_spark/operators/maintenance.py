@@ -41,7 +41,7 @@ def run_maintenance(
     cluster_dims: list[str] | None = None,
     curve: str = "zorder",
     target_file_bytes: int | None = None,
-    expire_keep_last: int = 2,
+    expire_keep_last: int | None = None,
     use_staging: bool = True,
     merge_mode: str = "cow",
     compact_mode: str = "auto",  # auto | always | never
@@ -193,7 +193,7 @@ def run_maintenance(
     _stage(7, "update-derived", _derived)
 
     def _gc():
-        expired = table.expire_snapshots(keep_last=expire_keep_last)
+        expired = table.expire_snapshots_by_policy(keep_last=expire_keep_last)
         orphans = table.remove_orphan_files()
         return {"expired_snapshots": len(expired), "orphan_files": len(orphans)}
     _stage(8, "expire-gc", _gc)
@@ -212,7 +212,7 @@ def run_partitioned_maintenance(
     cluster_dims: list[str] | None = None,
     curve: str = "zorder",
     target_file_bytes: int | None = None,
-    expire_keep_last: int = 2,
+    expire_keep_last: int | None = None,
     compact_mode: str = "auto",  # auto | always | never (see run_maintenance)
     cluster_scope: str = "dirty",  # dirty | full
 ) -> MaintenanceReport:
@@ -364,7 +364,7 @@ def run_partitioned_maintenance(
     derived = update_derived_tables(table)
     if derived:
         report.stages["update-derived"] = {"artifacts": derived}
-    expired = table.expire_snapshots(keep_last=expire_keep_last)
+    expired = table.expire_snapshots_by_policy(keep_last=expire_keep_last)
     orphans = table.remove_orphan_files()
     report.stages["expire-gc"] = {
         "expired_snapshots": len(expired),

@@ -423,3 +423,54 @@ def test_time_travel_as_of(spark, tmp_table_dir):
     t.expire_snapshots(keep_last=1, older_than_ms=s2.timestamp_ms)
     assert t.snapshot_as_of(s2.timestamp_ms).snapshot_id == s2.snapshot_id
     assert t.scan().count() == 3
+
+
+def test_expire_snapshots_by_policy(spark, tmp_table_dir):
+    """Retention resolved from `history.expire.*` table properties
+    (Iceberg TableProperties MIN_SNAPSHOTS_TO_KEEP / MAX_SNAPSHOT_AGE_MS /
+    MAX_REF_AGE_MS): run_maintenance's expire stage goes through
+    expire_snapshots_by_policy, so retention is governed per-table
+    instead of per-job-invocation."""
+    import time
+
+    t = _mk(spark, tmp_table_dir, [("a", 1)])
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    # default policy: min-snapshots-to-keep registry default is 2
+    expired = t.expire_snapshots_by_policy()
+    assert expired and len(t.history()) == 2
+    # a huge max-snapshot-age pins everything the count floor would drop
+    t.set_properties({
+        "history.expire.min-snapshots-to-keep": 1,
+        "history.expire.max-snapshot-age-ms": 10**12,
+    })
+    t.append(spark.createDataFrame([("d", 4)], SCHEMA))
+    assert t.expire_snapshots_by_policy() == []
+    assert len(t.history()) == 3
+    # tiny age: everything older than the window dies down to the floor,
+    # and a stale tag's pin is released by max-ref-age first
+    t.create_tag("audit")
+    time.sleep(0.02)
+    t.append(spark.createDataFrame([("e", 5)], SCHEMA))
+    t.set_properties({
+        "history.expire.max-snapshot-age-ms": 1,
+        "history.expire.max-ref-age-ms": 1,
+    })
+    t.expire_snapshots_by_policy()
+    assert "audit" not in t.tags
+    assert len(t.history()) == 1
+    assert t.scan().count() == 5  # head state untouched
+    # explicit caller arg still wins over the property
+    t.append(spark.createDataFrame([("f", 6)], SCHEMA))
+    t.set_properties({
+        "history.expire.max-snapshot-age-ms": 0,
+        "history.expire.min-snapshots-to-keep": 1,
+    })
+    assert t.expire_snapshots_by_policy(keep_last=2) == []
+    # typo'd engine-reserved key is a typed config error, not metadata
+    import pytest as _pytest
+
+    from airbyte_spark.lake.spec import ConfigValidationError
+
+    with _pytest.raises(ConfigValidationError):
+        t.set_properties({"history.expire.max-snapshot-age": 5})
