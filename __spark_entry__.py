@@ -2617,6 +2617,52 @@ def q_update_where(spark, sf):
     )
 
 
+def q_catalog_multi_table(spark, sf):
+    """Warehouse catalog + multi-table maintenance sweep
+    (lake/catalog.py; Iceberg HadoopCatalog semantics, reference table
+    resolution S3DataLakeWriter.kt:32-63): events split by key parity
+    into two namespaced tables, `maintain_all` runs the full MoR
+    maintenance pipeline (merge skip + dirty cluster + manifest rewrite +
+    branch swap + policy expire/GC) over BOTH tables through a shared
+    thread pool, then the answer is aggregated across catalog-loaded
+    scans. The DuckDB oracle is the plain single-table aggregate, so any
+    row loss/duplication in the sweep's rewrites or the catalog's path
+    resolution diverges the value hash. event_id cap bounds the rewrite
+    at large sf."""
+    import tempfile
+
+    from airbyte_spark.lake.catalog import Catalog
+
+    ev = _t(spark, sf, "events").where(F.col("event_id") < 40000)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="catalog-"))
+    for ident, half in (
+        ("raw.events_even", ev.where(F.col("event_id") % 2 == 0)),
+        ("raw.events_odd", ev.where(F.col("event_id") % 2 == 1)),
+    ):
+        t = cat.create_table(
+            ident, ev.schema, primary_key=["event_id"],
+            properties={"write.pk-bloom.enabled": False},
+        )
+        t.append(half)
+    reports = cat.maintain_all(
+        "catalog-q", merge_mode="mor", cluster_dims=["event_id"],
+        max_concurrent=2,
+    )
+    for ident, rep in reports.items():
+        if isinstance(rep, Exception):
+            raise rep
+    scans = [
+        cat.load_table(i).scan() for i in cat.list_tables("raw")
+    ]
+    u = scans[0]
+    for s in scans[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
 def q_partition_prune_day(spark, sf):
     """Hidden-partitioning scan pruning (lake/transforms.py; Iceberg
     table-spec "Partition Transforms"): load events into a lake table
@@ -2721,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_prune_day": q_partition_prune_day,
         "add_files_import": q_add_files_import,
         "update_where": q_update_where,
+        "catalog_multi_table": q_catalog_multi_table,
     }
 
 
@@ -3523,6 +3570,17 @@ def oracle_sql() -> dict[str, str]:
         # pruning bug that drops or leaks rows diverges the value hash
         # the Spark side imports the parquet metadata-only and scans a
         # PK range through the lake table; the oracle reads the file raw
+        # the Spark side round-trips the rows through two catalog tables
+        # and a full multi-table maintenance sweep; the oracle is the
+        # plain aggregate — sweep-induced row loss/dup fails the hash
+        "catalog_multi_table": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 3) AS sum_value
+            FROM events
+            WHERE event_id < 40000
+            GROUP BY event_type
+        """,
         "add_files_import": """
             SELECT event_type,
                    COUNT(*) AS n_events,
