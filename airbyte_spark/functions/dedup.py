@@ -679,9 +679,13 @@ def connected_components(
     diameter) rounds, and near-dup clusters are shallow (a dup class is
     dense), so convergence is a handful of rounds even at 10^9 docs. No
     driver-side graph: edges and labels stay DataFrames throughout; each
-    round is one shuffle on id. Convergence is detected by the SUM of
-    labels (strictly decreasing until fixpoint — one cheap agg, no
-    row-level diff join), and lineage is cut with localCheckpoint every
+    round is one shuffle on id. Convergence is detected by an EXACT
+    changed-label probe (anti-join of the new labels against the old on
+    (id, comp), limit-1) — id-type-agnostic (string ids work) and safe
+    under ANSI mode, where summing hash-derived long labels can overflow
+    (CLAUDE.md gotcha 9); the join is co-partitioned on id, so the probe
+    costs a fraction of the round's own shuffle. Lineage is cut with
+    localCheckpoint every
     few rounds so the plan does not grow with iterations (the classic
     iterative-DataFrame OOM). Raises if max_iterations rounds do not
     converge — a silent partial clustering would under-merge and leak
@@ -702,7 +706,6 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
     try:
         for i in range(max_iterations):
             nbr = edges.join(
@@ -717,12 +720,15 @@ def connected_components(
                 new_labels = new_labels.localCheckpoint(eager=True)
             else:
                 new_labels = new_labels.persist()
-            cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+            changed = (
+                new_labels.join(labels, ["id", "comp"], "left_anti")
+                .limit(1)
+                .count()
+            )
             labels.unpersist()
             labels = new_labels
-            if cur_sum == prev_sum:
+            if not changed:
                 return labels
-            prev_sum = cur_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "rounds — raise max_iterations (component diameter exceeds it)"

@@ -1209,12 +1209,40 @@ class LakeTable:
         from airbyte_spark.lake.transforms import validate_partition_spec
 
         schema = self.schema()
-        validate_partition_spec(list(new_partition_by), schema)
+        new_fields = validate_partition_spec(list(new_partition_by), schema)
         with _refs_lock(self.root):
             refs = self._refs()
             old = refs["table"].get("partition_by", [])
             if list(new_partition_by) == list(old):
                 return
+            # Iceberg's unique-partition-name rule, enforced across the
+            # WHOLE spec history: layout dirs and entry.partition are
+            # keyed by derived field NAME (id_bucket), which does not
+            # encode the transform parameter — if bucket(8, id) reused a
+            # name that bucket(4, id) files already carry, scan's
+            # partition pruning would compare old-spec values against
+            # new-spec literals and silently drop matching rows. Refuse;
+            # migrating a transform parameter needs a rewrite
+            # (snapshot_table clone or compaction into a fresh table).
+            from airbyte_spark.lake.transforms import parse_partition_spec
+
+            seen: dict[str, str] = {}
+            for spec in refs["table"].get(
+                "partition_spec_history", [old]
+            ) + [old]:
+                for f in parse_partition_spec(spec):
+                    seen[f.name] = f.spec
+            for f in new_fields:
+                prior = seen.get(f.name)
+                if prior is not None and prior != f.spec:
+                    raise ValueError(
+                        f"partition field name {f.name!r} ({f.spec}) "
+                        f"collides with historical spec {prior!r}: layout "
+                        "dirs are keyed by derived name, so files written "
+                        "under the old transform would be mis-pruned. "
+                        "Rewrite the table (snapshot_table + compact) to "
+                        "change a transform's parameters."
+                    )
             hist = refs["table"].setdefault("partition_spec_history", [old])
             hist.append(list(new_partition_by))
             refs["table"]["partition_by"] = list(new_partition_by)
@@ -1659,15 +1687,25 @@ class LakeTable:
           as-of-parent read (range+bloom candidate test, the same
           delete_may_hit the maintenance ops use) as deletes
           (pre-images);
-        * delete_where — the new tombstones inner-joined at (file, pos)
-          against the as-of-parent read of just the referenced files,
-          plus whole removed files, as deletes (rows an older delete
-          already hid are excluded: the as-of-parent read applies them);
+        * delete_where / MoR update_where — the new tombstones
+          inner-joined at (file, pos) against the as-of-parent read of
+          just the referenced files, plus whole removed files, as
+          deletes (rows an older delete already hid are excluded: the
+          as-of-parent read applies them); update_where additionally
+          emits its post-image copies as inserts via the added-files
+          rule;
+        * cherry-pick / add-files — added data files as inserts (both
+          ops are append-only by construction);
+        * snapshot-table — the clone's full corpus as inserts, with the
+          commit's own cloned position tombstones applied (the clone's
+          live rows, not its raw files);
         * maintenance ops (_ROWSET_INVARIANT_OPS) — nothing, which is
           sound precisely because their scan-invariance is test-pinned;
-        * CoW merges / truncate — ValueError: their row diff is not
+        * CoW merges / truncate — ValueError: a CoW row diff is not
           recoverable from metadata (Iceberg's overwrite-snapshot
-          changelog limitation). Run changelog consumers on MoR tables.
+          changelog limitation), and a truncate's "diff" is the whole
+          table twice — silently turning an O(batch) consumer into
+          O(table). Run changelog consumers on MoR tables.
         """
         chain: list[Snapshot] = []
         s = self.snapshot(to_snapshot_id, branch)
@@ -1701,7 +1739,15 @@ class LakeTable:
         for s in chain:
             if s.operation in self._ROWSET_INVARIANT_OPS:
                 continue
-            if s.operation not in ("append", "merge", "delete"):
+            if s.operation not in (
+                "append",
+                "merge",
+                "delete",
+                "update",
+                "cherry-pick",
+                "add-files",
+                "snapshot-table",
+            ):
                 raise ValueError(
                     f"changelog cannot reconstruct op {s.operation!r} "
                     f"(snapshot {s.snapshot_id})"
@@ -1718,9 +1764,20 @@ class LakeTable:
                     f"diff is not recoverable (snapshot {s.snapshot_id})"
                 )
             if added_data:
+                # a commit's inserts are its live added rows: apply the
+                # SAME commit's position tombstones (snapshot-table clones
+                # its source's pos-deletes alongside the files they
+                # reference; for every other op they reference only older
+                # files, so this is a path-mismatch no-op)
+                same_pos = [
+                    e
+                    for e in live
+                    if e.content == "position-deletes"
+                    and (e.sequence or 0) == s.sequence
+                ]
                 parts.append(
                     tag(
-                        self.read_entries(added_data, schema),
+                        self.read_entries(added_data, schema, deletes=same_pos),
                         "insert",
                         s.snapshot_id,
                     )
@@ -1762,7 +1819,7 @@ class LakeTable:
                                 s.snapshot_id,
                             )
                         )
-            else:  # delete_where
+            else:  # delete_where / update_where / append-like ops
                 new_pos = [
                     e
                     for e in live

@@ -53,7 +53,7 @@ WATERMARK_PROP = "ann-index.source-snapshot-watermark"
 
 @dataclass
 class AnnIndexResult:
-    mode: str  # "initial" | "incremental" | "noop"
+    mode: str  # "initial" | "rebuild" | "incremental" | "noop"
     watermark: str
     vectors_upserted: int = 0
     vectors_removed: int = 0
@@ -169,10 +169,50 @@ def update_ann_index(
         rows = _bucket_rows(vecs, id_col, vec_col, planes).withColumn(
             "_idx_seq", F.lit(head.sequence)
         )
-        index.append(rows)
+        mode = "initial"
+        if index.data_files(branch):
+            # reset on a non-empty index, or a crash between the initial
+            # append and the watermark stamp (at-least-once maintenance):
+            # re-appending would duplicate every (id, tbl) row — rebuild
+            # via an idempotent MoR merge + stale-id tombstones instead
+            # (same guard shape as rollup.py / dedup_index.py).
+            mode = "rebuild"
+            schema = index.schema(branch=branch)
+            stale = (
+                index.scan(branch=branch)
+                .select(id_col)
+                .distinct()
+                .join(vecs.select(id_col), id_col, "left_anti")
+            )
+            tomb = stale.select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.lit(t).cast("int")
+                            for t in range(planes.shape[0])
+                        ]
+                    )
+                ).alias("tbl"),
+                F.lit(None).cast("long").alias("bucket"),
+                F.lit(None).cast(schema["vec"].dataType).alias("vec"),
+                F.lit(head.sequence).alias("_idx_seq"),
+                F.current_timestamp().alias(CDC_DELETED_COL),
+            )
+            merge_into(
+                index,
+                rows.withColumn(
+                    CDC_DELETED_COL, F.lit(None).cast("timestamp")
+                ).unionByName(tomb),
+                cursor_col="_idx_seq",
+                mode="mor",
+                branch=branch,
+            )
+        else:
+            index.append(rows)
         index.set_properties({WATERMARK_PROP: head.snapshot_id})
         n = index.scan(branch=branch).select(id_col).distinct().count()
-        return AnnIndexResult("initial", head.snapshot_id, vectors_upserted=n)
+        return AnnIndexResult(mode, head.snapshot_id, vectors_upserted=n)
 
     ups, removed = resolve_changelog_window(
         source, wm, head, id_col, vec_col, branch=branch

@@ -925,7 +925,16 @@ def _execute_cluster_rewrite(
 class _ChunkAbandoned(Exception):
     """A partial-progress chunk failed commit-time validation; dropped,
     not retried — none of the conditions (victim rewritten, new delete
-    file, sort order invalidated) can revert."""
+    file, sort order invalidated) can revert. ``pass_fatal`` marks
+    conditions that also doom every LATER chunk (a deregistered sort
+    order never re-registers under the same id; a post-plan delete file
+    stays live for the rest of the pass) — the loop stops instead of
+    burning a full sorted rewrite per remaining chunk only to abandon
+    each at validation."""
+
+    def __init__(self, msg: str, pass_fatal: bool = False):
+        super().__init__(msg)
+        self.pass_fatal = pass_fatal
 
 
 def _cluster_partial(
@@ -999,14 +1008,18 @@ def _cluster_partial(
 
         def attempt():
             if order_id not in table.sort_orders():
-                raise _ChunkAbandoned("sort order invalidated mid-pass")
+                raise _ChunkAbandoned(
+                    "sort order invalidated mid-pass", pass_fatal=True
+                )
             parent = table.current_snapshot_id(branch)
             cur_deletes = table.delete_files(branch=branch)
             cur_pos = table.position_delete_files(branch=branch)
             if (
                 {d.path for d in cur_deletes} | {d.path for d in cur_pos}
             ) - planned_delete_paths:
-                raise _ChunkAbandoned("delete files landed since planning")
+                raise _ChunkAbandoned(
+                    "delete files landed since planning", pass_fatal=True
+                )
             snap = table.snapshot(branch=branch)
             infos = snap.manifest_infos
             total_entries = (
@@ -1072,7 +1085,7 @@ def _cluster_partial(
             rewritten_bytes += sum(e.bytes for e in chunk)
             dropped += n_dead
             new_total += len(new_entries)
-        except (_ChunkAbandoned, CommitConflict):
+        except (_ChunkAbandoned, CommitConflict) as exc:
             skipped_chunks += 1
             for e in new_entries:
                 for path in (e.path, e.path + ".bloom"):
@@ -1080,6 +1093,11 @@ def _cluster_partial(
                         os.remove(path)
                     except OSError:
                         pass
+            if getattr(exc, "pass_fatal", False):
+                # the condition holds for every later chunk too — stop
+                # before executing their (expensive) rewrites
+                skipped_chunks += len(chunks) - ci - 1
+                break
 
     return ClusterResult(
         snapshot=snaps[-1] if snaps else None,

@@ -246,7 +246,13 @@ class _ChunkAbandoned(Exception):
     """A partial-progress chunk failed commit-time validation (victims
     rewritten by a concurrent commit, or new delete files landed since
     planning) — the chunk is dropped, not retried: neither condition can
-    revert."""
+    revert. ``pass_fatal`` marks conditions that also doom every LATER
+    chunk (a post-plan delete file stays live for the rest of the pass);
+    the loop stops instead of executing rewrites it will abandon."""
+
+    def __init__(self, msg: str, pass_fatal: bool = False):
+        super().__init__(msg)
+        self.pass_fatal = pass_fatal
 
 
 def _compact_partial(
@@ -317,7 +323,9 @@ def _compact_partial(
                 d.path for d in table.delete_files(branch=branch)
             } | {d.path for d in live_pos}
             if current_delete_paths - planned_delete_paths:
-                raise _ChunkAbandoned("delete files landed since planning")
+                raise _ChunkAbandoned(
+                    "delete files landed since planning", pass_fatal=True
+                )
             snap_now = table.snapshot(branch=branch)
             infos = snap_now.manifest_infos
             total_entries = (
@@ -379,7 +387,7 @@ def _compact_partial(
             rewritten_bytes += sum(b.bytes for _, b in chunk)
             n_removed += len(victims)
             n_added += len(new_entries)
-        except (_ChunkAbandoned, CommitConflict):
+        except (_ChunkAbandoned, CommitConflict) as exc:
             skipped_chunks += 1
             for e in new_entries:
                 for path in (e.path, e.path + ".bloom"):
@@ -387,6 +395,11 @@ def _compact_partial(
                         os.remove(path)
                     except OSError:
                         pass
+            if getattr(exc, "pass_fatal", False):
+                # the condition holds for every later chunk too — stop
+                # before executing their rewrites
+                skipped_chunks += len(chunks) - ci - 1
+                break
 
     return CompactionResult(
         snapshot=snaps[-1] if snaps else None,

@@ -94,7 +94,7 @@ def _hash_udf(conf: dict):
 
 @dataclass
 class PhashIndexResult:
-    mode: str  # "initial" | "incremental" | "noop"
+    mode: str  # "initial" | "rebuild" | "incremental" | "noop"
     watermark: str
     images_upserted: int = 0
     images_removed: int = 0
@@ -398,7 +398,45 @@ def update_near_dup_index(
         bands = _band_rows(hashed, id_col, layout).withColumn(
             "_idx_seq", F.lit(head.sequence)
         )
-        index.append(bands)
+        mode = "initial"
+        if index.data_files(branch):
+            mode = "rebuild"
+            # progress was reset on a non-empty index (or the previous
+            # initial build crashed between its append and the watermark
+            # stamp — the maintenance loop is at-least-once): a plain
+            # re-append would duplicate every (id, band) row. Rebuild
+            # idempotently instead: MoR-merge the full corpus over the
+            # existing PKs and tombstone ids no longer in the source
+            # (same guard shape as rollup.py's reset rebuild).
+            stale = (
+                index.scan(branch=branch)
+                .select(id_col)
+                .distinct()
+                .join(hashed.select(id_col), id_col, "left_anti")
+            )
+            tomb = stale.select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[F.lit(b).cast("int") for b in range(len(layout))]
+                    )
+                ).alias("band"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("long").alias("bh"),
+                F.lit(head.sequence).alias("_idx_seq"),
+                F.current_timestamp().alias(CDC_DELETED_COL),
+            )
+            merge_into(
+                index,
+                bands.withColumn(
+                    CDC_DELETED_COL, F.lit(None).cast("timestamp")
+                ).unionByName(tomb),
+                cursor_col="_idx_seq",
+                mode="mor",
+                branch=branch,
+            )
+        else:
+            index.append(bands)
         index.set_properties({WATERMARK_PROP: head.snapshot_id})
         n = index.scan(branch=branch).select(id_col).distinct().count()
         pairs = probed = total = None
@@ -415,7 +453,7 @@ def update_near_dup_index(
                 broadcast_batch=False,
             )
         return PhashIndexResult(
-            "initial",
+            mode,
             head.snapshot_id,
             images_upserted=n,
             pairs=pairs,
@@ -457,6 +495,11 @@ def update_near_dup_index(
         pairs = probed = total = None
         if probe and n_up:
             pairs, probed, total = _probe(index, up_bands, id_col, mh, branch)
+            # cut lineage while up_bands is still cached: the caller
+            # consumes result.pairs AFTER the finally unpersists, and a
+            # lazy plan would re-run the whole changelog resolution +
+            # Arrow hash pass on first collect
+            pairs = pairs.localCheckpoint(eager=True)
     finally:
         up_bands.unpersist()
     index.set_properties({WATERMARK_PROP: head.snapshot_id})

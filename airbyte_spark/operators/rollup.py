@@ -289,16 +289,21 @@ def _incremental(
                     F.col(a), F.col(f"_ins_{a}")
                 )
                 new_cols[a] = F.when(cnt == 0, F.lit(None)).otherwise(comb)
-                # a delete can only invalidate the stored extreme if it
-                # reached it — everything else folds arithmetically
+                # a delete can only invalidate the CANDIDATE extreme
+                # (stored ∪ window inserts) if it reached it — comparing
+                # against the stored extreme alone misses groups whose
+                # extreme was both inserted and deleted inside this window
+                # (e.g. a brand-new group MoR-updated before the first
+                # materialize: stored is NULL, yet the deleted insert must
+                # not survive as the extreme)
                 hit = (
                     (F.col("_has_delete") == 1)
-                    & F.col(a).isNotNull()
+                    & comb.isNotNull()
                     & F.col(f"_del_{a}").isNotNull()
                     & (
-                        (F.col(f"_del_{a}") <= F.col(a))
+                        (F.col(f"_del_{a}") <= comb)
                         if fn == "min"
-                        else (F.col(f"_del_{a}") >= F.col(a))
+                        else (F.col(f"_del_{a}") >= comb)
                     )
                 )
                 recompute_cond = recompute_cond | hit

@@ -166,13 +166,22 @@ class LakeStreamReader(DataSourceStreamReader):
             op = s["operation"]
             if op in ROWSET_INVARIANT_OPS:
                 continue
-            if op not in ("append", "merge", "delete", "truncate"):
+            if op not in (
+                "append",
+                "merge",
+                "delete",
+                "truncate",
+                "update",
+                "cherry-pick",
+                "add-files",
+                "snapshot-table",
+            ):
                 raise ValueError(
                     f"lake_stream cannot interpret commit op {op!r} "
                     f"(snapshot {s['snapshot_id']}) — refusing rather "
                     "than guessing its row-set effect"
                 )
-            deletish = op in ("delete", "truncate") or (
+            deletish = op in ("delete", "truncate", "update") or (
                 op == "merge" and s.get("summary", {}).get("mode") == "cow"
             )
             parent_manifests = (
@@ -181,6 +190,7 @@ class LakeStreamReader(DataSourceStreamReader):
                 else set()
             )
             added = [m for m in s["manifests"] if m not in parent_manifests]
+            slices_before = len(out)
             for m in added:
                 for e in _read_json(os.path.join(self.meta_dir, m))["entries"]:
                     if (e.get("sequence") or 0) != int(s["sequence"]):
@@ -197,6 +207,18 @@ class LakeStreamReader(DataSourceStreamReader):
                             schema_json=self.schema_json,
                         )
                     )
+            if op == "snapshot-table" and deletish:
+                # the clone's tombstones reference the files THIS commit
+                # adds — a raw per-file read would resurrect dead rows,
+                # so even on_delete=skip cannot emit exact post-images
+                del out[slices_before:]
+                raise ValueError(
+                    f"snapshot {s['snapshot_id']} cloned position "
+                    "tombstones alongside the files they hit; raw file "
+                    "reads cannot honor them — fold tombstones before "
+                    "snapshot_table, or start the stream past it "
+                    "(from_sequence)"
+                )
             if deletish and self.on_delete != "skip":
                 raise ValueError(
                     f"snapshot {s['snapshot_id']} (op={op}) removes or "

@@ -125,6 +125,26 @@ def test_incremental_windows_track_the_corpus(spark, source, index):
     assert not any(v in (1, 7, 33) for _, v, _ in got)
 
 
+def test_crashed_initial_build_replays_without_duplicates(spark, source, index):
+    """A crash between the initial append and the watermark stamp (the
+    maintenance loop is at-least-once) must not double the index: the
+    retry rebuilds via an idempotent merge, and ids that left the source
+    in the gap are tombstoned."""
+    from airbyte_spark.operators.ann_index import WATERMARK_PROP
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    update_ann_index(source, index)
+    index.set_properties({WATERMARK_PROP: None})  # simulate the crash
+    delete_where(source, "vec_id = 3")  # source moved before the retry
+    res = update_ann_index(source, index)
+    assert res.mode == "rebuild" and res.vectors_upserted == 29
+    assert index.scan().count() == 29 * 4  # no duplicated (id, tbl) rows
+    got = _ranked(_query(spark, index, [0, 1, 2], k=5))
+    assert got == _oneshot(spark, source, [0, 1, 2], k=5)
+    assert not any(v == 3 for _, v, _ in got)
+    assert update_ann_index(source, index).mode == "noop"
+
+
 def test_validation(source, tmp_table_dir):
     with pytest.raises(ValueError, match="unknown id column"):
         create_ann_index(

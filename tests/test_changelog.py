@@ -79,6 +79,56 @@ def test_delete_where_changelog_emits_pre_images(spark, tmp_table_dir):
     )
 
 
+def test_update_where_changelog_is_delete_plus_insert(spark, tmp_table_dir):
+    from airbyte_spark.operators.posdeletes import update_where
+
+    t = _mk(spark, tmp_table_dir)
+    frm = t.current_snapshot_id()
+    update_where(t, "id in (3, 8)", {"v": F.col("v") + 1})
+    assert _log(t, frm) == [
+        ("delete", 3, 300),
+        ("delete", 8, 800),
+        ("insert", 3, 301),
+        ("insert", 8, 801),
+    ]
+
+
+def test_cherry_pick_and_add_files_changelog_are_inserts(spark, tmp_table_dir):
+    from airbyte_spark.lake.import_files import add_files
+
+    t = _mk(spark, tmp_table_dir)
+    # stage an append on a WAP branch, move main, cherry-pick it back
+    t.create_branch("wap")
+    t.append(
+        spark.createDataFrame([(200, "even", 7)], SCHEMA), branch="wap"
+    )
+    staged = t.current_snapshot_id(branch="wap")
+    t.append(spark.createDataFrame([(300, "odd", 8)], SCHEMA))
+    frm = t.current_snapshot_id()
+    t.cherry_pick(staged)
+    assert _log(t, frm) == [("insert", 200, 7)]
+    # in-place import: external parquet becomes an insert
+    frm = t.current_snapshot_id()
+    ext = str(tmp_table_dir) + "/external"
+    spark.createDataFrame([(400, "even", 9)], SCHEMA).coalesce(1).write.parquet(ext)
+    add_files(t, ext)
+    assert _log(t, frm) == [("insert", 400, 9)]
+
+
+def test_snapshot_table_changelog_emits_live_clone_rows(spark, tmp_table_dir):
+    from airbyte_spark.lake.import_files import snapshot_table
+
+    src = _mk(spark, tmp_table_dir + "/src")
+    delete_where(src, "id in (2, 12)")  # cloned as position tombstones
+    clone = snapshot_table(src, tmp_table_dir + "/clone")
+    frm = clone.snapshot(clone.snapshot(branch="main").parent_id).snapshot_id
+    got = _log(clone, frm)
+    # the clone's full LIVE corpus (tombstoned rows excluded), as inserts
+    assert got == sorted(
+        ("insert", i, i * 100) for i in range(30) if i not in (2, 12)
+    )
+
+
 def test_maintenance_snapshots_emit_nothing(spark, tmp_table_dir):
     from airbyte_spark.operators.cluster import cluster
     from airbyte_spark.operators.posdeletes import retire_equality_deletes

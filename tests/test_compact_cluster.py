@@ -198,7 +198,10 @@ def test_partial_progress_abandons_chunks_after_new_delete_file(
     ]
     assert doomed
 
+    executed = []
+
     def inject(ci):
+        executed.append(ci)
         if ci == 1:  # chunk 0 already committed; 1 and 2 must abandon
             delete_where(t, "w <= 64")
 
@@ -206,6 +209,10 @@ def test_partial_progress_abandons_chunks_after_new_delete_file(
                   partial_progress=True, max_commits=3, _between_chunks=inject)
     assert len(res.snapshots) == 1
     assert res.skipped_chunks == 2
+    # pass-fatal: chunk 2's rewrite is never executed — the new delete
+    # file dooms every later chunk, so the loop stops instead of burning
+    # a rewrite per chunk only to abandon each at validation
+    assert executed == [0, 1]
     assert t.scan().count() == n_before - len(doomed)
     assert t.scan().filter("w <= 64").count() == 0
     # abandoned chunks' output files are deleted from disk: everything on
@@ -294,7 +301,10 @@ def test_cluster_partial_progress_abandons_on_sort_order_invalidation(
     t = small_file_table
     before = _images_checksum(t)
 
+    executed = []
+
     def inject(ci):
+        executed.append(ci)
         if ci == 1:
             t.invalidate_sort_orders()
 
@@ -305,6 +315,7 @@ def test_cluster_partial_progress_abandons_on_sort_order_invalidation(
     )
     assert len(res.snapshots) == 1
     assert res.skipped_chunks == 2
+    assert executed == [0, 1]  # pass-fatal: chunk 2 never even sorted
     assert _images_checksum(t) == before
     # recovery: the next dirty pass re-registers the order and rewrites
     # exactly the leftover state (abandoned victims + stale-stamped chunk)

@@ -36,6 +36,34 @@ def test_connected_components_long_path_converges(spark):
     assert all(r["comp"] == 0 for r in got) and len(got) == n + 1
 
 
+def test_connected_components_string_and_hash_sized_ids(spark):
+    """Convergence must not depend on summing the label column: string
+    doc ids can't be summed at all, and xxhash64-derived long ids
+    overflow a long SUM under ANSI mode (regression for the exact
+    changed-label probe)."""
+    from airbyte_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+    big = 2**63 - 1  # two of these in one component would overflow SUM
+    pairs = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2), (-big, -big + 1)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {
+        big: big - 2, big - 1: big - 2, big - 2: big - 2,
+        -big: -big, -big + 1: -big,
+    }
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from airbyte_spark.functions.dedup import connected_components
 

@@ -109,6 +109,39 @@ def test_mor_merge_fails_by_default_and_skips_on_option(spark, tmp_table_dir):
     assert got == {("a", 1), ("b", 2), ("a", 100), ("c", 3)}
 
 
+def test_update_cherry_pick_and_import_commits_stream(spark, tmp_table_dir):
+    """Commit ops beyond append/merge/delete must not wedge the stream:
+    MoR update_where behaves like a MoR merge (raises without
+    on_delete=skip, streams post-images with it); cherry-pick and
+    add-files are plain appends."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from airbyte_spark.lake.import_files import add_files
+    from airbyte_spark.operators.posdeletes import update_where
+
+    t = LakeTable.create(spark, tmp_table_dir + "/t", SCHEMA, primary_key=["id"])
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    update_where(t, "id = 'a'", {"v": F.lit(100)})
+    with pytest.raises(StreamingQueryException, match="on_delete=skip"):
+        _drain(spark, tmp_table_dir + "/t", "s_upd_fail")
+    rows = _drain(spark, tmp_table_dir + "/t", "s_upd_skip", on_delete="skip")
+    assert {(r["id"], r["v"]) for r in rows} == {
+        ("a", 1), ("b", 2), ("a", 100)
+    }
+    # cherry-pick (WAP rebase) and add-files stream as appends
+    t.create_branch("wap")
+    t.append(spark.createDataFrame([("staged", 7)], SCHEMA), branch="wap")
+    staged = t.current_snapshot_id(branch="wap")
+    t.append(spark.createDataFrame([("moved", 8)], SCHEMA))
+    t.cherry_pick(staged)
+    ext = tmp_table_dir + "/external"
+    spark.createDataFrame([("imported", 9)], SCHEMA).coalesce(1).write.parquet(ext)
+    add_files(t, ext)
+    rows = _drain(spark, tmp_table_dir + "/t", "s_ops", on_delete="skip")
+    ids = {r["id"] for r in rows}
+    assert {"staged", "moved", "imported"} <= ids
+
+
 def test_from_sequence_resumes_mid_chain(spark, tmp_table_dir):
     t = LakeTable.create(spark, tmp_table_dir, SCHEMA, primary_key=["id"])
     t.append(spark.createDataFrame([("old", 0)], SCHEMA))

@@ -80,6 +80,33 @@ def test_update_spec_validates_and_dedups(spark, tmp_path):
     assert refs["partition_spec_history"] == [[], ["grp"]]
 
 
+def test_transform_param_change_is_refused(spark, tmp_path):
+    """bucket(4, id) -> bucket(8, id) derives the SAME layout field name
+    (id_bucket), so old-spec files would be compared against new-spec
+    literals and silently mis-pruned — the evolution must be refused
+    (Iceberg's unique-partition-name rule), including re-adding the
+    transform after an intermediate spec dropped it."""
+    t = _mk(spark, str(tmp_path / "t"), partition_by=["bucket(4, id)"])
+    t.append(_df(spark, 0, 40))
+    with pytest.raises(ValueError, match="id_bucket"):
+        t.update_partition_spec(["bucket(8, id)"])
+    # param change hidden behind an intermediate spec is still refused
+    t.update_partition_spec(["grp"])
+    with pytest.raises(ValueError, match="id_bucket"):
+        t.update_partition_spec(["bucket(8, id)"])
+    # re-adding the ORIGINAL transform is fine, and scans stay exact
+    t.update_partition_spec(["bucket(4, id)"])
+    t.append(_df(spark, 40, 80))
+    # partition_filter prunes to id=7's bucket PARTITION (both eras use
+    # the same transform, so pruning is safe) — the row must survive
+    got = _rows(t.scan(partition_filter={"id": 7}))
+    assert (7, "odd", "d1", 70) in got
+    assert _rows(t.scan()) == _rows(_df(spark, 0, 80))
+    with pytest.raises(ValueError, match="truncate"):
+        t2 = _mk(spark, str(tmp_path / "t2"), partition_by=["truncate(2, day)"])
+        t2.update_partition_spec(["truncate(1, day)"])
+
+
 def test_merge_partition_pruning_survives_evolution(spark, tmp_path):
     from airbyte_spark.operators.merge import merge_into
 

@@ -100,6 +100,23 @@ def test_initial_build_matches_oneshot(source, index):
     assert update_phash_index(source, index).mode == "noop"
 
 
+def test_crashed_initial_build_replays_without_duplicates(spark, source, index):
+    """Retrying the initial build against a non-empty index (crash
+    between append and the watermark stamp) must rebuild idempotently —
+    no duplicated (id, band) rows, stale ids tombstoned."""
+    from airbyte_spark.operators.dedup_index import WATERMARK_PROP
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    update_phash_index(source, index)
+    index.set_properties({WATERMARK_PROP: None})  # simulate the crash
+    delete_where(source, "image_id = 2")  # source moved before the retry
+    res = update_phash_index(source, index)
+    assert res.mode == "rebuild" and res.images_upserted == 11
+    assert index.scan().count() == 11 * 5
+    assert _pairset(res.pairs) == _oneshot(source)
+    assert update_phash_index(source, index).mode == "noop"
+
+
 def test_incremental_batch_emits_exactly_the_new_pairs(spark, source, index):
     first = update_phash_index(source, index)
     before = _pairset(first.pairs)

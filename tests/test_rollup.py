@@ -107,6 +107,52 @@ def test_update_via_mor_merge(spark, source, rollup):
     assert _state(rollup) == _truth(source)
 
 
+def test_new_group_updated_within_one_window(spark, source, rollup):
+    """A group born AND MoR-updated between two materializes: the window
+    holds insert(10), delete(10), insert(5) for a group with NO stored
+    row. The deleted 10 must not survive as max (regression: the
+    recompute trigger compared deletes against the stored extreme only,
+    which is NULL for brand-new groups)."""
+    materialize_rollup(source, rollup)
+    source.append(spark.createDataFrame([(700, "nw", 10.0, TS)], SCHEMA))
+    merge_into(
+        source,
+        spark.createDataFrame(
+            [(700, "nw", 5.0, TS + datetime.timedelta(days=1))], SCHEMA
+        ),
+        mode="mor",
+    )
+    res = materialize_rollup(source, rollup)
+    assert res.mode == "incremental"
+    assert _state(rollup) == _truth(source)
+    row = rollup.scan().filter("cat = 'nw'").collect()[0]
+    assert row["max_v"] == 5.0 and row["min_v"] == 5.0
+    # mirror case for min: born at 5, updated to 10 in the same window
+    source.append(spark.createDataFrame([(701, "nw2", 5.0, TS)], SCHEMA))
+    merge_into(
+        source,
+        spark.createDataFrame(
+            [(701, "nw2", 10.0, TS + datetime.timedelta(days=1))], SCHEMA
+        ),
+        mode="mor",
+    )
+    materialize_rollup(source, rollup)
+    assert _state(rollup) == _truth(source)
+
+
+def test_deleted_stored_extreme_beaten_by_insert_folds(spark, source, rollup):
+    """Deleting the stored extreme while the same window inserts a more
+    extreme value needs NO recompute: the candidate (stored ∪ inserts)
+    is held by a surviving row."""
+    materialize_rollup(source, rollup)
+    # cat 'a' max is v=87.0 (id 87); delete it and insert v=200.0
+    delete_where(source, "id = 87")
+    source.append(spark.createDataFrame([(800, "a", 200.0, TS)], SCHEMA))
+    res = materialize_rollup(source, rollup)
+    assert res.groups_recomputed == 0
+    assert _state(rollup) == _truth(source)
+
+
 def test_delete_of_group_minimum_triggers_recompute(spark, source, rollup):
     materialize_rollup(source, rollup)
     # id 0 carries cat 'a' group's min v (0.0)
@@ -118,6 +164,20 @@ def test_delete_of_group_minimum_triggers_recompute(spark, source, rollup):
     delete_where(source, "id = 31")
     res2 = materialize_rollup(source, rollup)
     assert res2.groups_recomputed == 0
+    assert _state(rollup) == _truth(source)
+
+
+def test_update_where_commit_advances_the_rollup(spark, source, rollup):
+    """A MoR UPDATE commit (op 'update') is changelog-reconstructible:
+    the rollup must fold it instead of wedging at its watermark
+    (regression: scan_changelog refused op 'update', so every registered
+    derived table went permanently stale after one update_where)."""
+    from airbyte_spark.operators.posdeletes import update_where
+
+    materialize_rollup(source, rollup)
+    update_where(source, "id in (4, 40)", {"v": F.col("v") + 1000.0})
+    res = materialize_rollup(source, rollup)
+    assert res.mode == "incremental"
     assert _state(rollup) == _truth(source)
 
 
