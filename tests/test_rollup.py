@@ -253,6 +253,91 @@ def test_composite_group_keys(spark, source, tmp_table_dir):
     )
 
 
+def test_rollup_matches_truth_over_random_op_sequences(spark):
+    """Model-based: for ANY interleaving of appends, MoR merges,
+    DELETE WHERE, MoR UPDATE WHERE, and maintenance, a rollup
+    materialized at arbitrary points always equals a from-scratch
+    GROUP BY of the source's state — the incremental fold, the min/max
+    recompute trigger, and changelog reconstruction of every commit op
+    hold under composition, not just in isolation."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from airbyte_spark.operators.compact import compact
+    from airbyte_spark.operators.posdeletes import update_where
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 10**6)),
+        st.tuples(st.just("merge"), st.integers(0, 10**6)),
+        st.tuples(st.just("delete"), st.integers(0, 10**6)),
+        st.tuples(st.just("update"), st.integers(0, 10**6)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("materialize"), st.just(0)),
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op, min_size=3, max_size=8))
+    def run(ops):
+        root = tempfile.mkdtemp(prefix="lake-rollup-prop-")
+        try:
+            src = LakeTable.create(
+                spark, root + "/src", SCHEMA, primary_key=["id"]
+            )
+            src.append(spark.createDataFrame(_rows(range(12)), SCHEMA))
+            roll = create_rollup(src, root + "/roll", ["cat"], AGGS)
+            day = 0
+            for kind, seed in ops:
+                day += 1
+                lo = seed % 30
+                if kind == "append":
+                    src.append(
+                        spark.createDataFrame(
+                            _rows(
+                                range(100 + lo, 104 + lo),
+                                v_of=lambda i: float(seed % 50),
+                                day=day,
+                            ),
+                            SCHEMA,
+                        )
+                    )
+                elif kind == "merge":
+                    batch = _rows(
+                        [lo % 12, 100 + lo],
+                        v_of=lambda i: float(i + seed % 7) - 3.0,
+                        day=day,
+                    )
+                    merge_into(
+                        src, spark.createDataFrame(batch, SCHEMA), mode="mor"
+                    )
+                elif kind == "delete":
+                    delete_where(src, f"id % 11 = {lo % 11}")
+                elif kind == "update":
+                    if src.scan().filter(f"id % 7 = {lo % 7}").count():
+                        update_where(
+                            src,
+                            f"id % 7 = {lo % 7}",
+                            {"v": F.col("v") + float(seed % 9)},
+                        )
+                elif kind == "compact":
+                    compact(src)
+                else:
+                    materialize_rollup(src, roll)
+                    assert _state(roll) == _truth(src)
+            materialize_rollup(src, roll)
+            assert _state(roll) == _truth(src)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_rollup_is_a_real_lake_table(source, rollup):
     """Time travel applies: the pre-increment snapshot still reads."""
     materialize_rollup(source, rollup)
