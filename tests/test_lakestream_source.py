@@ -370,6 +370,7 @@ def test_stream_matches_model_over_random_op_sequences(spark):
     op = st.one_of(
         st.tuples(st.just("append"), st.integers(1, 3)),
         st.tuples(st.just("merge"), st.integers(1, 3)),
+        st.tuples(st.just("update"), st.integers(0, 10**6)),
         st.tuples(st.just("compact"), st.just(0)),
     )
 
@@ -387,6 +388,7 @@ def test_stream_matches_model_over_random_op_sequences(spark):
                 properties={"write.target-file-size-bytes": 1 << 20},
             )
             expected = set()
+            state: dict[str, int] = {}  # live (id -> v) model
             emitting = 0
             serial = 0
             for kind, n in ops:
@@ -395,6 +397,7 @@ def test_stream_matches_model_over_random_op_sequences(spark):
                     serial += 1
                     t.append(spark.createDataFrame(rows, SCHEMA))
                     expected.update(rows)
+                    state.update(rows)
                     emitting += 1
                 elif kind == "merge":
                     rows = [(f"m{serial}_{j}", serial) for j in range(n)]
@@ -404,6 +407,28 @@ def test_stream_matches_model_over_random_op_sequences(spark):
                         cursor_col="v", mode="mor",
                     )
                     expected.update(rows)
+                    state.update(rows)
+                    emitting += 1
+                elif kind == "update":
+                    # MoR UPDATE WHERE: with on_delete=skip the stream
+                    # emits the post-image copies (old values stay in
+                    # `expected` — earlier commits already streamed them)
+                    from airbyte_spark.operators.posdeletes import (
+                        update_where,
+                    )
+
+                    if not serial:
+                        continue
+                    tgt = n % serial
+                    hit = [i for i, v in state.items() if v == tgt]
+                    if not hit:
+                        continue
+                    newv = 1000 + serial
+                    serial += 1
+                    update_where(t, f"v = {tgt}", {"v": F.lit(newv)})
+                    for i in hit:
+                        state[i] = newv
+                        expected.add((i, newv))
                     emitting += 1
                 else:
                     compact(t)
