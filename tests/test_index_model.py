@@ -13,6 +13,7 @@ This is the executable spec the three flavors share; the simhash-md5
 flavor runs here because it needs no image codec."""
 
 import datetime
+import os
 import random
 
 import pytest
@@ -67,7 +68,11 @@ def _oneshot(source):
     )
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+# SOAK_SEEDS extends the pinned seeds for soak runs (scripts/soak_models.sh)
+_SOAK = [int(s) for s in os.environ.get("SOAK_SEEDS", "").split()]
+
+
+@pytest.mark.parametrize("seed", [11, 23] + _SOAK)
 def test_random_dml_interleavings_respect_the_index_spec(
     spark, tmp_table_dir, seed
 ):

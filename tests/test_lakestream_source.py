@@ -375,7 +375,7 @@ def test_stream_matches_model_over_random_op_sequences(spark):
     )
 
     @settings(
-        max_examples=5,
+        max_examples=int(os.environ.get("SOAK_EXAMPLES", "5")),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )

@@ -116,12 +116,20 @@ def _row_tuple(r):
     )
 
 
-@pytest.mark.parametrize("mode,cdc_mode", list(
-    itertools.product(("cow", "mor"), ("hard", "soft"))
+# SOAK_SEEDS adds extra rng salts per (mode, cdc_mode) for soak runs
+_SOAK = [int(s) for s in os.environ.get("SOAK_SEEDS", "").split()]
+
+
+@pytest.mark.parametrize("mode,cdc_mode,salt", list(
+    itertools.product(("cow", "mor"), ("hard", "soft"), [0] + _SOAK)
 ))
-def test_random_batches_match_dict_model(spark, tmp_table_dir, mode, cdc_mode):
-    rng = np.random.default_rng([2026, hash(mode) % 97, hash(cdc_mode) % 97])
-    root = os.path.join(tmp_table_dir, f"{mode}-{cdc_mode}")
+def test_random_batches_match_dict_model(
+    spark, tmp_table_dir, mode, cdc_mode, salt
+):
+    rng = np.random.default_rng(
+        [2026, hash(mode) % 97, hash(cdc_mode) % 97, salt]
+    )
+    root = os.path.join(tmp_table_dir, f"{mode}-{cdc_mode}-{salt}")
     t = LakeTable.create(spark, root, SCHEMA, primary_key=["k"])
     state: dict = {}
     for b in range(3):

@@ -8,6 +8,8 @@ the hand-written tests can't enumerate (e.g. delete_where over a file a
 MoR delete already hides, retirement between two DELETEs, maintenance in
 the middle of tombstone debt)."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -46,7 +48,12 @@ def _model_rows(model):
     return sorted((k, b, v) for k, (b, v) in model.items())
 
 
-@pytest.mark.parametrize("seed", [1, 7, 23])
+# SOAK_SEEDS="101 102 ..." extends the pinned seeds for soak runs
+# (scripts/soak_models.sh) without touching the checked-in defaults.
+_SOAK = [int(s) for s in os.environ.get("SOAK_SEEDS", "").split()]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23] + _SOAK)
 def test_random_delete_lifecycle_matches_model(spark, tmp_path, seed):
     rng = np.random.default_rng(seed)
     t = LakeTable.create(

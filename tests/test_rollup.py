@@ -3,6 +3,7 @@ table advanced O(delta) from scan_changelog must equal a from-scratch
 GROUP BY of the source's final state after every mutation mix."""
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -279,7 +280,7 @@ def test_rollup_matches_truth_over_random_op_sequences(spark):
     )
 
     @settings(
-        max_examples=4,
+        max_examples=int(os.environ.get("SOAK_EXAMPLES", "4")),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
