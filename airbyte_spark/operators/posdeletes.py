@@ -350,9 +350,22 @@ def update_where(
 
         delete_rows = 0
         if partial_tails:
-            pairs = matched_df.filter(
-                F.col("_pos_file").isin(partial_tails)
-            ).select(
+            pairs = matched_df
+            if full_tails:
+                # plan-size: exclude full files via the SMALLER literal
+                # set — a full-table UPDATE with no fully-matched file
+                # (the common case) takes no filter at all, and a mostly
+                # full-file one carries O(|partial|) literals, never
+                # O(files-touched)
+                if len(full_tails) <= len(partial_tails):
+                    pairs = pairs.filter(
+                        ~F.col("_pos_file").isin(sorted(full_tails))
+                    )
+                else:
+                    pairs = pairs.filter(
+                        F.col("_pos_file").isin(partial_tails)
+                    )
+            pairs = pairs.select(
                 F.col("_pos_file").alias("file_path"),
                 F.col("_pos_idx").alias("pos"),
             )
