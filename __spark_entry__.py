@@ -874,6 +874,40 @@ def q_training_data_filter(spark, sf):
     )
 
 
+#: mixture spec + seed shared between q_sample_stratified and its oracle
+_MIX_FRACTIONS = {"en": 0.6, "de": 0.35, "fr": 0.35, "es": 0.2, "zh": 0.1}
+_MIX_SEED = "mix-r5"
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic hash-based mixture sampling, ORACLE-CHECKED
+    (functions/sampling.py): per-language fractions applied as a pure
+    codegen md5-prefix predicate — same subset on every engine/run, so
+    DuckDB reproduces the exact surviving rows from the same thresholds.
+    Reference analog: record selection/mixture weighting between
+    curation and tokenization in an LLM data pipeline; Airbyte's
+    per-stream record filter (MapperPipeline) is the row-filter shape."""
+    from airbyte_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", _MIX_FRACTIONS, seed=_MIX_SEED
+    ).select("doc_id", "lang", "source")
+
+
+def q_pack_sequences(spark, sf):
+    """Sequence packing, ORACLE-CHECKED (functions/sampling.py): every
+    document's exact global char offset in doc_id order and the
+    4096-char context window its first char lands in, via the
+    distributed exact prefix sum (frozen range boundaries -> O(ranges)
+    exact totals -> per-range window cumsum). DuckDB replays it as a
+    single global window SUM."""
+    from airbyte_spark.functions.sampling import pack_documents
+
+    d = _t(spark, sf, "documents")
+    return pack_documents(d, "doc_id", "n_chars", budget=4096, num_ranges=8)
+
+
 _LSH_TABLES, _LSH_NBITS, _LSH_DIM, _LSH_SEED = 4, 6, 64, 777
 
 
@@ -2737,6 +2771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_generation_probe": q_o4_generation_probe,
         "p4_watermark_filter": q_p4_watermark_filter,
         "training_data_filter": q_training_data_filter,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -2860,7 +2896,13 @@ def _in_list(items: list[str]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from airbyte_spark.functions.sampling import fraction_threshold
+
     en, de, fr, es = map(_in_list, (_EN, _DE, _FR, _ES))
+    mix_case = " ".join(
+        f"WHEN '{k}' THEN '{fraction_threshold(v)}'"
+        for k, v in _MIX_FRACTIONS.items()
+    )
     return {
         "s2_cursor_bounded_scan": """
             SELECT event_id, user_id, event_type, value FROM events
@@ -3136,6 +3178,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.source, s.n_tokens
             FROM scored s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
             WHERE s.n_tokens >= 5 AND s.lang = 'en'
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)
+                  < CASE lang {mix_case} ELSE '00000000' END
+        """,
+        "pack_sequences": """
+            SELECT doc_id, start_offset,
+                   CAST(FLOOR(start_offset / 4096.0) AS BIGINT) AS bin_id
+            FROM (
+              SELECT doc_id,
+                     CAST(COALESCE(SUM(greatest(coalesce(n_chars, 0), 0))
+                       OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+              FROM documents)
         """,
         "merge_mor_upsert": """
             WITH batch AS (

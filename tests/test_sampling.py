@@ -1,0 +1,104 @@
+"""Deterministic sampling + sequence packing (functions/sampling.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.functions.sampling import (
+    fraction_threshold,
+    hash_keep,
+    pack_documents,
+    stratified_sample,
+)
+
+
+def _py_keep(key, fraction, seed=""):
+    thr = fraction_threshold(fraction)
+    if thr is None:
+        return True
+    return hashlib.md5(f"{key}{seed}".encode()).hexdigest()[:8] < thr
+
+
+def test_hash_keep_matches_python_reference(spark):
+    df = spark.range(2000).select(F.col("id"))
+    got = {
+        r["id"] for r in df.filter(hash_keep(F.col("id"), 0.3, "s1")).collect()
+    }
+    want = {i for i in range(2000) if _py_keep(i, 0.3, "s1")}
+    assert got == want
+    # rate is within binomial noise of the target
+    assert abs(len(got) / 2000 - 0.3) < 0.05
+
+
+def test_hash_keep_edges_and_seed_independence(spark):
+    df = spark.range(500)
+    assert df.filter(hash_keep(F.col("id"), 1.0)).count() == 500
+    assert df.filter(hash_keep(F.col("id"), 0.0)).count() == 0
+    a = {r["id"] for r in df.filter(hash_keep(F.col("id"), 0.5, "a")).collect()}
+    b = {r["id"] for r in df.filter(hash_keep(F.col("id"), 0.5, "b")).collect()}
+    assert a != b  # different seed, different subset
+    a2 = {r["id"] for r in df.filter(hash_keep(F.col("id"), 0.5, "a")).collect()}
+    assert a == a2  # same seed, same subset
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("xx")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        df, "id", "lang", {"en": 0.8, "de": 0.2}, seed="mix"
+    ).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in out}
+    assert abs(by_lang["en"] / 1000 - 0.8) < 0.06
+    assert abs(by_lang["de"] / 1000 - 0.2) < 0.06
+    assert "xx" not in by_lang  # default fraction 0 drops unknown strata
+
+
+def _py_pack(rows, budget):
+    rows = sorted(rows)
+    out, run = {}, 0
+    for oid, w in rows:
+        w = max(0, w or 0)
+        out[oid] = (run, run // budget)
+        run += w
+    return out
+
+
+@pytest.mark.parametrize("n_ranges", [1, 3, 16])
+def test_pack_documents_matches_python_prefix_sum(spark, n_ranges):
+    rows = [(i, (i * 37) % 90 + 1) for i in range(400)]
+    rows[7] = (7, None)  # null weight counts as 0
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"])
+        for r in pack_documents(
+            df, "doc_id", "w", budget=512, num_ranges=n_ranges
+        ).collect()
+    }
+    assert got == _py_pack(rows, 512)
+
+
+def test_pack_documents_bins_and_determinism(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97 + 3).alias("w")
+    )
+    out = pack_documents(df, "id", "w", budget=1000)
+    a = sorted(out.collect())
+    b = sorted(out.collect())  # lazy recompute reproduces exactly
+    assert a == b
+    # bin ids are exactly floor(offset/budget) and non-decreasing in order
+    prev = -1
+    for r in a:
+        assert r["bin_id"] == r["start_offset"] // 1000
+        assert r["start_offset"] > prev
+        prev = r["start_offset"]
+
+
+def test_pack_documents_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, w long")
+    assert pack_documents(df, "doc_id", "w", budget=10).count() == 0
