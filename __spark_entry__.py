@@ -895,6 +895,25 @@ def q_sample_stratified(spark, sf):
     ).select("doc_id", "lang", "source")
 
 
+#: epoch-weight spec shared between q_mixture_upsample and its oracle
+_UPSAMPLE_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.75, "es": 1.25, "zh": 0.0}
+
+
+def q_mixture_upsample(spark, sf):
+    """Epoch-weighted upsampling, ORACLE-CHECKED (functions/sampling.py):
+    each document is emitted floor(weight[lang]) times plus one extra
+    copy iff its md5 prefix clears the fractional threshold — E[copies]
+    == weight exactly, deterministic per (doc, seed), one codegen
+    explode. DuckDB replays copy counts from the same thresholds and
+    unrolls them with unnest(range(n))."""
+    from airbyte_spark.functions.sampling import weighted_upsample
+
+    d = _t(spark, sf, "documents")
+    return weighted_upsample(
+        d, "doc_id", "lang", _UPSAMPLE_WEIGHTS, seed=_MIX_SEED
+    ).select("doc_id", "lang", "copy_id")
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing, ORACLE-CHECKED (functions/sampling.py): every
     document's exact global char offset in doc_id order and the
@@ -2772,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_watermark_filter": q_p4_watermark_filter,
         "training_data_filter": q_training_data_filter,
         "sample_stratified": q_sample_stratified,
+        "mixture_upsample": q_mixture_upsample,
         "pack_sequences": q_pack_sequences,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
@@ -2902,6 +2922,13 @@ def oracle_sql() -> dict[str, str]:
     mix_case = " ".join(
         f"WHEN '{k}' THEN '{fraction_threshold(v)}'"
         for k, v in _MIX_FRACTIONS.items()
+    )
+    up_base = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in _UPSAMPLE_WEIGHTS.items()
+    )
+    up_frac = " ".join(
+        f"WHEN '{k}' THEN '{fraction_threshold(v - int(v))}'"
+        for k, v in _UPSAMPLE_WEIGHTS.items()
     )
     return {
         "s2_cursor_bounded_scan": """
@@ -3183,6 +3210,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)
                   < CASE lang {mix_case} ELSE '00000000' END
+        """,
+        "mixture_upsample": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     (CASE lang {up_base} ELSE 1 END
+                      + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '{_MIX_SEED}'), 1, 8)
+                                  < CASE lang {up_frac}
+                                         ELSE '00000000' END
+                             THEN 1 ELSE 0 END) AS n
+              FROM documents)
+            SELECT doc_id, lang, unnest(range(n)) AS copy_id
+            FROM w WHERE n > 0
         """,
         "pack_sequences": """
             SELECT doc_id, start_offset,

@@ -110,6 +110,49 @@ def stratified_sample(
     )
 
 
+def repeat_count(key: Column, weight: float, seed: str = "") -> Column:
+    """Deterministic per-key copy count with E[copies] == ``weight``:
+    ``floor(weight)`` full copies plus one extra iff the key's md5
+    prefix clears the fractional-part threshold — the upsampling rule a
+    mixture spec with weights > 1 needs (repeat high-value sources
+    ~2.5x) while weights < 1 degrade gracefully to sampling."""
+    if weight < 0:
+        raise ValueError(f"weight must be >= 0: {weight}")
+    base = int(weight)
+    frac = weight - base
+    out = F.lit(base)
+    if frac > 0:
+        out = out + hash_keep(key, frac, seed).cast("int")
+    return out
+
+
+def weighted_upsample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+    default_weight: float = 1.0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """One output row per (row, copy): every input row is emitted
+    ``repeat_count(key, weights[stratum])`` times with ``copy_col``
+    numbering its copies 0..n-1 — deterministic epoch-weighted
+    upsampling/downsampling in a single codegen explode (no shuffle, no
+    UDF). Rows whose count is 0 disappear; expected output size is
+    exactly sum(weight per row)."""
+    n = repeat_count(F.col(key_col), default_weight, seed)
+    for val in sorted(weights, reverse=True):
+        n = F.when(
+            F.col(strata_col) == F.lit(val),
+            repeat_count(F.col(key_col), weights[val], seed),
+        ).otherwise(n)
+    copies = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), (n - 1).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def pack_documents(
     df: DataFrame,
     order_col: str,

@@ -59,6 +59,55 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
     assert "xx" not in by_lang  # default fraction 0 drops unknown strata
 
 
+def _py_copies(key, weight, seed=""):
+    base = int(weight)
+    frac = weight - base
+    return base + (1 if frac > 0 and _py_keep(key, frac, seed) else 0)
+
+
+def test_weighted_upsample_matches_python_reference(spark):
+    from airbyte_spark.functions.sampling import weighted_upsample
+
+    df = spark.range(1500).select(
+        F.col("id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("xx")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    weights = {"en": 2.5, "zh": 0.4, "xx": 0.0}
+    out = weighted_upsample(df, "id", "lang", weights, seed="up").collect()
+    langs = ["en", "zh", "xx"]
+    want = {}
+    for i in range(1500):
+        n = _py_copies(i, weights[langs[i % 3]], "up")
+        if n:
+            want[i] = n
+    got = {}
+    for r in out:
+        got[r["id"]] = got.get(r["id"], 0) + 1
+        assert 0 <= r["copy_id"] < want[r["id"]]
+    assert got == want
+    # expected total ~ sum of weights: 500*2.5 + 500*0.4 + 0 = 1450
+    assert abs(len(out) - 1450) < 80
+
+
+def test_weighted_upsample_default_weight_passthrough(spark):
+    from airbyte_spark.functions.sampling import weighted_upsample
+
+    df = spark.range(100).select(F.col("id"), F.lit("other").alias("lang"))
+    out = weighted_upsample(df, "id", "lang", {"en": 3.0}).collect()
+    assert len(out) == 100  # default weight 1.0: one copy each
+    assert all(r["copy_id"] == 0 for r in out)
+
+
+def test_repeat_count_rejects_negative_weight():
+    from airbyte_spark.functions.sampling import repeat_count
+
+    with pytest.raises(ValueError):
+        repeat_count(F.lit(1), -0.5)
+
+
 def _py_pack(rows, budget):
     rows = sorted(rows)
     out, run = {}, 0
