@@ -148,6 +148,32 @@ def test_pack_documents_bins_and_determinism(spark):
         prev = r["start_offset"]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    weights=st.lists(
+        st.one_of(st.integers(0, 500), st.none()), min_size=1, max_size=50
+    ),
+    budget=st.integers(1, 300),
+    n_ranges=st.integers(1, 8),
+)
+@settings(max_examples=12, deadline=None)
+def test_pack_documents_property(spark, weights, budget, n_ranges):
+    """pack_documents == the sequential python prefix sum for ANY
+    weights (incl. nulls/zeros), budget, and range count."""
+    rows = list(enumerate(weights))
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"])
+        for r in pack_documents(
+            df, "doc_id", "w", budget=budget, num_ranges=n_ranges
+        ).collect()
+    }
+    assert got == _py_pack(rows, budget)
+
+
 def test_pack_documents_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, w long")
     assert pack_documents(df, "doc_id", "w", budget=10).count() == 0
