@@ -927,6 +927,40 @@ def q_pack_sequences(spark, sf):
     return pack_documents(d, "doc_id", "n_chars", budget=4096, num_ranges=8)
 
 
+def q_curation_pipeline(spark, sf):
+    """The composed corpus-to-training-samples path, ORACLE-CHECKED end
+    to end: exact dedup (normalized fingerprint, min doc_id wins) ->
+    deterministic mixture sampling (per-lang md5 thresholds, seed
+    'cur-r5') -> sequence packing (exact global char offset + 2048-char
+    context-window id over the surviving corpus in doc_id order). Every
+    stage is engine-portable, so DuckDB replays the whole pipeline:
+    dedup as a GROUP BY, sampling as the same hex-threshold CASE,
+    packing as a global window SUM."""
+    from airbyte_spark.functions.sampling import (
+        pack_documents,
+        stratified_keep,
+    )
+
+    d = _t(spark, sf, "documents")
+    fp = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    scored = d.select("doc_id", "lang", "n_chars", fp.alias("fp"))
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    sampled = (
+        scored.join(keep, on=["fp", "doc_id"], how="inner")
+        .filter(
+            stratified_keep(
+                F.col("doc_id"), F.col("lang"), _MIX_FRACTIONS, seed="cur-r5"
+            )
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+    packed = pack_documents(sampled, "doc_id", "n_chars", budget=2048,
+                            num_ranges=8)
+    return packed.join(sampled.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "start_offset", "bin_id"
+    )
+
+
 _LSH_TABLES, _LSH_NBITS, _LSH_DIM, _LSH_SEED = 4, 6, 64, 777
 
 
@@ -2793,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mixture_upsample": q_mixture_upsample,
         "pack_sequences": q_pack_sequences,
+        "curation_pipeline": q_curation_pipeline,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3210,6 +3245,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)
                   < CASE lang {mix_case} ELSE '00000000' END
+        """,
+        "curation_pipeline": f"""
+            WITH fp AS (
+              SELECT doc_id, lang, n_chars,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS f
+              FROM documents),
+            keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+            samp AS (
+              SELECT fp.doc_id, fp.lang, fp.n_chars
+              FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.doc_id
+              WHERE substr(md5(CAST(fp.doc_id AS VARCHAR) || 'cur-r5'), 1, 8)
+                    < CASE fp.lang {mix_case} ELSE '00000000' END),
+            packed AS (
+              SELECT doc_id, lang,
+                     CAST(COALESCE(SUM(greatest(coalesce(n_chars, 0), 0))
+                       OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+              FROM samp)
+            SELECT doc_id, lang, start_offset,
+                   CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin_id
+            FROM packed
         """,
         "mixture_upsample": f"""
             WITH w AS (
