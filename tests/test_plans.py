@@ -318,3 +318,24 @@ def test_delete_where_count_scan_prunes_payload(spark, tmp_table_dir):
     p = plan_of(counts)
     frag = p[p.index("ReadSchema") :][:300]
     assert "payload" not in frag, f"payload must be pruned: {frag}"
+
+
+def test_sampling_filter_is_scan_local(spark):
+    """Mixture sampling must compile to a pruned scan + filter — no
+    shuffle, no UDF (functions/sampling.py md5-prefix predicate)."""
+    df = entry.q_sample_stratified(spark, SF)
+    p = plan_of(df)
+    assert "Exchange" not in p, p[:800]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    frag = p[p.index("ReadSchema") :][:300]
+    assert "text" not in frag, f"payload must be pruned: {frag}"
+
+
+def test_upsample_explode_is_scan_local(spark):
+    """Weighted upsampling is one codegen Generate over a pruned scan —
+    no shuffle, no UDF."""
+    df = entry.q_mixture_upsample(spark, SF)
+    p = plan_of(df)
+    assert "Generate" in p
+    assert "Exchange" not in p, p[:800]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
