@@ -89,6 +89,11 @@ class PolicyReport:
     selected: list[StreamSpec] = field(default_factory=list)
     #: new streams detected but NOT created (no factory / other policy)
     pending_new: list[str] = field(default_factory=list)
+    #: streams whose table gained columns this reconciliation — existing
+    #: rows read NULL there until a backfill pass re-syncs them (the
+    #: reference backfills propagated column adds when the change is
+    #: detected as part of a sync — schema-change-management.md:83-88)
+    backfill_streams: list[str] = field(default_factory=list)
 
 
 def _column_diff(
@@ -209,6 +214,8 @@ def apply_schema_policy(
             )
         actions.extend(rep.get("widened", []))
         report.applied[spec.name] = actions
+        if rep.get("added"):
+            report.backfill_streams.append(spec.name)
 
     if policy == "propagate_fully":
         report.selected = [

@@ -69,6 +69,7 @@ def test_ignore_detects_but_touches_nothing(spark, tmp_table_dir):
     assert report.applied == {}
     assert spec.table.schema() == BASE  # untouched
     assert [s.name for s in report.selected] == ["users"]
+    assert report.backfill_streams == []  # nothing propagated, no backfill
 
 
 def test_disable_pauses_on_any_change(spark, tmp_table_dir):
@@ -96,6 +97,9 @@ def test_propagate_columns_lands_adds_widens_drops(spark, tmp_table_dir):
     assert report.pending_new == ["orders"]
     assert [s.name for s in report.selected] == ["users"]
     assert "kept updated_at (protected)" in report.applied["users"]
+    # a propagated column add flags the stream for backfill
+    # (schema-change-management.md:83-88)
+    assert report.backfill_streams == ["users"]
 
 
 def test_propagate_fully_creates_and_deselects_streams(
