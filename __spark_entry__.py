@@ -2464,6 +2464,83 @@ def q_schema_evolution_roundtrip(spark, sf):
         shutil.rmtree(t.root, ignore_errors=True)
 
 
+def q_schema_policy_sync(spark, sf):
+    """Schema-change propagation applied mid-sync, ORACLE-CHECKED
+    (streaming/schema_policy.py — schema-change-management.md:33-49):
+    a users table (id PK, updated_at cursor, name, score:int) meets a
+    drifted source catalog (name gone, score widened to long, email
+    added, cursor not reported). policy=propagate_columns drops `name`,
+    widens `score`, adds `email`, KEEPS the protected cursor; the next
+    merge upserts ids 10..24 under the evolved schema. The final state
+    is closed-form over deterministic ids, so DuckDB rebuilds it from
+    range()."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import IntegerType as IT
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.streaming.connection import StreamSpec
+    from airbyte_spark.streaming.schema_policy import apply_schema_policy
+
+    base = STt(
+        [
+            SF_("id", LT(), False),
+            SF_("updated_at", LT(), True),
+            SF_("name", ST(), True),
+            SF_("score", IT(), True),
+        ]
+    )
+    drifted = STt(
+        [
+            SF_("id", LT(), False),
+            SF_("score", LT(), True),
+            SF_("email", ST(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="schema-policy-")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(root, "users"), base, primary_key=["id"]
+        )
+        t.append(
+            spark.range(20).select(
+                F.col("id"),
+                F.lit(1).cast("long").alias("updated_at"),
+                F.concat(F.lit("n"), F.col("id")).alias("name"),
+                F.col("id").cast("int").alias("score"),
+            )
+        )
+        spec = StreamSpec(name="users", table=t, cursor_col="updated_at")
+        report = apply_schema_policy(
+            [spec], {"users": drifted}, "propagate_columns"
+        )
+        assert report.backfill_streams == ["users"]
+        batch = spark.range(10, 25).select(
+            F.col("id"),
+            F.lit(2).cast("long").alias("updated_at"),
+            (F.col("id") * 10).cast("long").alias("score"),
+            F.concat(F.lit("e"), F.col("id")).alias("email"),
+        )
+        merge_into(t, batch, cursor_col="updated_at", mode="mor")
+        rows = (
+            t.scan()
+            .select("id", "updated_at", "score", "email")
+            .collect()  # materialize before the table dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "id long, updated_at long, score long, email string"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_connection_sync_global(spark, sf):
     """Multi-stream sync under GLOBAL state, oracle-checked (r3 verdict
     item 5): two lake tables seeded and updated from deterministic
@@ -2835,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_compact_ffd": q_images_compact_ffd,
         "images_cluster_hilbert": q_images_cluster_hilbert,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
+        "schema_policy_sync": q_schema_policy_sync,
         "merge_mor_upsert": q_merge_mor_upsert,
         "delete_where_scan": q_delete_where_scan,
         "retire_eq_deletes": q_retire_eq_deletes,
@@ -3458,6 +3536,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic generated ids over known offset ranges; the three
         # file generations' post-evolution alignment is pure set algebra
+        "schema_policy_sync": """
+            SELECT r.range AS id,
+                   CAST(CASE WHEN r.range >= 10 THEN 2 ELSE 1 END AS BIGINT)
+                     AS updated_at,
+                   CAST(CASE WHEN r.range >= 10 THEN r.range * 10
+                             ELSE r.range END AS BIGINT) AS score,
+                   CASE WHEN r.range >= 10
+                        THEN 'e' || CAST(r.range AS VARCHAR) END AS email
+            FROM range(0, 25) r
+        """,
         "schema_evolution_roundtrip": """
             SELECT printf('img-%012d', CAST(r.range AS INT)) AS image_id,
                    'v1' AS generation,
