@@ -961,6 +961,86 @@ def q_curation_pipeline(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination, ORACLE-CHECKED: docs with
+    doc_id % 97 == 0 play the held-out eval suite; every other doc is
+    train. Per train doc: count of distinct word trigrams shared with ANY
+    eval doc, and the contaminated flag at min_overlap=2 (GPT-3 appendix-C
+    style n-gram decontamination). Plan: the eval side collapses to one
+    distinct broadcast shingle set; the corpus is scanned ONCE
+    (explode -> broadcast hash join -> partial-agg count) — no
+    corpus-sized shuffle, which is what makes this viable at 100 TB."""
+    from airbyte_spark.functions.curation import contamination_overlap
+
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    tr = d.where(F.col("doc_id") % 97 != 0)
+    ov = contamination_overlap(tr, ev, n=3)
+    return (
+        tr.select("doc_id")
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("overlap_ngrams"), F.lit(0))
+            .cast("long")
+            .alias("overlap_ngrams"),
+            (F.coalesce(F.col("overlap_ngrams"), F.lit(0)) >= 2).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def q_line_dedup(spark, sf):
+    """Corpus-wide line (paragraph) dedup, ORACLE-CHECKED — the
+    CCNet/Dolma boilerplate-removal pass. The corpus is single-line, so
+    lines are synthesized deterministically (newline after every 8
+    tokens — same regexp in both engines); each distinct normalized line
+    then survives only at its smallest (doc_id, position) and docs are
+    reassembled in order. Returns (doc_id, kept_lines, text_out)."""
+    from airbyte_spark.functions.curation import line_dedup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(([^ ]+ ){8})", "$1\n").alias("text"),
+    )
+    out = line_dedup(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split(F.col("text"), "\n")))
+        .cast("long")
+        .alias("kept_lines"),
+        F.col("text").alias("text_out"),
+    )
+
+
+def q_pii_redact(spark, sf):
+    """Rule-based PII scrub, ORACLE-CHECKED: emails / IPv4 / SSN-like /
+    long digit runs replaced by typed placeholders via a regexp_replace
+    chain (pure JVM codegen, no UDF — patterns restricted to the
+    Java∩RE2 regex subset so DuckDB replays them byte-for-byte). PII is
+    planted deterministically per doc so the redaction is exercised on
+    every row."""
+    from airbyte_spark.functions.curation import pii_redact
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 acct 98765432100"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id", pii_redact(F.col("text")).alias("redacted")
+    )
+
+
 _LSH_TABLES, _LSH_NBITS, _LSH_DIM, _LSH_SEED = 4, 6, 64, 777
 
 
@@ -2905,6 +2985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_upsample": q_mixture_upsample,
         "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
+        "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "pii_redact": q_pii_redact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3346,6 +3429,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, start_offset,
                    CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin_id
             FROM packed
+        """,
+        "decontaminate": f"""
+            WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+            ev AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+            ttok AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM tr),
+            tsh AS (SELECT doc_id, {_SHINGLES_SQL} AS ws FROM ttok),
+            etok AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM ev),
+            esh AS (SELECT doc_id, {_SHINGLES_SQL} AS ws FROM etok),
+            eng AS (SELECT DISTINCT unnest(ws) AS ng FROM esh),
+            tng AS (SELECT doc_id, unnest(ws) AS ng FROM tsh),
+            ov AS (SELECT doc_id, count(*) AS c
+                   FROM tng JOIN eng USING (ng) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(o.c, 0) AS BIGINT) AS overlap_ngrams,
+                   coalesce(o.c, 0) >= 2 AS contaminated
+            FROM tr t LEFT JOIN ov o USING (doc_id)
+        """,
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(([^ ]+ ){8})',
+                                    '\\1' || chr(10), 'g') AS t
+              FROM documents),
+            ln AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(range(1, len(string_split(t, chr(10))) + 1))
+                       AS pos
+              FROM d),
+            nl AS (
+              SELECT doc_id, pos, line,
+                     lower(regexp_replace(trim(line), '\\s+', ' ', 'g'))
+                       AS norm
+              FROM ln),
+            r AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY norm
+                                        ORDER BY doc_id, pos) AS rn
+              FROM nl),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_out
+              FROM r WHERE rn = 1 GROUP BY doc_id)
+            SELECT d0.doc_id,
+                   CAST(CASE WHEN coalesce(reb.text_out, '') = '' THEN 0
+                        ELSE len(string_split(reb.text_out, chr(10)))
+                        END AS BIGINT) AS kept_lines,
+                   coalesce(reb.text_out, '') AS text_out
+            FROM documents d0 LEFT JOIN reb USING (doc_id)
+        """,
+        "pii_redact": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com via 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 ssn 123-45-6789 acct 98765432100' AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g'),
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                       '\\b[0-9]{9,}\\b', '<NUM>', 'g') AS redacted
+            FROM p
         """,
         "mixture_upsample": f"""
             WITH w AS (

@@ -1,0 +1,185 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination,
+line-level (paragraph) dedup, and PII redaction.
+
+These are the standard pre-training curation passes (GPT-3 appendix C's
+13-gram decontamination; CCNet/Dolma paragraph dedup; rule-based PII
+scrubbing) expressed Spark-first over `documents(doc_id, text, ...)`:
+
+- decontamination: train docs sharing >= K distinct word n-grams with any
+  document of a (small) evaluation/benchmark set are flagged and dropped.
+  Plan shape: the eval side collapses to ONE distinct shingle set that is
+  broadcast (benchmarks are tiny next to a 100 TB corpus), the train side
+  is a single explode -> broadcast-hash-join -> partial-agg count pass —
+  one scan of the corpus, zero shuffles of corpus-sized data besides the
+  final per-doc count agg on a 64-bit id. `broadcast_eval=False` keeps
+  the same plan with a shuffle join for the rare giant-eval case.
+- line dedup: split docs into lines, keep a line only in the lexically
+  smallest (doc_id, line_pos) that carries its fingerprint, reassemble
+  surviving text in original order. One explode + one groupBy(fingerprint)
+  + one groupBy(doc) — all partial-agg friendly; no self-joins.
+- PII redaction: pure regexp_replace chain (JVM codegen; no UDF) for
+  email / ipv4 / ssn-like / long-digit-run patterns, the rule-based scrub
+  every released corpus applies. Patterns stay in the regex subset that
+  Java and RE2/DuckDB share so oracles can replicate byte-for-byte.
+
+Reference behavior anchor: the reference's mappers scrub/hash fields
+per-record (airbyte-cdk `MapperOperations`); decontamination and line
+dedup have no reference analogue — they're part of the training-data
+surface this engine adds (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airbyte_spark.functions.dedup import shingles_udf
+from airbyte_spark.functions.text import fingerprint64
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-train-doc count of distinct word n-grams shared with ANY eval
+    doc: `(id_col, overlap_ngrams)`, only docs with overlap >= 1.
+
+    The eval side is reduced to its distinct shingle set before the join;
+    with `broadcast_eval` (default — benchmark suites are MBs, corpora are
+    TBs) the join is a broadcast hash join, so the corpus is scanned once
+    with no corpus-sized shuffle. Shingles are distinct per doc
+    (shingles_udf), so `count(*)` after the join IS the distinct-overlap
+    count — no count_distinct shuffle needed.
+    """
+    sh = shingles_udf(n)
+    eval_ngrams = (
+        eval_docs.select(F.explode(sh(F.col(text_col))).alias("_ng")).distinct()
+    )
+    if broadcast_eval:
+        eval_ngrams = F.broadcast(eval_ngrams)
+    train_ngrams = train.select(
+        F.col(id_col), F.explode(sh(F.col(text_col))).alias("_ng")
+    )
+    return (
+        train_ngrams.join(eval_ngrams, "_ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop train docs sharing >= `min_overlap` distinct word n-grams with
+    the eval set (GPT-3-style n-gram decontamination). Returns the CLEAN
+    train rows (all original columns)."""
+    contaminated = (
+        contamination_overlap(
+            train, eval_docs, id_col, text_col, n, broadcast_eval
+        )
+        .where(F.col("overlap_ngrams") >= min_overlap)
+        .select(id_col)
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet / Dolma paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def _lines_with_pos(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per line: (id, _pos, _line) via posexplode(split(text, '\\n')).
+    Keeps empty lines (they carry formatting) — fingerprints are computed
+    on the raw line bytes."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 0,
+) -> DataFrame:
+    """Corpus-wide line dedup: each distinct line survives only at its
+    canonical occurrence — the smallest (id, position) carrying its
+    fingerprint; every other copy (across AND within docs) is removed.
+    Lines shorter than `min_len` characters are exempt (kept everywhere:
+    short connective lines aren't boilerplate evidence). Returns
+    `(id_col, text_col)` with text reassembled from surviving lines in
+    original order; docs whose every line was removed keep an empty text.
+
+    Plan: explode -> groupBy(fingerprint){min struct} -> join back on
+    (fingerprint, id, pos) -> groupBy(id){array_agg sorted} — two
+    partial-agg shuffles on slim keys, no self-join on text.
+    """
+    lines = _lines_with_pos(docs, id_col, text_col).withColumn(
+        "_fp", fingerprint64(F.col("_line"))
+    )
+    dedupable = lines.where(F.length("_line") >= min_len)
+    # canonical occurrence per fingerprint: lexicographic min of (id, pos)
+    canon = dedupable.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_c")
+    )
+    survivors = dedupable.join(canon, "_fp").where(
+        (F.col(f"_c.{id_col}") == F.col(id_col)) & (F.col("_c._pos") == F.col("_pos"))
+    ).select(id_col, "_pos", "_line")
+    exempt = lines.where(F.length("_line") < min_len).select(id_col, "_pos", "_line")
+    kept = survivors.unionByName(exempt)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # docs that lost every line still appear (empty text), preserving count
+    ids = docs.select(id_col)
+    return (
+        ids.join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset Java and DuckDB (RE2) share:
+# character classes, bounded repetition, alternation — no lookaround, no
+# backreferences (RE2 has neither).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("digits", r"\b[0-9]{9,}\b", "<NUM>"),
+]
+
+
+def pii_redact(text: Column, patterns: list[tuple[str, str, str]] | None = None) -> Column:
+    """Chain of regexp_replace redactions — whole-stage-codegen JVM
+    expressions, no UDF. Order matters (email before digits: the local
+    part may contain a long digit run)."""
+    out = text
+    for _name, pat, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -1,0 +1,154 @@
+"""Curation operators: benchmark decontamination, line-level dedup, PII
+redaction (functions/curation.py). The oracle entries (`decontaminate`,
+`line_dedup`, `pii_redact`) pin cross-engine value parity; these tests pin
+the semantics and the plan shapes the oracles can't see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.functions.curation import (
+    PII_PATTERNS,
+    contamination_overlap,
+    decontaminate,
+    line_dedup,
+    pii_redact,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_counts_distinct_shared_ngrams(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear in this document here"),
+            (3, "the quick brown fox sat still"),
+        ],
+    )
+    ev = _docs(spark, [(100, "quick brown fox jumps high and the quick brown fox")])
+    got = {
+        r["doc_id"]: r["overlap_ngrams"]
+        for r in contamination_overlap(train, ev, n=3).collect()
+    }
+    # eval trigrams: {quick brown fox, brown fox jumps, fox jumps high,
+    #                 jumps high and, high and the, and the quick, the quick brown}
+    # doc1 shares: the quick brown / quick brown fox / brown fox jumps -> 3
+    # doc3 shares: the quick brown / quick brown fox -> 2; doc2 none
+    assert got == {1: 3, 3: 2}
+
+
+def test_decontaminate_drops_exactly_the_flagged_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma something else entirely"),
+        ],
+    )
+    ev = _docs(spark, [(9, "alpha beta gamma delta")])
+    # overlaps: doc1 {abg, bgd} wait n=3 -> doc1 shares 'alpha beta gamma'
+    # and 'beta gamma delta' (2); doc3 shares 'alpha beta gamma' (1)
+    clean1 = {r["doc_id"] for r in decontaminate(train, ev, min_overlap=2).collect()}
+    assert clean1 == {2, 3}
+    clean2 = {r["doc_id"] for r in decontaminate(train, ev, min_overlap=1).collect()}
+    assert clean2 == {2}
+
+
+def test_decontaminate_broadcasts_the_eval_side(spark):
+    train = _docs(spark, [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(50)])
+    ev = _docs(spark, [(0, "w1 w2 w3")])
+    p = contamination_overlap(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p[:800]
+
+
+def test_decontaminate_empty_eval_keeps_everything(spark):
+    train = _docs(spark, [(1, "a b c d"), (2, "e f g h")])
+    ev = train.where(F.lit(False))
+    assert decontaminate(train, ev).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keeps_canonical_occurrence_only(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "unique one\nboilerplate footer\nunique two"),
+            (2, "boilerplate footer\nunique three"),
+            (3, "unique four\nboilerplate footer"),
+        ],
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    # footer survives only in doc 1 (smallest doc_id), at its position
+    assert out[1] == "unique one\nboilerplate footer\nunique two"
+    assert out[2] == "unique three"
+    assert out[3] == "unique four"
+
+
+def test_line_dedup_within_doc_repetition_removed(spark):
+    docs = _docs(spark, [(1, "spam\nspam\nspam\nham")])
+    out = line_dedup(docs).collect()[0]["text"]
+    assert out == "spam\nham"
+
+
+def test_line_dedup_normalizes_before_matching(spark):
+    docs = _docs(spark, [(1, "Hello   World"), (2, "hello world")])
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert out == {1: "Hello   World", 2: ""}
+
+
+def test_line_dedup_doc_losing_all_lines_survives_empty(spark):
+    docs = _docs(spark, [(1, "only line"), (2, "only line")])
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert out == {1: "only line", 2: ""}
+
+
+def test_line_dedup_min_len_exempts_short_lines(spark):
+    docs = _docs(spark, [(1, "ok\nlong shared line"), (2, "ok\nlong shared line")])
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, min_len=5).collect()}
+    # 'ok' (< 5 chars) is exempt and survives in both docs
+    assert out == {1: "ok\nlong shared line", 2: "ok"}
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        ("mail me at jo.hn+x@sub.example.co today", "mail me at <EMAIL> today"),
+        ("server 192.168.10.254 down", "server <IP> down"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("card 4111111111111111 used", "card <NUM> used"),
+        ("short 12345678 stays", "short 12345678 stays"),
+        ("a@b.io and 1.2.3.4", "<EMAIL> and <IP>"),
+    ],
+)
+def test_pii_redact_patterns(spark, raw, expect):
+    df = spark.createDataFrame([(raw,)], "text string")
+    got = df.select(pii_redact(F.col("text")).alias("r")).collect()[0]["r"]
+    assert got == expect
+
+
+def test_pii_redact_is_pure_codegen(spark):
+    df = spark.range(5).select(
+        pii_redact(F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("@x.com")))
+        .alias("r")
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(PII_PATTERNS) == 4
