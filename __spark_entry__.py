@@ -1015,6 +1015,20 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_shuffle_shards(spark, sf):
+    """Shuffle-and-shard export assignment, ORACLE-CHECKED: seeded global
+    pseudo-random permutation (md5(doc_id||seed) order) cut into 64-row
+    training shards. Rank is computed by the distributed prefix-sum idiom
+    (frozen range boundaries on the hash prefix -> per-range counts ->
+    per-range row_number + offset) — no global single-partition sort, the
+    trap a naive row_number() would hit at 10^12 rows. DuckDB replays the
+    permutation exactly via one window row_number."""
+    from airbyte_spark.operators.shardwrite import shard_assignments
+
+    d = _t(spark, sf, "documents")
+    return shard_assignments(d, "doc_id", "shard-r5", 64, num_ranges=8)
+
+
 def q_pii_redact(spark, sf):
     """Rule-based PII scrub, ORACLE-CHECKED: emails / IPv4 / SSN-like /
     long digit runs replaced by typed placeholders via a regexp_replace
@@ -2988,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "pii_redact": q_pii_redact,
+        "shuffle_shards": q_shuffle_shards,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3497,6 +3512,16 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
                        '\\b[0-9]{9,}\\b', '<NUM>', 'g') AS redacted
             FROM p
+        """,
+        "shuffle_shards": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shard-r5'),
+                                doc_id) - 1 AS rk
+              FROM documents)
+            SELECT doc_id, rk // 64 AS shard_id, rk % 64 AS shard_pos
+            FROM r
         """,
         "mixture_upsample": f"""
             WITH w AS (
