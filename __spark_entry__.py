@@ -1015,6 +1015,71 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_kmeans_ivf(spark, sf):
+    """k-means-trained IVF coarse quantizer, ORACLE-CHECKED end to end:
+    3 Lloyd iterations (deterministic md5-seeded init, centroids snapped
+    to a 1e-6 grid each update so engine summation-order drift cannot
+    compound, empty cells keep their centroid) then the final
+    nearest-centroid assignment (vec_id, cell, d2). Spark runs it as one
+    mapInPandas partial-sum pass per iteration (MLlib's treeAggregate
+    shape — nothing driver-side beyond k*dim doubles); DuckDB replays
+    the identical iteration unrolled as CTEs."""
+    from airbyte_spark.functions.similarity import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, n_iters=3, seed=11)
+    return kmeans_assign(e, cents)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, seed: int = 11, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs — the exact replica of
+    kmeans_fit/kmeans_assign (same init order, same grid snap, same
+    lowest-cell tie-break, same empty-cell carry)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j])))"
+    )
+    rn_order = f"ORDER BY md5(CAST(vec_id AS VARCHAR) || '{seed}'), vec_id"
+    ctes = [
+        "v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER ({rn_order}) - 1 AS INT) "
+        f"AS cell, e AS c FROM v "
+        f"QUALIFY row_number() OVER ({rn_order}) <= {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, e, cell FROM ("
+            f"SELECT v.vec_id, v.e, c.cell, "
+            f"row_number() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {d2}, c.cell) AS rn "
+            f"FROM v, {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cell, "
+            f"list(floor(m * 1e6 + 0.5) / 1e6 ORDER BY j) AS c FROM ("
+            f"SELECT a.cell, t.j, avg(a.e[t.j]) AS m "
+            f"FROM a{i} a, range(1, {dim + 1}) t(j) "
+            f"GROUP BY a.cell, t.j) GROUP BY cell)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.cell, coalesce(m.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN m{i} m USING (cell))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vec_id, cell, floor(d2 * 1e4 + 0.5) / 1e4 AS d2 FROM (
+          SELECT v.vec_id, c.cell, {d2} AS d2,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {d2}, c.cell) AS rn
+          FROM v, c{iters} c) WHERE rn = 1"""
+    )
+
+
 def q_shuffle_shards(spark, sf):
     """Shuffle-and-shard export assignment, ORACLE-CHECKED: seeded global
     pseudo-random permutation (md5(doc_id||seed) order) cut into 64-row
@@ -3003,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_redact": q_pii_redact,
         "shuffle_shards": q_shuffle_shards,
+        "kmeans_ivf": q_kmeans_ivf,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3513,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[0-9]{9,}\\b', '<NUM>', 'g') AS redacted
             FROM p
         """,
+        "kmeans_ivf": _kmeans_sql(),
         "shuffle_shards": """
             WITH r AS (
               SELECT doc_id,

@@ -336,3 +336,211 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= tau)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means training for the IVF coarse quantizer
+# ---------------------------------------------------------------------------
+#
+# Lloyd's algorithm as a distributed iteration (the shape MLlib's KMeans
+# uses — treeAggregate of per-partition partial sums; here mapInPandas
+# partials + an O(k*dim) driver reduce). Design decisions that make it
+# oracle-replicable in DuckDB:
+#   - deterministic data-dependent init: the k corpus vectors with the
+#     smallest md5(id || seed) (a seeded sample both engines can order);
+#   - centroids snapped to a 1e-6 grid after every mean update
+#     (floor(m*1e6 + 0.5)/1e6 — identical IEEE ops in numpy and SQL), so
+#     LSB summation-order drift between engines cannot compound across
+#     iterations;
+#   - ties in the argmin broken by lowest cell id (numpy argmin ==
+#     ORDER BY d2, cell LIMIT 1);
+#   - empty cells keep their previous centroid.
+# Per iteration the corpus is scanned ONCE; nothing driver-side is ever
+# larger than k*dim doubles per partition. At 10^12 rows each iteration
+# is one Arrow pass + a tiny collect — the standard scale shape.
+
+
+def kmeans_init(
+    corpus: DataFrame,
+    k: int,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic seeded init: the k vectors with the smallest
+    md5(id || seed), in hash order (cell i = i-th smallest)."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "_h",
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))),
+        )
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has only {len(rows)} rows for k={k}")
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def _grid_snap(m: np.ndarray) -> np.ndarray:
+    """floor(m*1e6 + 0.5)/1e6 — the engine-portable quantizer (NOT
+    np.round: banker's rounding differs from SQL round at exact halves)."""
+    return np.floor(m * 1e6 + 0.5) / 1e6
+
+
+def _kmeans_partials(corpus: DataFrame, cents: np.ndarray, vec_col: str) -> list:
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    k, dim = cents.shape
+    C = cents
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(DoubleType())),
+        ]
+    )
+
+    def part(batches):
+        sums = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            D = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = D.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                n = int(mask.sum())
+                if n:
+                    cnt[c] += n
+                    sums[c] += M[mask].sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "cell": np.arange(k, dtype=np.int32),
+                "cnt": cnt,
+                "sums": [sums[i].tolist() for i in range(k)],
+            }
+        )
+
+    return corpus.select(vec_col).mapInPandas(part, schema).collect()
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: (k, dim) centroid matrix after
+    `n_iters` Lloyd iterations from the seeded deterministic init."""
+    cents = kmeans_init(corpus, k, seed, id_col, vec_col)
+    for _ in range(n_iters):
+        parts = _kmeans_partials(corpus, cents, vec_col)
+        sums = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["sums"])
+            cnt[r["cell"]] += r["cnt"]
+        new = cents.copy()  # empty cells keep their previous centroid
+        nz = cnt > 0
+        new[nz] = _grid_snap(sums[nz] / cnt[nz, None])
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cell, d2): nearest-centroid assignment (squared L2,
+    ties to the lowest cell id), d2 rounded to 4dp for output parity."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    C = cents
+    id_type = corpus.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("cell", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            D = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = D.argmin(axis=1)
+            d2 = D[np.arange(len(a)), a]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": a.astype(np.int32),
+                    "d2": np.floor(d2 * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ivf_topk over TRAINED centroids (kmeans_fit) instead of seeded
+    random ones — same probe/re-rank plan, but cells follow the data
+    distribution, so recall at equal nprobe is what improves."""
+    n_cells = len(cents)
+    nprobe = min(nprobe, n_cells)
+
+    @pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        D = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(D.argmin(axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        D = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(D, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c_b = corpus.select(
+        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("_cell")
+    )
+    q_b = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    hits = c_b.join(F.broadcast(q_b), on="_cell").select(
+        query_id_col, id_col, F.col(vec_col), F.col("_qvec")
+    )
+    scored = hits.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )

@@ -442,3 +442,79 @@ def test_brute_force_topk_guard_refuses_large_corpus(spark, emb):
     # exact=True is the explicit escape hatch
     res = brute_force_topk(emb, queries, k=3, max_corpus_rows=5, exact=True)
     assert res.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# k-means-trained IVF (similarity.py::kmeans_fit / kmeans_assign /
+# ivf_topk_trained) — the oracle entry `kmeans_ivf` pins cross-engine
+# value parity; these pin the algorithm's properties.
+# ---------------------------------------------------------------------------
+
+
+def _inertia(emb_df, cents):
+    import numpy as np
+
+    from airbyte_spark.functions.similarity import kmeans_assign
+
+    return sum(r["d2"] for r in kmeans_assign(emb_df, cents).collect())
+
+
+def test_kmeans_inertia_decreases_with_iterations(spark, emb):
+    from airbyte_spark.functions.similarity import kmeans_fit, kmeans_init
+
+    i0 = _inertia(emb, kmeans_init(emb, k=8, seed=11))
+    i3 = _inertia(emb, kmeans_fit(emb, k=8, n_iters=3, seed=11))
+    assert i3 < i0 * 0.9, (i0, i3)
+
+
+def test_kmeans_is_deterministic(spark, emb):
+    import numpy as np
+
+    from airbyte_spark.functions.similarity import kmeans_fit
+
+    a = kmeans_fit(emb, k=4, n_iters=2, seed=7)
+    b = kmeans_fit(emb, k=4, n_iters=2, seed=7)
+    assert np.array_equal(a, b)
+    c = kmeans_fit(emb.repartition(7), k=4, n_iters=2, seed=7)
+    assert np.array_equal(a, c), "partitioning must not change the model"
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    import numpy as np
+
+    from airbyte_spark.functions.similarity import kmeans_fit, kmeans_init
+
+    # two tight clusters, k=3: one centroid starts on an outlier-free
+    # island of the init sample and may end up empty — it must survive
+    # unchanged rather than NaN out.
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=3, n_iters=4, seed=1)
+    assert not np.isnan(cents).any()
+
+
+def test_trained_ivf_recall_beats_random_centroids(spark, emb):
+    from airbyte_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    def recall(df):
+        a = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(e & a) / len(e)
+
+    cents = kmeans_fit(emb, k=8, n_iters=3, seed=11)
+    r_trained = recall(ivf_topk_trained(emb, queries, cents, k=5, nprobe=2))
+    r_random = recall(ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2))
+    assert r_trained >= r_random, (r_trained, r_random)
+    assert r_trained >= 0.6, r_trained
+    # self is always retrieved at rank 1 (its own cell is always probed)
+    top = ivf_topk_trained(emb, queries, cents, k=5, nprobe=1).filter("rank=1")
+    assert all(r["query_id"] == r["vec_id"] for r in top.collect())
