@@ -1015,6 +1015,29 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher-rule repetition filter, ORACLE-CHECKED: per-doc duplicate
+    trigram fraction, top-unigram and top-bigram mass (one Arrow pass —
+    the per-position HOF trap makes JVM expressions wrong here), plus the
+    keep decision at dup<=0.02 / top_uni<=0.10. DuckDB replays the exact
+    ratios from the shared tokenizer (all exact small-int quotients, so
+    rounding never straddles engines)."""
+    from airbyte_spark.functions.curation import gopher_quality_filter
+
+    d = _t(spark, sf, "documents")
+    out = gopher_quality_filter(
+        d, max_dup_trigram_frac=0.02, max_top_unigram_frac=0.10, min_tokens=5
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        "keep",
+    )
+
+
 def q_kmeans_ivf(spark, sf):
     """k-means-trained IVF coarse quantizer, ORACLE-CHECKED end to end:
     3 Lloyd iterations (deterministic md5-seeded init, centroids snapped
@@ -3069,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "shuffle_shards": q_shuffle_shards,
         "kmeans_ivf": q_kmeans_ivf,
+        "gopher_quality": q_gopher_quality,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3580,6 +3604,35 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "kmeans_ivf": _kmeans_sql(),
+        "gopher_quality": f"""
+            WITH tok AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
+            b AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+            s AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              CASE WHEN n >= 3 THEN 1.0 - CAST(len(list_distinct(
+                     list_transform(range(1, n-1),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                     / (n-2)
+                   ELSE 0.0 END AS dup_trigram_frac,
+              CASE WHEN n > 0 THEN CAST(list_max(list_transform(
+                     list_distinct(toks),
+                     t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n
+                   ELSE 0.0 END AS top_unigram_frac,
+              CASE WHEN n >= 2 THEN CAST(list_max(list_transform(
+                     list_distinct(list_transform(range(1, n),
+                       i -> array_to_string(toks[i:i+1], ' '))),
+                     t -> len(list_filter(list_transform(range(1, n),
+                       i -> array_to_string(toks[i:i+1], ' ')),
+                       x -> x = t)))) AS DOUBLE) / (n-1)
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM b)
+            SELECT doc_id, n_tokens,
+                   round(dup_trigram_frac, 6) AS dup_trigram_frac,
+                   round(top_unigram_frac, 6) AS top_unigram_frac,
+                   round(top_bigram_frac, 6) AS top_bigram_frac,
+                   (n_tokens >= 5 AND dup_trigram_frac <= 0.02
+                    AND top_unigram_frac <= 0.10) AS keep
+            FROM s
+        """,
         "shuffle_shards": """
             WITH r AS (
               SELECT doc_id,

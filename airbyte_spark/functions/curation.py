@@ -183,3 +183,97 @@ def pii_redact(text: Column, patterns: list[tuple[str, str, str]] | None = None)
     for _name, pat, repl in patterns or PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (Gopher rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher-rule family), one Arrow
+    pass per batch — the shingle-per-position HOF trap (CLAUDE.md gotcha
+    11) makes JVM expressions the wrong tool here.
+
+    Returns (id, n_tokens, dup_trigram_frac, top_unigram_frac,
+    top_bigram_frac) where
+      - dup_trigram_frac   = 1 - distinct/total trigrams (0 if < 3 tokens)
+      - top_unigram_frac   = count of most frequent token / n_tokens
+      - top_bigram_frac    = count of most frequent bigram / (n_tokens-1)
+    over the same ASCII-whitespace normalization as every other text op
+    (byte-identical with the SQL tokenizer)."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.functions.dedup import _JAVA_WS
+
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("dup_trigram_frac", DoubleType()),
+            StructField("top_unigram_frac", DoubleType()),
+            StructField("top_bigram_frac", DoubleType()),
+        ]
+    )
+
+    def one(text):
+        norm = _JAVA_WS.sub(" ", (text or "")).strip(" ").lower()
+        toks = [w for w in norm.split(" ") if w]
+        n = len(toks)
+        tri_total = max(n - 2, 0)
+        tris = [" ".join(toks[i : i + 3]) for i in range(tri_total)]
+        dup_tri = 1.0 - len(set(tris)) / tri_total if tri_total else 0.0
+        top_uni = max(Counter(toks).values()) / n if n else 0.0
+        bi_total = max(n - 1, 0)
+        bis = [" ".join(toks[i : i + 2]) for i in range(bi_total)]
+        top_bi = max(Counter(bis).values()) / bi_total if bi_total else 0.0
+        return (n, dup_tri, top_uni, top_bi)
+
+    def sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [one(t) for t in pdf[text_col]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_tokens",
+                    "dup_trigram_frac",
+                    "top_unigram_frac",
+                    "top_bigram_frac",
+                ],
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(sig, schema)
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_trigram_frac: float = 0.30,
+    max_top_unigram_frac: float = 0.20,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """(id, signals..., keep): the Gopher repetition-rule filter — drop
+    docs dominated by repeated n-grams or a single token. Thresholds are
+    the knobs; defaults approximate the published Gopher cuts."""
+    sig = repetition_signals(docs, id_col, text_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram_frac)
+        & (F.col("top_unigram_frac") <= max_top_unigram_frac)
+    )
+    return sig.withColumn("keep", keep)

@@ -55,8 +55,8 @@ def test_decontaminate_drops_exactly_the_flagged_docs(spark):
         ],
     )
     ev = _docs(spark, [(9, "alpha beta gamma delta")])
-    # overlaps: doc1 {abg, bgd} wait n=3 -> doc1 shares 'alpha beta gamma'
-    # and 'beta gamma delta' (2); doc3 shares 'alpha beta gamma' (1)
+    # doc1 shares 'alpha beta gamma' and 'beta gamma delta' (2);
+    # doc3 shares 'alpha beta gamma' (1)
     clean1 = {r["doc_id"] for r in decontaminate(train, ev, min_overlap=2).collect()}
     assert clean1 == {2, 3}
     clean2 = {r["doc_id"] for r in decontaminate(train, ev, min_overlap=1).collect()}
@@ -152,3 +152,60 @@ def test_pii_redact_is_pure_codegen(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert len(PII_PATTERNS) == 4
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_values(spark):
+    from airbyte_spark.functions.curation import repetition_signals
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c a b c"),  # 9 toks, 7 tris all dup of 3 kinds
+            (2, "one two three four five"),  # no repetition
+            (3, "x x x x"),  # single token dominates
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 9
+    # trigrams: 7 total, 3 distinct -> dup frac 4/7
+    assert abs(r1["dup_trigram_frac"] - 4 / 7) < 1e-12
+    assert abs(r1["top_unigram_frac"] - 3 / 9) < 1e-12
+    # bigrams: 8 total, top ('a b' or 'b c') appears 3 times
+    assert abs(r1["top_bigram_frac"] - 3 / 8) < 1e-12
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_unigram_frac"] == 1.0
+
+
+def test_gopher_filter_keep_decision(spark):
+    from airbyte_spark.functions.curation import gopher_quality_filter
+
+    docs = _docs(
+        spark,
+        [
+            (1, "clean varied words make a good document indeed truly"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, "hi"),  # too short
+        ],
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in gopher_quality_filter(docs, min_tokens=5).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_repetition_signals_empty_text(spark):
+    from airbyte_spark.functions.curation import repetition_signals
+
+    docs = _docs(spark, [(1, ""), (2, None)])
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    for i in (1, 2):
+        assert got[i]["n_tokens"] == 0
+        assert got[i]["dup_trigram_frac"] == 0.0
+        assert got[i]["top_unigram_frac"] == 0.0
