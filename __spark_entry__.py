@@ -1015,6 +1015,49 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_metadata_partitions(spark, sf):
+    """Iceberg `$partitions` metadata table, ORACLE-CHECKED: build an
+    event_type-identity-partitioned lake table from events, then read
+    partitions_df() — per-partition row counts aggregated from manifest
+    ENTRIES parsed on executors (the driver never holds an O(table) file
+    list). The oracle recomputes the same summary as a plain GROUP BY
+    over the source rows; sequence is pinned by construction (single
+    append commit = sequence 1 everywhere). file/byte counts are layout-
+    dependent (task count), so the oracle checks the layout-independent
+    columns."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="entry-parts-")
+    try:
+        t = LakeTable.create(
+            spark,
+            root,
+            ev.schema,
+            primary_key=["event_id"],
+            partition_by=["event_type"],
+        )
+        t.append(ev)
+        rows = (
+            t.partitions_df()
+            .where(F.col("content") == "data")
+            .select(
+                "partition",
+                F.col("row_count").cast("long").alias("row_count"),
+                F.col("last_sequence").cast("long").alias("last_sequence"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "partition string, row_count long, last_sequence long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_gopher_quality(spark, sf):
     """Gopher-rule repetition filter, ORACLE-CHECKED: per-doc duplicate
     trigram fraction, top-unigram and top-bigram mass (one Arrow pass —
@@ -3093,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "kmeans_ivf": q_kmeans_ivf,
         "gopher_quality": q_gopher_quality,
+        "metadata_partitions": q_metadata_partitions,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3604,6 +3648,12 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "kmeans_ivf": _kmeans_sql(),
+        "metadata_partitions": """
+            SELECT 'event_type=' || event_type AS partition,
+                   count(*) AS row_count,
+                   CAST(1 AS BIGINT) AS last_sequence
+            FROM events GROUP BY event_type
+        """,
         "gopher_quality": f"""
             WITH tok AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM documents),
             b AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
