@@ -1015,6 +1015,32 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_webdataset_export(spark, sf):
+    """WebDataset tar-shard export, manifest ORACLE-CHECKED: 64
+    deterministic synthetic images (the maintenance pipeline's codec) are
+    shuffled by the seeded md5 permutation and written as byte-stable tar
+    shards of 16 (image + caption + json per sample, permutation order,
+    frozen tar metadata). The tar bytes are pinned by pytest digests; the
+    manifest's (shard_id, samples) is replayed by DuckDB from the
+    deterministic id sequence."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.datagen import generate_images
+    from airbyte_spark.operators.webdataset import write_webdataset
+
+    df = generate_images(spark, 64, seed=3)
+    out = tempfile.mkdtemp(prefix="entry-wds-")
+    try:
+        manifest = write_webdataset(
+            df, out, meta_cols=("w", "h"), seed="wds-entry", samples_per_shard=16
+        )
+        rows = manifest.select("shard_id", "samples").collect()
+        return spark.createDataFrame(rows, "shard_id long, samples long")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_metadata_partitions(spark, sf):
     """Iceberg `$partitions` metadata table, ORACLE-CHECKED: build an
     event_type-identity-partitioned lake table from events, then read
@@ -3137,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ivf": q_kmeans_ivf,
         "gopher_quality": q_gopher_quality,
         "metadata_partitions": q_metadata_partitions,
+        "webdataset_export": q_webdataset_export,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
         "image_features": q_image_features,
@@ -3648,6 +3675,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "kmeans_ivf": _kmeans_sql(),
+        "webdataset_export": """
+            WITH ids AS (
+              SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id
+              FROM range(64) t(i)),
+            r AS (
+              SELECT image_id,
+                     row_number() OVER (
+                       ORDER BY md5(image_id || 'wds-entry'), image_id) - 1
+                       AS rk
+              FROM ids)
+            SELECT rk // 16 AS shard_id, count(*) AS samples
+            FROM r GROUP BY 1
+        """,
         "metadata_partitions": """
             SELECT 'event_type=' || event_type AS partition,
                    count(*) AS row_count,
