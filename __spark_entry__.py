@@ -1107,6 +1107,76 @@ def q_gopher_quality(spark, sf):
     )
 
 
+def q_feature_table_sync(spark, sf):
+    """Changelog-advanced per-row FEATURE table, ORACLE-CHECKED
+    (operators/feature_table.py): Gopher repetition signals maintained
+    incrementally as the base table moves — initial build (odd doc_ids),
+    incremental append (even doc_ids), then an update window (doc_id %
+    16 == 5 gets new text) plus a position-delete window (doc_id % 16
+    == 3). The invariant (pinned by tests/test_feature_table.py): the
+    advanced table equals one full recompute over the final alive rows,
+    which DuckDB replays from the same tokenizer over the same CASE'd
+    final text."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType as LT
+    from pyspark.sql.types import StringType as ST
+    from pyspark.sql.types import StructField as SF_
+    from pyspark.sql.types import StructType as STt
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.feature_table import (
+        create_feature_table,
+        update_feature_table,
+    )
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", F.lit("2026-01-01").cast("timestamp").alias("updated_at")
+    )
+    schema = STt(
+        [SF_("doc_id", LT(), False), SF_("text", ST())]
+    ).add("updated_at", "timestamp")
+    root = tempfile.mkdtemp(prefix="entry-feat-")
+    try:
+        src = LakeTable.create(
+            spark, root + "/src", schema, primary_key=["doc_id"]
+        )
+        feat = create_feature_table(
+            src, root + "/feat", "quality", "doc_id", "text"
+        )
+        src.append(docs.filter(F.col("doc_id") % 2 == 1))
+        assert update_feature_table(src, feat).mode == "initial"
+        src.append(docs.filter(F.col("doc_id") % 2 == 0))
+        r2 = update_feature_table(src, feat)
+        assert r2.mode == "incremental"
+        merge_into(
+            src,
+            docs.filter(F.col("doc_id") % 16 == 5).select(
+                "doc_id",
+                F.concat("text", F.lit(" upd upd upd")).alias("text"),
+                F.lit("2026-01-02").cast("timestamp").alias("updated_at"),
+            ),
+            mode="mor",
+        )
+        delete_where(src, "doc_id % 16 = 3")
+        r3 = update_feature_table(src, feat)
+        assert r3.mode == "incremental" and r3.rows_removed > 0
+        out = feat.scan().select(
+            "doc_id",
+            "n_tokens",
+            F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+            F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        )
+        # materialize before the table dirs are removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_kmeans_ivf(spark, sf):
     """k-means-trained IVF coarse quantizer, ORACLE-CHECKED end to end:
     3 Lloyd iterations (deterministic md5-seeded init, centroids snapped
@@ -3162,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "kmeans_ivf": q_kmeans_ivf,
         "gopher_quality": q_gopher_quality,
+        "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
         "webdataset_export": q_webdataset_export,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3721,6 +3792,38 @@ def oracle_sql() -> dict[str, str]:
                    round(top_bigram_frac, 6) AS top_bigram_frac,
                    (n_tokens >= 5 AND dup_trigram_frac <= 0.02
                     AND top_unigram_frac <= 0.10) AS keep
+            FROM s
+        """,
+        "feature_table_sync": f"""
+            WITH fin AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 16 = 5
+                          THEN text || ' upd upd upd' ELSE text END AS text
+              FROM documents WHERE doc_id % 16 != 3),
+            tok AS (SELECT doc_id, {_WORDS_SQL} AS toks FROM fin),
+            b AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+            s AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              CASE WHEN n >= 3 THEN 1.0 - CAST(len(list_distinct(
+                     list_transform(range(1, n-1),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                     / (n-2)
+                   ELSE 0.0 END AS dup_trigram_frac,
+              CASE WHEN n > 0 THEN CAST(list_max(list_transform(
+                     list_distinct(toks),
+                     t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n
+                   ELSE 0.0 END AS top_unigram_frac,
+              CASE WHEN n >= 2 THEN CAST(list_max(list_transform(
+                     list_distinct(list_transform(range(1, n),
+                       i -> array_to_string(toks[i:i+1], ' '))),
+                     t -> len(list_filter(list_transform(range(1, n),
+                       i -> array_to_string(toks[i:i+1], ' ')),
+                       x -> x = t)))) AS DOUBLE) / (n-1)
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM b)
+            SELECT doc_id, n_tokens,
+                   round(dup_trigram_frac, 6) AS dup_trigram_frac,
+                   round(top_unigram_frac, 6) AS top_unigram_frac,
+                   round(top_bigram_frac, 6) AS top_bigram_frac
             FROM s
         """,
         "shuffle_shards": """

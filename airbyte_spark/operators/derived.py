@@ -34,7 +34,7 @@ import json
 from airbyte_spark.lake.table import MAIN, LakeTable
 
 DERIVED_PROP = "maintenance.derived-tables"
-KINDS = ("rollup", "near-dup-index", "ann-index")
+KINDS = ("rollup", "near-dup-index", "ann-index", "feature")
 
 
 def registered_derived_tables(source: LakeTable) -> list[dict]:
@@ -76,6 +76,7 @@ def update_derived_tables(
     {kind, root, error})."""
     from airbyte_spark.operators.ann_index import update_ann_index
     from airbyte_spark.operators.dedup_index import update_near_dup_index
+    from airbyte_spark.operators.feature_table import update_feature_table
     from airbyte_spark.operators.rollup import materialize_rollup
 
     reports: list[dict] = []
@@ -89,6 +90,13 @@ def update_derived_tables(
                     mode=r.mode,
                     groups_updated=r.groups_updated,
                     groups_deleted=r.groups_deleted,
+                )
+            elif e["kind"] == "feature":
+                r = update_feature_table(source, t, branch=branch)
+                rep.update(
+                    mode=r.mode,
+                    upserted=r.rows_upserted,
+                    removed=r.rows_removed,
                 )
             elif e["kind"] == "ann-index":
                 r = update_ann_index(source, t, branch=branch)
