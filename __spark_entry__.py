@@ -1193,19 +1193,21 @@ def q_kmeans_ivf(spark, sf):
     return kmeans_assign(e, cents)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, seed: int = 11, dim: int = 64) -> str:
+def _kmeans_ctes(
+    v_cte: str, k: int = 8, iters: int = 3, seed: int = 11, dim: int = 64
+) -> tuple[str, str]:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the exact replica of
-    kmeans_fit/kmeans_assign (same init order, same grid snap, same
-    lowest-cell tie-break, same empty-cell carry)."""
+    kmeans_fit (same init order, same grid snap, same lowest-cell
+    tie-break, same empty-cell carry). `v_cte` must define `v(vec_id, e)`
+    with e a DOUBLE list; returns (joined CTE chain ending at c{iters},
+    the d2 expression for assignment selects)."""
     d2 = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         "j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j])))"
     )
     rn_order = f"ORDER BY md5(CAST(vec_id AS VARCHAR) || '{seed}'), vec_id"
     ctes = [
-        "v AS (SELECT vec_id, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
-        "FROM embeddings)",
+        v_cte,
         f"c0 AS (SELECT CAST(row_number() OVER ({rn_order}) - 1 AS INT) "
         f"AS cell, e AS c FROM v "
         f"QUALIFY row_number() OVER ({rn_order}) <= {k})",
@@ -1230,15 +1232,94 @@ def _kmeans_sql(k: int = 8, iters: int = 3, seed: int = 11, dim: int = 64) -> st
             f"c{i} AS (SELECT p.cell, coalesce(m.c, p.c) AS c "
             f"FROM {prev} p LEFT JOIN m{i} m USING (cell))"
         )
+    return ",\n".join(ctes), d2
+
+
+_KMEANS_V_RAW = (
+    "v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+    "FROM embeddings)"
+)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, seed: int = 11, dim: int = 64) -> str:
+    """kmeans_fit + kmeans_assign replica over the raw embeddings."""
+    ctes, d2 = _kmeans_ctes(_KMEANS_V_RAW, k, iters, seed, dim)
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ctes
         + f"""
         SELECT vec_id, cell, floor(d2 * 1e4 + 0.5) / 1e4 AS d2 FROM (
           SELECT v.vec_id, c.cell, {d2} AS d2,
                  row_number() OVER (PARTITION BY v.vec_id
                                     ORDER BY {d2}, c.cell) AS rn
           FROM v, c{iters} c) WHERE rn = 1"""
+    )
+
+
+_SEMDEDUP_PLANT = 1 << 20  # planted duplicate ids = base id + this
+
+
+def _semantic_dedup_sql(
+    k: int = 8, iters: int = 3, seed: int = 11, dim: int = 64, tau: float = 0.95
+) -> str:
+    """semantic_dedup replica: the same Lloyd chain over L2-NORMALIZED
+    vectors of the planted corpus (embeddings ∪ ×2-scaled copies of
+    vec_id % 5 == 0 — exact duplicates at cosine 1.0 in both engines),
+    then within-cell lower-id-neighbor drops."""
+    v_cte = f"""corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + {_SEMDEDUP_PLANT},
+                 list_transform(embedding, x -> x * CAST(2 AS REAL))
+          FROM embeddings WHERE vec_id % 5 = 0),
+        v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)
+            / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))) AS e
+          FROM corpus)"""
+    ctes, d2 = _kmeans_ctes(v_cte, k, iters, seed, dim)
+    return (
+        "WITH "
+        + ctes
+        + f""",
+        asg AS (SELECT vec_id, e, cell FROM (
+          SELECT v.vec_id, v.e, c.cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {d2}, c.cell) AS rn
+          FROM v, c{iters} c) WHERE rn = 1),
+        dup AS (SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= {tau})
+        SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+        FROM asg a LEFT JOIN dup d USING (vec_id)"""
+    )
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup semantic deduplication, ORACLE-CHECKED
+    (functions/similarity.py::semantic_dedup, Abbas et al.
+    arXiv:2303.09540): k-means over L2-normalized embeddings, then
+    within each cluster every vector with a lower-id neighbor at
+    cosine >= 0.95 is dropped. The fixture plants exact semantic
+    duplicates — a ×2-scaled copy of every vec_id % 5 == 0 vector
+    (scaling by 2 is IEEE-exact, so the normalized copy is bit-equal to
+    its base in both engines and their cosine is exactly 1.0) — which
+    must land in the base's cell and be the dropped endpoint; DuckDB
+    replays the full Lloyd chain + the within-cell drop rule."""
+    from airbyte_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _SEMDEDUP_PLANT).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0).cast("float")
+        ).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(planted), k=8, n_iters=3, seed=11, threshold=0.95
     )
 
 
@@ -3231,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "shuffle_shards": q_shuffle_shards,
         "kmeans_ivf": q_kmeans_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
@@ -3746,6 +3828,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "kmeans_ivf": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "webdataset_export": """
             WITH ids AS (
               SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id

@@ -544,3 +544,73 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def l2_normalize(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vec/|vec|) in double. The norm is a separate projected column
+    so the per-element lambda references a cheap column, not a re-run
+    aggregate (CLAUDE.md gotcha 11: HOF lambdas re-evaluate
+    subexpressions per element)."""
+    return (
+        corpus.select(id_col, vec_col)
+        .withColumn("_n", norm(F.col(vec_col)))
+        .select(
+            id_col,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_n")
+            ).alias(vec_col),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    seed: int = 11,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): partition the
+    L2-normalized embedding space with k-means, then inside each cluster
+    drop every vector that has a LOWER-id neighbor at cosine >=
+    threshold — one deterministic representative survives per
+    semantic-duplicate star (the paper keeps one per group; lowest id
+    pins the choice so two engines agree).
+
+    Returns (id_col, cell, keep). Scale shape: normalization and
+    assignment are one Arrow pass each; pairwise work is confined to
+    cells via a cell-bucketed self-join (choose k ~ N / target-cell-size,
+    the paper's regime — never all-pairs); exact duplicates land in the
+    SAME cell by construction because clustering runs on unit vectors.
+    Oracle-replicable end to end: seeded md5 init + 1e-6 grid snap
+    (kmeans_fit) and a left-to-right double cosine, so DuckDB replays
+    the identical decisions."""
+    unit = l2_normalize(corpus, id_col, vec_col)
+    if cents is None:
+        cents = kmeans_fit(unit, k, n_iters, seed, id_col, vec_col)
+    asg = kmeans_assign(unit, cents, id_col, vec_col).select(id_col, "cell")
+    v = unit.join(asg, id_col)
+    left = v.select(
+        F.col(id_col).alias("_id_a"), "cell", F.col(vec_col).alias("_va")
+    )
+    right = v.select(
+        F.col(id_col).alias("_id_b"), "cell", F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        v.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(id_col, "cell", F.col("_dup").isNull().alias("keep"))
+    )
