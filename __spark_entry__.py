@@ -1298,6 +1298,51 @@ def _semantic_dedup_sql(
     )
 
 
+def q_data_expectations(spark, sf):
+    """Declarative data-quality expectations, ORACLE-CHECKED
+    (operators/expectations.py): every rule kind exercised over the
+    documents and events tables — not_null / unique / accepted_values /
+    range / regex / expression / freshness (explicit `now`, never
+    wall-clock). All row-level rules fold into ONE scan (single
+    partial-agg reduce, plan-asserted in tests); DuckDB recomputes each
+    rule's (violations, checked) pair directly."""
+    from airbyte_spark.operators.expectations import validate
+
+    rep_d = validate(
+        _t(spark, sf, "documents"),
+        [
+            {"rule": "not_null", "column": "text"},
+            {"rule": "unique", "columns": ["doc_id"]},
+            {
+                "rule": "accepted_values",
+                "column": "lang",
+                "values": ["en", "es", "de", "fr"],
+            },
+            {"rule": "range", "column": "n_chars", "min": 1, "max": 100000},
+            {"rule": "regex", "column": "lang", "pattern": "^[a-z]{2}$"},
+            {
+                "rule": "expression",
+                "name": "n_chars_matches",
+                "sql": "n_chars = length(text)",
+            },
+        ],
+    ).withColumn("tbl", F.lit("documents"))
+    rep_e = validate(
+        _t(spark, sf, "events"),
+        [
+            {"rule": "unique", "columns": ["event_id"]},
+            {
+                "rule": "freshness",
+                "column": "ts",
+                "max_age_s": 14 * 86400,
+                "now": "2024-01-31T00:00:00",
+            },
+            {"rule": "range", "column": "value", "min": 0.0},
+        ],
+    ).withColumn("tbl", F.lit("events"))
+    return rep_d.unionByName(rep_e)
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup semantic deduplication, ORACLE-CHECKED
     (functions/similarity.py::semantic_dedup, Abbas et al.
@@ -3313,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "kmeans_ivf": q_kmeans_ivf,
         "semantic_dedup": q_semantic_dedup,
+        "data_expectations": q_data_expectations,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
@@ -3829,6 +3875,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "data_expectations": """
+            WITH d AS (
+              SELECT 0 AS rid, 'not_null' AS rule, 'text' AS col,
+                     CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM documents
+              UNION ALL
+              SELECT 1, 'unique', 'doc_id',
+                     CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM documents WHERE doc_id IS NOT NULL
+              UNION ALL
+              SELECT 2, 'accepted_values', 'lang',
+                     CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                       ('en','es','de','fr') THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(lang) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 3, 'range', 'n_chars',
+                     CAST(sum(CASE WHEN n_chars IS NOT NULL AND
+                       (n_chars < 1 OR n_chars > 100000)
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(n_chars) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 4, 'regex', 'lang',
+                     CAST(sum(CASE WHEN lang IS NOT NULL AND
+                       NOT regexp_matches(lang, '^[a-z]{2}$')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(lang) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 5, 'expression', 'n_chars_matches',
+                     CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text),
+                       FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM documents),
+            e AS (
+              SELECT 0 AS rid, 'unique' AS rule, 'event_id' AS col,
+                     CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events WHERE event_id IS NOT NULL
+              UNION ALL
+              SELECT 1, 'freshness', 'ts',
+                     CAST(sum(CASE WHEN ts IS NOT NULL AND ts <
+                       TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 1209600
+                       SECOND THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(ts) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 2, 'range', 'value',
+                     CAST(sum(CASE WHEN value IS NOT NULL AND value < 0.0
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(value) AS BIGINT)
+              FROM events)
+            SELECT CAST(rid AS INTEGER) AS rule_id, rule, col AS "column",
+                   v AS violations, c AS checked, v = 0 AS passed,
+                   'documents' AS tbl
+            FROM d
+            UNION ALL
+            SELECT CAST(rid AS INTEGER), rule, col, v, c, v = 0, 'events'
+            FROM e
+        """,
         "webdataset_export": """
             WITH ids AS (
               SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id
