@@ -73,12 +73,17 @@ def audit_branch(
     max_row_delta_fraction: float | None = None,
     max_delete_file_debt: int | None = None,
     expectations: dict[str, str] | None = None,
+    rules: list[dict] | None = None,
 ) -> list[AuditResult]:
     """Run the audit suite against `branch` and return every result
     (callers usually go through `publish_branch`, which raises on any
     failure). `expectations` maps audit name -> boolean SQL predicate
     over the staged rows; a row where the predicate is NULL or false is
-    a violation."""
+    a violation. `rules` accepts the full declarative grammar of
+    operators/expectations.py (not_null / unique / accepted_values /
+    range / regex / expression / freshness) — one extra pass over the
+    staged scan (the row-level rules themselves share a single
+    aggregate), one AuditResult per rule."""
     results: list[AuditResult] = []
     pk = table.primary_key
 
@@ -114,6 +119,19 @@ def audit_branch(
         results.append(
             AuditResult(name, bad == 0, bad, "violating rows")
         )
+
+    if rules:
+        from airbyte_spark.operators.expectations import validate as _validate
+
+        for r in _validate(df, rules).collect():
+            results.append(
+                AuditResult(
+                    f"{r['rule']}:{r['column']}",
+                    bool(r["passed"]),
+                    int(r["violations"]),
+                    f"violations of {r['checked']} checked",
+                )
+            )
 
     if require_no_dup_pk and pk:
         # partial-agg groupBy on the PK projection only; nothing wide

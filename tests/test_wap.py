@@ -237,3 +237,37 @@ def test_publish_cherry_picks_on_conflict(spark, tmp_table_dir):
     assert {r["id"] for r in t.scan().collect()} == {"a", "b", "c", "z"}
     assert t.tags["rebased"] == t.current_snapshot_id("main")
     assert "staging" not in t.branches()
+
+
+def test_declarative_rules_gate_publish(spark, tmp_table_dir):
+    """The full expectations grammar (operators/expectations.py) plugs
+    into the audit: a staged batch with an out-of-range value is
+    refused; re-staging clean rows publishes, with one AuditResult per
+    rule."""
+    t = _staged(
+        spark, tmp_table_dir,
+        [(f"k{i}", i) for i in range(4)],
+        [("bad", -7), ("ok", 5)],
+    )
+    rules = [
+        {"rule": "range", "column": "v", "min": 0},
+        {"rule": "not_null", "column": "id"},
+        {"rule": "regex", "column": "id", "pattern": "^[a-z0-9]+$"},
+    ]
+    before = t.current_snapshot_id("main")
+    with pytest.raises(AuditFailed, match="range:v=1"):
+        publish_branch(t, "staging", rules=rules)
+    assert t.current_snapshot_id("main") == before
+
+    results = audit_branch(t, "staging", rules=rules)
+    by = {r.name: r for r in results}
+    assert by["range:v"].passed is False and by["range:v"].observed == 1
+    assert by["not_null:id"].passed and by["regex:id"].passed
+
+    # fix the branch: replace it at main and stage clean rows
+    t.drop_branch("staging")
+    t.create_branch("staging")
+    t.append(spark.createDataFrame([("ok2", 7)], SCHEMA), branch="staging")
+    results = publish_branch(t, "staging", rules=rules)
+    assert all(r.passed for r in results)
+    assert t.scan().count() == 5
