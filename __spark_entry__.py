@@ -1298,6 +1298,18 @@ def _semantic_dedup_sql(
     )
 
 
+def q_corpus_report(spark, sf):
+    """Per-(source, lang) corpus statistics, ORACLE-CHECKED
+    (functions/text.py::corpus_report): doc counts, token/char totals,
+    mean + EXACT median/p90 token counts — the numbers a mixture design
+    starts from. Exact percentile (not approx) so DuckDB's quantile_cont
+    replays it bit-for-bit; the aggregate stays one partial-agg shuffle
+    keyed by the group columns."""
+    from airbyte_spark.functions.text import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents"))
+
+
 def q_data_expectations(spark, sf):
     """Declarative data-quality expectations, ORACLE-CHECKED
     (operators/expectations.py): every rule kind exercised over the
@@ -3359,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ivf": q_kmeans_ivf,
         "semantic_dedup": q_semantic_dedup,
         "data_expectations": q_data_expectations,
+        "corpus_report": q_corpus_report,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
@@ -3875,6 +3888,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "corpus_report": r"""
+            WITH t AS (
+              SELECT source, lang,
+                     CAST(len(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       w -> w != '')) AS BIGINT) AS tok,
+                     CAST(length(text) AS BIGINT) AS ch
+              FROM documents)
+            SELECT source, lang,
+                   count(*) AS docs,
+                   CAST(sum(tok) AS BIGINT) AS tokens,
+                   CAST(sum(ch) AS BIGINT) AS chars,
+                   round(avg(tok), 6) AS mean_tokens,
+                   round(quantile_cont(tok, 0.5), 6) AS median_tokens,
+                   round(quantile_cont(tok, 0.9), 6) AS p90_tokens
+            FROM t GROUP BY source, lang
+        """,
         "data_expectations": """
             WITH d AS (
               SELECT 0 AS rid, 'not_null' AS rule, 'text' AS col,

@@ -105,3 +105,29 @@ def fingerprint64(text: Column) -> Column:
 
 def normalized_text(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def corpus_report(docs, group_cols=("source", "lang"), text_col="text"):
+    """Per-group corpus statistics for mixture design: doc count, token
+    and char totals, mean and EXACT median/p90 token counts (exact —
+    not approx_percentile — so a DuckDB oracle agrees bit-for-bit;
+    Spark's exact percentile aggregates a value->count map per group,
+    partial-agg-combinable and bounded by the distinct token-count
+    range, so the shape survives 10^12 rows — switch to
+    percentile_approx only if ±1% is acceptable)."""
+    from pyspark.sql import functions as F
+
+    t = token_count(F.col(text_col)).cast("long")
+    pre = docs.select(
+        *group_cols,
+        t.alias("_t"),
+        F.length(F.col(text_col)).cast("long").alias("_c"),
+    )
+    return pre.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("_t").alias("tokens"),
+        F.sum("_c").alias("chars"),
+        F.round(F.avg("_t"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(_t, 0.5)"), 6).alias("median_tokens"),
+        F.round(F.expr("percentile(_t, 0.9)"), 6).alias("p90_tokens"),
+    )

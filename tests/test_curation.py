@@ -209,3 +209,22 @@ def test_repetition_signals_empty_text(spark):
         assert got[i]["n_tokens"] == 0
         assert got[i]["dup_trigram_frac"] == 0.0
         assert got[i]["top_unigram_frac"] == 0.0
+
+
+def test_corpus_report_exact_percentiles(spark):
+    """corpus_report's median/p90 are EXACT linear-interpolated
+    percentiles (hand-checked), not approximations."""
+    from airbyte_spark.functions.text import corpus_report
+
+    rows = [("s", "en", " ".join(["w"] * n)) for n in (1, 2, 3, 10)]
+    rows += [("s", "de", "a b"), ("s", "de", "")]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {(r["source"], r["lang"]): r for r in corpus_report(df).collect()}
+    en = got[("s", "en")]
+    # sorted token counts [1,2,3,10]: median = 2.5, p90 at pos 2.7 -> 3+0.7*7
+    assert en["docs"] == 4 and en["tokens"] == 16
+    assert en["median_tokens"] == 2.5
+    assert en["p90_tokens"] == 7.9
+    assert en["mean_tokens"] == 4.0
+    de = got[("s", "de")]
+    assert de["docs"] == 2 and de["tokens"] == 2 and de["median_tokens"] == 1.0
