@@ -1298,6 +1298,24 @@ def _semantic_dedup_sql(
     )
 
 
+def q_quantize_int8(spark, sf):
+    """Symmetric int8 embedding quantization, ORACLE-CHECKED
+    (functions/similarity.py::quantize_int8 — the 4x-compression SQ8
+    storage path for billion-vector ANN): per-vector scale max(|x|)/127,
+    codes floor(x/scale + 0.5) clamped to [-127, 127] (floor, not
+    round — engines disagree on negative half-rounding). Returned
+    posexploded so every single code is value-checked against DuckDB's
+    replay."""
+    from airbyte_spark.functions.similarity import quantize_int8
+
+    q = quantize_int8(_t(spark, sf, "embeddings").select("vec_id", "embedding"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.posexplode("qvec").alias("pos", "q"),
+    )
+
+
 def q_corpus_report(spark, sf):
     """Per-(source, lang) corpus statistics, ORACLE-CHECKED
     (functions/text.py::corpus_report): doc counts, token/char totals,
@@ -3372,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "data_expectations": q_data_expectations,
         "corpus_report": q_corpus_report,
+        "quantize_int8": q_quantize_int8,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
@@ -3888,6 +3907,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "quantize_int8": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings)
+            , u AS (
+              SELECT vec_id, scale,
+                     generate_subscripts(embedding, 1) AS j,
+                     unnest(embedding) AS x
+              FROM s)
+            SELECT vec_id, round(scale, 9) AS scale,
+                   CAST(j - 1 AS INTEGER) AS pos,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE greatest(-127.0, least(127.0,
+                          floor(CAST(x AS DOUBLE) / scale + 0.5)))
+                        END AS TINYINT) AS q
+            FROM u
+        """,
         "corpus_report": r"""
             WITH t AS (
               SELECT source, lang,

@@ -614,3 +614,54 @@ def semantic_dedup(
         .join(dropped, id_col, "left")
         .select(id_col, "cell", F.col("_dup").isNull().alias("keep"))
     )
+
+
+def quantize_int8(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization for embedding storage (the
+    standard 4x-compression trick for billion-vector ANN corpora;
+    FAISS's SQ8 / Milvus's SQ8 family): per-vector scale =
+    max(|x|) / 127, q_i = floor(x_i / scale + 0.5) in [-127, 127].
+    floor(x + 0.5) — not round() — because engines disagree on
+    half-rounding of negatives while floor is IEEE-identical everywhere
+    (same trick as kmeans' grid snap). All-zero vectors get scale 0 and
+    zero codes (dequantize maps them back to zeros).
+
+    Pure codegen: one projection computes the scale, a second transforms
+    with the scale as a cheap column reference (an inlined aggregate
+    would re-run per element — CLAUDE.md gotcha 11). Returns
+    (id, scale double, qvec array<tinyint>)."""
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    staged = corpus.select(
+        id_col, vec_col, (amax / F.lit(127.0)).alias("scale")
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0), F.floor(x.cast("double") / F.col("scale") + 0.5)
+                ),
+            )
+        )
+        .cast("tinyint"),
+    )
+    return staged.select(id_col, "scale", q.alias("qvec"))
+
+
+def dequantize_int8(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, embedding array<double>): q_i * scale — reconstruction error
+    is bounded by scale/2 per component (tested)."""
+    return quantized.select(
+        id_col,
+        F.transform(
+            F.col("qvec"), lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )

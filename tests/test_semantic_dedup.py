@@ -74,3 +74,50 @@ def test_pair_join_is_cell_bucketed(spark):
     out = semantic_dedup(_corpus(spark, _base_rows()), k=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    """Reconstruction error <= scale/2 per component; zero vectors
+    survive; codes stay in [-127, 127]."""
+    from airbyte_spark.functions.similarity import dequantize_int8, quantize_int8
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (rng.normal(size=16) * (10.0 ** (i % 4 - 2))).tolist()) for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_int8(df)
+    back = dequantize_int8(q)
+    orig = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    codes = {r["vec_id"]: r["qvec"] for r in q.collect()}
+    for r in back.collect():
+        i = r["vec_id"]
+        assert all(-127 <= c <= 127 for c in codes[i])
+        for a, b in zip(orig[i], r["embedding"]):
+            assert abs(a - b) <= scales[i] / 2 + 1e-12
+    assert scales[99] == 0.0 and all(c == 0 for c in codes[99])
+    assert all(x == 0.0 for x in {r["vec_id"]: r for r in back.collect()}[99]["embedding"])
+
+
+def test_quantized_ann_recall(spark):
+    """Brute-force top-k over dequantized int8 vectors recalls >=80% of
+    the exact float top-10 on the fixture corpus — the storage path is
+    usable for re-ranking."""
+    from airbyte_spark.functions.similarity import (
+        brute_force_topk,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=10, exact=True)
+    deq = dequantize_int8(quantize_int8(emb))
+    approx = brute_force_topk(deq, queries, k=10, exact=True)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
