@@ -1298,6 +1298,21 @@ def _semantic_dedup_sql(
     )
 
 
+def q_split_assign(spark, sf):
+    """Leakage-safe train/val/test split, ORACLE-CHECKED
+    (functions/sampling.py::assign_splits): the split label is a pure
+    function of the GROUP key (user_id here) via cumulative md5-prefix
+    bands, so all events of a user land in one split and grouped
+    near-duplicates can never straddle the train/eval boundary. DuckDB
+    replays the identical CASE over the identical hash prefix."""
+    from airbyte_spark.functions.sampling import assign_splits
+
+    e = _t(spark, sf, "events").select("event_id", "user_id")
+    return assign_splits(
+        e, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split-r5"
+    )
+
+
 def q_quantize_int8(spark, sf):
     """Symmetric int8 embedding quantization, ORACLE-CHECKED
     (functions/similarity.py::quantize_int8 — the 4x-compression SQ8
@@ -3391,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_expectations": q_data_expectations,
         "corpus_report": q_corpus_report,
         "quantize_int8": q_quantize_int8,
+        "split_assign": q_split_assign,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
@@ -3907,6 +3923,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "split_assign": """
+            SELECT event_id, user_id,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)
+                                        || 'split-r5'), 1, 8) < 'cccccccc'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(user_id AS VARCHAR)
+                                        || 'split-r5'), 1, 8) < 'e6666666'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events
+        """,
         "quantize_int8": """
             WITH s AS (
               SELECT vec_id, embedding,

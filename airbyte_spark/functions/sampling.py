@@ -240,3 +240,43 @@ def pack_documents(
             ).alias("bin_id"),
         )
     )
+
+
+def split_expr(key: Column, splits: dict[str, float], seed: str = "") -> Column:
+    """Deterministic split label for ``key`` — cumulative md5-prefix
+    thresholds cut the hash space into one band per split, so
+    P(split s) == fraction(s) (to the 8-hex-digit resolution of
+    fraction_threshold) and the SAME key always lands in the SAME split
+    in any engine. Fractions must be >= 0 and sum to 1 (the last split
+    absorbs the hash-space remainder as the CASE else-branch)."""
+    names = list(splits)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    if any(v < 0 for v in splits.values()):
+        raise ValueError(f"split fractions must be >= 0: {splits}")
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {splits}")
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 8)
+    out = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(fraction_threshold(min(cum, 1.0 - 1e-12)))
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    return out.otherwise(names[-1])
+
+
+def assign_splits(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of ``group_col`` (a user, a source domain, a dedup-cluster
+    representative), so every row of a group lands in the SAME split and
+    near-duplicate rows sharing the group key can never straddle the
+    train/eval boundary. One codegen projection — no shuffle, no state,
+    reproducible across engines and reruns."""
+    return df.withColumn(out_col, split_expr(F.col(group_col), splits, seed))

@@ -177,3 +177,43 @@ def test_pack_documents_property(spark, weights, budget, n_ranges):
 def test_pack_documents_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, w long")
     assert pack_documents(df, "doc_id", "w", budget=10).count() == 0
+
+
+def test_assign_splits_group_cohesion_and_proportions(spark):
+    """Every row of a group gets the same split; proportions track the
+    fractions; assignment is deterministic and seed-sensitive."""
+    from airbyte_spark.functions.sampling import assign_splits
+
+    df = spark.range(20000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 2000).alias("user_id")
+    )
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(df, "user_id", splits, seed="s1")
+    per_group = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert per_group == 1  # leakage-safe: one split per group
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.05
+    assert abs(counts["val"] / 20000 - 0.1) < 0.03
+    # deterministic across invocations, different under another seed
+    again = assign_splits(df, "user_id", splits, seed="s1")
+    assert out.exceptAll(again).count() == 0
+    other = assign_splits(df, "user_id", splits, seed="s2")
+    assert out.exceptAll(other).count() > 0
+
+
+def test_assign_splits_validation(spark):
+    from airbyte_spark.functions.sampling import assign_splits
+
+    df = spark.range(4).select(F.col("id").alias("g"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "g", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match=">= 0"):
+        assign_splits(df, "g", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="at least two"):
+        assign_splits(df, "g", {"a": 1.0})
