@@ -1298,6 +1298,31 @@ def _semantic_dedup_sql(
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Fixed-size overlapping document chunking, ORACLE-CHECKED
+    (functions/curation.py::chunk_documents — the RAG / long-context
+    pre-chunking shape): chunk starts 0, stride, 2*stride with stride =
+    chunk_size - overlap, final chunk short, empty docs chunkless. One
+    sequence+posexplode projection, zero shuffles (plan-asserted in
+    tests); DuckDB replays via unnest(range(...)) + substr."""
+    from airbyte_spark.functions.curation import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, chunk_size=200, overlap=40)
+
+
+def q_build_vocab(spark, sf):
+    """Corpus vocabulary build, ORACLE-CHECKED
+    (functions/text.py::build_vocab — tokenizer-training prep): top-100
+    lowercase tokens by frequency with deterministic (count desc, token
+    asc) ties; top-k runs as TakeOrderedAndProject after a partial-agg
+    count, rank assigned after the limit so the only single-partition
+    window is over <= size rows."""
+    from airbyte_spark.functions.text import build_vocab
+
+    return build_vocab(_t(spark, sf, "documents"), size=100, min_count=2)
+
+
 def q_split_assign(spark, sf):
     """Leakage-safe train/val/test split, ORACLE-CHECKED
     (functions/sampling.py::assign_splits): the split label is a pure
@@ -3407,6 +3432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "quantize_int8": q_quantize_int8,
         "split_assign": q_split_assign,
+        "chunk_documents": q_chunk_documents,
+        "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
         "metadata_partitions": q_metadata_partitions,
@@ -3923,6 +3950,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "chunk_documents": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     range(0, greatest(length(text), 1), 160) AS starts
+              FROM documents WHERE text IS NOT NULL),
+            u AS (
+              SELECT doc_id, text,
+                     CAST(generate_subscripts(starts, 1) - 1 AS INTEGER)
+                       AS chunk_id,
+                     CAST(unnest(starts) AS INTEGER) AS start
+              FROM c)
+            SELECT doc_id, chunk_id, start,
+                   substr(text, start + 1, 200) AS chunk_text
+            FROM u WHERE start < length(text)
+        """,
+        "build_vocab": r"""
+            WITH tok AS (
+              SELECT unnest(list_transform(
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   w -> w != ''),
+                       w -> lower(w))) AS token
+              FROM documents),
+            counted AS (
+              SELECT token, count(*) AS count FROM tok
+              GROUP BY token HAVING count(*) >= 2
+              ORDER BY count DESC, token ASC LIMIT 100)
+            SELECT CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                        AS INTEGER) AS rank,
+                   token, count
+            FROM counted
+        """,
         "split_assign": """
             SELECT event_id, user_id,
                    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)

@@ -277,3 +277,43 @@ def gopher_quality_filter(
         & (F.col("top_unigram_frac") <= max_top_unigram_frac)
     )
     return sig.withColumn("keep", keep)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    ``overlap`` carried between neighbors (the RAG / long-context
+    pre-chunking shape). Chunk starts are 0, stride, 2*stride, ... with
+    stride = chunk_size - overlap; the final chunk may be short; empty
+    documents produce no chunks. Pure codegen — one sequence+explode per
+    row, substring per generated ROW (not per HOF element, so nothing
+    re-evaluates), no shuffle at all. Returns (id, chunk_id, start,
+    chunk_text)."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be > 0: {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"overlap must be in [0, chunk_size): {overlap}")
+    stride = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select(
+            id_col,
+            F.col(text_col).alias("_txt"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .filter(F.col("start") < F.length("_txt"))
+        .select(
+            id_col,
+            "chunk_id",
+            "start",
+            F.substring(F.col("_txt"), F.col("start") + 1, chunk_size).alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -131,3 +131,32 @@ def corpus_report(docs, group_cols=("source", "lang"), text_col="text"):
         F.round(F.expr("percentile(_t, 0.5)"), 6).alias("median_tokens"),
         F.round(F.expr("percentile(_t, 0.9)"), 6).alias("p90_tokens"),
     )
+
+
+def build_vocab(
+    docs, size: int, text_col: str = "text", min_count: int = 1
+):
+    """Top-``size`` vocabulary by corpus frequency (tokenizer-training
+    prep): lowercase whitespace tokens -> partial-agg count ->
+    TakeOrderedAndProject top-k (count desc, token asc — deterministic
+    ties), rank assigned AFTER the limit so the only single-partition
+    window runs over at most ``size`` rows. Returns (rank, token, count)
+    with rank 1-based."""
+    from pyspark.sql import Window
+
+    counted = (
+        docs.select(
+            F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return counted.select(
+        F.row_number().over(w).alias("rank"), "token", "count"
+    )

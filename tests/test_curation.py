@@ -228,3 +228,56 @@ def test_corpus_report_exact_percentiles(spark):
     assert en["mean_tokens"] == 4.0
     de = got[("s", "de")]
     assert de["docs"] == 2 and de["tokens"] == 2 and de["median_tokens"] == 1.0
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    from airbyte_spark.functions.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["start"], r["chunk_text"]) for r in out}
+    # doc 1 (len 10, stride 3): starts 0,3,6,9
+    assert got[(1, 0)] == (0, "abcd")
+    assert got[(1, 1)] == (3, "defg")
+    assert got[(1, 2)] == (6, "ghij")
+    assert got[(1, 3)] == (9, "j")
+    assert got[(2, 0)] == (0, "xyz")
+    assert len(got) == 5  # empty and null docs produce no chunks
+    # every neighbor pair shares exactly `overlap` characters
+    assert got[(1, 1)][1][:1] == got[(1, 0)][1][-1:]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(df, chunk_size=0)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from airbyte_spark.functions.curation import chunk_documents
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("hello world " * 20).alias("text")
+    )
+    plan = (
+        chunk_documents(df, 64, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_build_vocab_rank_and_ties(spark):
+    from airbyte_spark.functions.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b a a A c b"), (2, "a B z")], "doc_id long, text string"
+    )
+    out = build_vocab(df, size=3).collect()
+    assert [(r["rank"], r["token"], r["count"]) for r in out] == [
+        (1, "a", 4),
+        (2, "b", 3),
+        (3, "c", 1),  # ties (c=z=1) break alphabetically
+    ]
+    out2 = build_vocab(df, size=10, min_count=2).collect()
+    assert {r["token"] for r in out2} == {"a", "b"}
