@@ -1298,6 +1298,25 @@ def _semantic_dedup_sql(
     )
 
 
+def q_quality_representatives(spark, sf):
+    """Quality-aware cluster dedup, ORACLE-CHECKED
+    (functions/dedup.py::quality_representatives): near-dup PAIRS become
+    CLUSTERS via distributed min-label propagation, then the
+    best-quality member survives per cluster (ties -> lowest id). The
+    pair fixture is closed-form star graphs — every doc links to its
+    7-block hub — so DuckDB knows each component without recursion
+    (component = doc_id - doc_id % 7) and replays the survivor window
+    over n_chars exactly."""
+    from airbyte_spark.functions.dedup import quality_representatives
+
+    d = _t(spark, sf, "documents")
+    pairs = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("id_b"),
+    )
+    return quality_representatives(d, pairs, "n_chars")
+
+
 def q_chunk_documents(spark, sf):
     """Fixed-size overlapping document chunking, ORACLE-CHECKED
     (functions/curation.py::chunk_documents — the RAG / long-context
@@ -3433,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": q_quantize_int8,
         "split_assign": q_split_assign,
         "chunk_documents": q_chunk_documents,
+        "quality_representatives": q_quality_representatives,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
@@ -3950,6 +3970,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "quality_representatives": """
+            SELECT doc_id,
+                   doc_id - doc_id % 7 AS component,
+                   row_number() OVER (
+                     PARTITION BY doc_id - doc_id % 7
+                     ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+            FROM documents
+        """,
         "chunk_documents": """
             WITH c AS (
               SELECT doc_id, text,

@@ -755,3 +755,44 @@ def dedup_representatives(
         F.col("id").alias(doc_id)
     )
     return docs.join(losers, doc_id, "left_anti")
+
+
+def quality_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    doc_id: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, component, keep): cluster-level dedup keeping the
+    BEST-quality member of each near-dup cluster (ties -> lowest id)
+    instead of dedup_representatives' blind min-id — the standard
+    curation refinement: when a duplicate class mixes a clean original
+    with boilerplate-wrapped copies, quality (Gopher signals, length,
+    model score) should pick the survivor, not id order. Docs in no
+    pair are their own component and always kept.
+
+    Scale shape: min-label propagation for components
+    (connected_components), then ONE row_number window hash-partitioned
+    by component — no joins wider than (id, component, quality)."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias(doc_id), F.col("comp")
+    )
+    labeled = docs.select(doc_id, quality_col).join(
+        comps, doc_id, "left"
+    ).select(
+        doc_id,
+        F.coalesce(F.col("comp"), F.col(doc_id)).alias("component"),
+        F.col(quality_col),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc(doc_id)
+    )
+    return labeled.select(
+        doc_id,
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -281,3 +281,32 @@ def test_build_vocab_rank_and_ties(spark):
     ]
     out2 = build_vocab(df, size=10, min_count=2).collect()
     assert {r["token"] for r in out2} == {"a", "b"}
+
+
+def test_quality_representatives_chain_and_singletons(spark):
+    """Chains collapse to one survivor chosen by quality (not id); docs
+    in no pair always survive."""
+    from airbyte_spark.functions.dedup import quality_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (9, 1)],
+        "doc_id long, q long",
+    )
+    # chain 1-2, 2-3 -> one cluster {1,2,3}; 7 and 9 unpaired
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in quality_representatives(docs, pairs, "q").collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]  # q=99 wins
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert out[7]["keep"] and out[9]["keep"]
+    assert out[7]["component"] == 7 and out[9]["component"] == 9
+
+
+def test_quality_representatives_tie_breaks_to_lowest_id(spark):
+    from airbyte_spark.functions.dedup import quality_representatives
+
+    docs = spark.createDataFrame(
+        [(4, 7), (5, 7), (6, 7)], "doc_id long, q long"
+    )
+    pairs = spark.createDataFrame([(5, 4), (6, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["keep"] for r in quality_representatives(docs, pairs, "q").collect()}
+    assert out == {4: True, 5: False, 6: False}
