@@ -1298,6 +1298,29 @@ def _semantic_dedup_sql(
     )
 
 
+def q_exact_sample(spark, sf):
+    """Exact-k deterministic sample, ORACLE-CHECKED
+    (functions/sampling.py::exact_sample): min(k, n) rows by
+    md5(key||seed) order — reproducible eval-set construction that plans
+    as TakeOrderedAndProject (per-partition local top-k, no global
+    sort; plan-asserted in tests)."""
+    from airbyte_spark.functions.sampling import exact_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return exact_sample(d, "doc_id", 200, seed="es-r5")
+
+
+def q_balanced_sample(spark, sf):
+    """Class-balanced per-stratum sample, ORACLE-CHECKED
+    (functions/sampling.py::balanced_sample): exactly min(k, stratum
+    size) docs per language in md5(key||seed) order — equal eval slices
+    regardless of corpus skew, one stratum-partitioned window."""
+    from airbyte_spark.functions.sampling import balanced_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return balanced_sample(d, "doc_id", "lang", 30, seed="bs-r5")
+
+
 def q_quality_representatives(spark, sf):
     """Quality-aware cluster dedup, ORACLE-CHECKED
     (functions/dedup.py::quality_representatives): near-dup PAIRS become
@@ -3453,6 +3476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "chunk_documents": q_chunk_documents,
         "quality_representatives": q_quality_representatives,
+        "exact_sample": q_exact_sample,
+        "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
         "feature_table_sync": q_feature_table_sync,
@@ -3970,6 +3995,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "exact_sample": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'es-r5'), doc_id
+            LIMIT 200
+        """,
+        "balanced_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'bs-r5'),
+                                doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 30
+        """,
         "quality_representatives": """
             SELECT doc_id,
                    doc_id - doc_id % 7 AS component,

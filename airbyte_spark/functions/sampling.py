@@ -280,3 +280,43 @@ def assign_splits(
     train/eval boundary. One codegen projection — no shuffle, no state,
     reproducible across engines and reruns."""
     return df.withColumn(out_col, split_expr(F.col(group_col), splits, seed))
+
+
+def exact_sample(
+    df: DataFrame, key_col: str, k: int, seed: str = ""
+) -> DataFrame:
+    """EXACTLY min(k, n) rows, chosen by the md5(key||seed) order — the
+    deterministic replacement for reservoir sampling when the sample
+    must be reproducible across engines and reruns (eval-set
+    construction). Plans as TakeOrderedAndProject: each partition ships
+    only its local top-k, never a global sort."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", key_col)
+        .limit(k)
+        .drop("_h")
+    )
+
+
+def balanced_sample(
+    df: DataFrame, key_col: str, strata_col: str, k: int, seed: str = ""
+) -> DataFrame:
+    """Class-balanced sampling: EXACTLY min(k, stratum size) rows per
+    stratum, again in md5(key||seed) order — equal-sized per-language /
+    per-source eval slices regardless of corpus skew. One window ranked
+    within the stratum hash partition; rows never leave their stratum's
+    reducer."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

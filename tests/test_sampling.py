@@ -217,3 +217,42 @@ def test_assign_splits_validation(spark):
         assign_splits(df, "g", {"a": 1.5, "b": -0.5})
     with pytest.raises(ValueError, match="at least two"):
         assign_splits(df, "g", {"a": 1.0})
+
+
+def test_exact_sample_size_order_and_plan(spark):
+    from airbyte_spark.functions.sampling import exact_sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s = exact_sample(df, "doc_id", 100, seed="es")
+    rows = s.collect()
+    assert len(rows) == 100
+    # deterministic: identical across invocations
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in exact_sample(df, "doc_id", 100, seed="es").collect()
+    }
+    # different seed -> different sample
+    assert {r["doc_id"] for r in rows} != {
+        r["doc_id"] for r in exact_sample(df, "doc_id", 100, seed="zz").collect()
+    }
+    # k > n degrades to all rows
+    assert exact_sample(df.limit(7), "doc_id", 100).count() == 7
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    with pytest.raises(ValueError, match="k must be"):
+        exact_sample(df, "doc_id", 0)
+
+
+def test_balanced_sample_per_stratum_exactness(spark):
+    from airbyte_spark.functions.sampling import balanced_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common").alias("lang"),
+    )
+    s = balanced_sample(df, "doc_id", "lang", 50, seed="bs")
+    counts = {r["lang"]: r["count"] for r in s.groupBy("lang").count().collect()}
+    assert counts == {"rare": 50, "common": 50}
+    # a stratum smaller than k keeps all its rows
+    tiny = balanced_sample(df.filter("doc_id < 25"), "doc_id", "lang", 50)
+    got = {r["lang"]: r["count"] for r in tiny.groupBy("lang").count().collect()}
+    assert got == {"rare": 3, "common": 22}
