@@ -1298,6 +1298,43 @@ def _semantic_dedup_sql(
     )
 
 
+def q_curation_pipeline_v2(spark, sf):
+    """End-to-end curation over the NEW r5 primitives, ORACLE-CHECKED as
+    one composed plan: exact dedup by normalized-text fingerprint
+    keeping the BEST row per class (n_chars desc, doc_id — not blind
+    min-id), leakage-safe split assignment grouped by source domain,
+    then fixed-size chunking of the train split. Every stage is
+    engine-portable, so DuckDB replays the whole pipeline."""
+    from pyspark.sql import Window
+
+    from airbyte_spark.functions.curation import chunk_documents
+    from airbyte_spark.functions.sampling import split_expr
+    from airbyte_spark.functions.text import normalized_text
+
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("_fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    survivors = (
+        d.withColumn("_fp", F.md5(normalized_text(F.col("text"))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    train = survivors.filter(
+        split_expr(
+            F.col("source"),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            seed="cp2",
+        )
+        == "train"
+    )
+    return chunk_documents(train, chunk_size=400).select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.length("chunk_text").alias("chunk_len"),
+    )
+
+
 def q_exact_sample(spark, sf):
     """Exact-k deterministic sample, ORACLE-CHECKED
     (functions/sampling.py::exact_sample): min(k, n) rows by
@@ -3477,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "quality_representatives": q_quality_representatives,
         "exact_sample": q_exact_sample,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -3995,6 +4033,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "curation_pipeline_v2": """
+            WITH win AS (
+              SELECT doc_id, source, text FROM (
+                SELECT doc_id, source, text,
+                       row_number() OVER (
+                         PARTITION BY md5(lower(regexp_replace(trim(text),
+                                          '\\s+', ' ', 'g')))
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents) WHERE rn = 1),
+            tr AS (
+              SELECT doc_id, text FROM win
+              WHERE substr(md5(source || 'cp2'), 1, 8) < 'e6666666'),
+            u AS (
+              SELECT doc_id, text,
+                     CAST(generate_subscripts(
+                       range(0, greatest(length(text), 1), 400), 1) - 1
+                       AS INTEGER) AS chunk_id,
+                     CAST(unnest(range(0, greatest(length(text), 1), 400))
+                       AS INTEGER) AS start
+              FROM tr WHERE text IS NOT NULL)
+            SELECT doc_id, chunk_id, start,
+                   CAST(length(substr(text, start + 1, 400)) AS INTEGER)
+                     AS chunk_len
+            FROM u WHERE start < length(text)
+        """,
         "exact_sample": """
             SELECT doc_id, lang FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR) || 'es-r5'), doc_id
