@@ -18,4 +18,5 @@ python -m pytest -x -q \
   tests/test_index_model.py \
   tests/test_merge_model.py \
   "tests/test_rollup.py::test_rollup_matches_truth_over_random_op_sequences" \
-  "tests/test_lakestream_source.py::test_stream_matches_model_over_random_op_sequences"
+  "tests/test_lakestream_source.py::test_stream_matches_model_over_random_op_sequences" \
+  "tests/test_feature_table.py::test_random_dml_matches_oneshot_recompute"

@@ -3,6 +3,7 @@ The invariant: advancing through ANY DML interleaving equals one full
 recompute over the final alive rows."""
 
 import datetime
+import os
 import random
 
 import pytest
@@ -67,14 +68,19 @@ def _state(feat):
     return {tuple(r) for r in feat.scan().select(*cols).collect()}
 
 
+# SOAK_SEEDS extends the pinned seed for soak runs (scripts/soak_models.sh)
+_SOAK = [int(s) for s in os.environ.get("SOAK_SEEDS", "").split()]
+
+
+@pytest.mark.parametrize("seed", [31] + _SOAK)
 @pytest.mark.parametrize("feature", ["quality", "fingerprint"])
-def test_random_dml_matches_oneshot_recompute(spark, tmp_table_dir, feature):
-    rng = random.Random(31)
+def test_random_dml_matches_oneshot_recompute(spark, tmp_table_dir, feature, seed):
+    rng = random.Random(seed)
     src = LakeTable.create(
-        spark, f"{tmp_table_dir}/src-{feature}", SCHEMA, primary_key=["doc_id"]
+        spark, f"{tmp_table_dir}/src-{feature}-{seed}", SCHEMA, primary_key=["doc_id"]
     )
     feat = create_feature_table(
-        src, f"{tmp_table_dir}/feat-{feature}", feature, "doc_id", "text"
+        src, f"{tmp_table_dir}/feat-{feature}-{seed}", feature, "doc_id", "text"
     )
     group_of = {i: rng.randrange(4) for i in range(8)}
     src.append(spark.createDataFrame(_rows(group_of.items(), 0), SCHEMA))
