@@ -310,3 +310,37 @@ def test_quality_representatives_tie_breaks_to_lowest_id(spark):
     pairs = spark.createDataFrame([(5, 4), (6, 5)], "id_a long, id_b long")
     out = {r["doc_id"]: r["keep"] for r in quality_representatives(docs, pairs, "q").collect()}
     assert out == {4: True, 5: False, 6: False}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \n", max_size=40), min_size=1, max_size=20
+    ),
+    chunk=st.integers(1, 12),
+    overlap_frac=st.floats(0, 0.99),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_documents_matches_python_reference(
+    spark, texts, chunk, overlap_frac
+):
+    """chunk_documents == the sequential python chunker for ANY texts
+    (incl. empty), chunk size, and overlap."""
+    from airbyte_spark.functions.curation import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start"], r["chunk_text"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    }
+    want = {}
+    for i, t in rows:
+        for ci, s in enumerate(range(0, len(t), stride)):
+            want[(i, ci)] = (s, t[s : s + chunk])
+    assert got == want

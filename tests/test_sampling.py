@@ -256,3 +256,37 @@ def test_balanced_sample_per_stratum_exactness(spark):
     tiny = balanced_sample(df.filter("doc_id < 25"), "doc_id", "lang", 50)
     got = {r["lang"]: r["count"] for r in tiny.groupBy("lang").count().collect()}
     assert got == {"rare": 3, "common": 22}
+
+
+@given(
+    fracs=st.lists(st.integers(1, 100), min_size=2, max_size=5),
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True),
+    seed=st.text(alphabet="abcxyz", max_size=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_split_expr_matches_python_reference(spark, fracs, keys, seed):
+    """split_expr == the hashlib replica for ANY normalized fraction
+    vector, key set, and seed (band edges included)."""
+    from airbyte_spark.functions.sampling import assign_splits
+
+    total = sum(fracs)
+    splits = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    # renormalize drift so the operator's sum-to-1 check passes
+    splits[f"s{len(fracs) - 1}"] += 1.0 - sum(splits.values())
+
+    def py_label(k):
+        h = hashlib.md5((str(k) + seed).encode()).hexdigest()[:8]
+        cum = 0.0
+        for name in list(splits)[:-1]:
+            cum += splits[name]
+            thr = format(int(min(cum, 1.0 - 1e-12) * 16**8), "08x")
+            if h < thr:
+                return name
+        return list(splits)[-1]
+
+    df = spark.createDataFrame([(k,) for k in keys], "g long")
+    got = {
+        r["g"]: r["split"]
+        for r in assign_splits(df, "g", splits, seed=seed).collect()
+    }
+    assert got == {k: py_label(k) for k in keys}
