@@ -121,3 +121,42 @@ def test_quantized_ann_recall(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.8
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=64),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_quantize_matches_numpy_reference(spark, vecs):
+    """quantize_int8 == the numpy replica for ANY finite vectors
+    (identical IEEE ops: max/127 scale, floor(x/s + 0.5), clamp)."""
+    from airbyte_spark.functions.similarity import quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["scale"], list(r["qvec"]))
+        for r in quantize_int8(df).collect()
+    }
+    want = {}
+    for i, v in rows:
+        a = np.asarray(v, dtype=np.float64)
+        s = np.abs(a).max() / 127.0
+        if s == 0.0:
+            q = [0] * len(v)
+        else:
+            q = [int(min(127.0, max(-127.0, np.floor(x / s + 0.5)))) for x in a]
+        want[i] = (s, q)
+    assert got == want
