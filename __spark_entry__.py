@@ -1298,6 +1298,18 @@ def _semantic_dedup_sql(
     )
 
 
+def q_quantile_gate(spark, sf):
+    """Per-group quantile gating, ORACLE-CHECKED
+    (functions/curation.py::quantile_gate — the LAION-style 'keep the
+    best 30% of every domain' filter where a global threshold would let
+    one domain starve another): exact per-lang 70th-percentile cutoff
+    on n_chars, broadcast-joined back, score >= cutoff survives."""
+    from airbyte_spark.functions.curation import quantile_gate
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_gate(d, "lang", "n_chars", keep_frac=0.3)
+
+
 def q_curation_pipeline_v2(spark, sf):
     """End-to-end curation over the NEW r5 primitives, ORACLE-CHECKED as
     one composed plan: exact dedup by normalized-text fingerprint
@@ -3515,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_representatives": q_quality_representatives,
         "exact_sample": q_exact_sample,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "quantile_gate": q_quantile_gate,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4033,6 +4046,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "quantile_gate": """
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            JOIN (SELECT lang, quantile_cont(n_chars, 0.7) AS c
+                  FROM documents GROUP BY lang) t USING (lang)
+            WHERE d.n_chars >= t.c
+        """,
         "curation_pipeline_v2": """
             WITH win AS (
               SELECT doc_id, source, text FROM (

@@ -317,3 +317,34 @@ def chunk_documents(
             ),
         )
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+) -> DataFrame:
+    """Keep each group's top ``keep_frac`` fraction by score — the
+    LAION-style per-source quality gate ("keep the best 30% of every
+    domain"), where a single global threshold would let one domain's
+    score distribution starve another's. The cutoff is the EXACT
+    (1 - keep_frac) percentile per group (linear interpolation, the
+    engine-portable definition corpus_report already pins); rows with
+    score >= cutoff survive, NULL scores never do.
+
+    Scale shape: one partial-agg percentile per group (value->count map
+    state) broadcast-joined back onto the rows — no window over row
+    data, no sort. Adds `_cutoff` nowhere: output schema == input
+    schema."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    cuts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({score_col}, {1.0 - keep_frac})").alias("_cutoff")
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(F.col(score_col) >= F.col("_cutoff"))
+        .drop("_cutoff")
+        .select(*df.columns)
+    )

@@ -344,3 +344,29 @@ def test_chunk_documents_matches_python_reference(
         for ci, s in enumerate(range(0, len(t), stride)):
             want[(i, ci)] = (s, t[s : s + chunk])
     assert got == want
+
+
+def test_quantile_gate_per_group_cutoffs(spark):
+    from airbyte_spark.functions.curation import quantile_gate
+
+    rows = [("a", i, float(i)) for i in range(10)]            # scores 0..9
+    rows += [("b", 100 + i, float(100 + i)) for i in range(10)]  # 100..109
+    rows += [("b", 999, None)]
+    df = spark.createDataFrame(rows, "g string, id long, s double")
+    out = quantile_gate(df, "g", "s", keep_frac=0.2)
+    got = {r["g"]: sorted(x["id"] for x in out.collect() if x["g"] == r["g"])
+           for r in out.select("g").distinct().collect()}
+    # 80th percentile of 0..9 is 7.2 -> keep 8, 9; of 100..109 -> 108, 109
+    assert got == {"a": [8, 9], "b": [108, 109]}
+    assert out.columns == df.columns
+    with pytest.raises(ValueError, match="keep_frac"):
+        quantile_gate(df, "g", "s", 0.0)
+
+
+def test_quantile_gate_keep_all(spark):
+    from airbyte_spark.functions.curation import quantile_gate
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 6.0)], "g string, id long, s double"
+    )
+    assert quantile_gate(df, "g", "s", 1.0).count() == 2
