@@ -1298,6 +1298,23 @@ def _semantic_dedup_sql(
     )
 
 
+def q_boilerplate_fraction(spark, sf):
+    """Per-doc boilerplate signal, ORACLE-CHECKED
+    (functions/curation.py::boilerplate_fraction — the C4/CCNet
+    frequent-line heuristic): fraction of a doc's lines whose normalized
+    form appears in >= 2 distinct documents. Lines synthesized like the
+    line_dedup entry (newline after every 8 tokens, same regexp both
+    engines); DuckDB replays the document-frequency count over the
+    normalized lines."""
+    from airbyte_spark.functions.curation import boilerplate_fraction
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(([^ ]+ ){8})", "$1\n").alias("text"),
+    )
+    return boilerplate_fraction(d, min_df=2, min_len=1)
+
+
 def q_quantile_gate(spark, sf):
     """Per-group quantile gating, ORACLE-CHECKED
     (functions/curation.py::quantile_gate — the LAION-style 'keep the
@@ -3528,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_sample": q_exact_sample,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "quantile_gate": q_quantile_gate,
+        "boilerplate_fraction": q_boilerplate_fraction,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4046,6 +4064,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "boilerplate_fraction": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(([^ ]+ ){8})',
+                                    '\\1' || chr(10), 'g') AS t
+              FROM documents),
+            ln AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+              FROM d),
+            el AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(line), '\\s+', ' ', 'g'))
+                       AS norm
+              FROM ln WHERE length(line) >= 1),
+            dfreq AS (
+              SELECT norm, count(DISTINCT doc_id) AS df FROM el
+              GROUP BY norm),
+            per AS (
+              SELECT el.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS nf
+              FROM el JOIN dfreq USING (norm)
+              GROUP BY el.doc_id)
+            SELECT d0.doc_id,
+                   CAST(coalesce(per.n_lines, 0) AS BIGINT) AS n_lines,
+                   round(CASE WHEN coalesce(per.n_lines, 0) > 0
+                         THEN CAST(per.nf AS DOUBLE) / per.n_lines
+                         ELSE 0.0 END, 6) AS frequent_frac
+            FROM documents d0 LEFT JOIN per USING (doc_id)
+        """,
         "quantile_gate": """
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d

@@ -348,3 +348,53 @@ def quantile_gate(
         .drop("_cutoff")
         .select(*df.columns)
     )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-doc boilerplate signal (the C4/CCNet frequent-line heuristic):
+    the fraction of a document's lines whose NORMALIZED form appears in
+    at least ``min_df`` distinct documents — nav bars, cookie banners
+    and footers score high, prose scores low; gate on the fraction to
+    drop template-dominated docs. Lines shorter than ``min_len`` raw
+    characters are ignored (connective fragments aren't boilerplate
+    evidence). Returns (id, n_lines, frequent_frac); docs with no
+    eligible lines report (0, 0.0).
+
+    Plan: explode lines once -> document-frequency partial-agg on the
+    64-bit normalized-line fingerprint -> slim join back -> per-doc
+    partial agg. Two shuffles on 8-byte keys; the text column never
+    crosses an exchange."""
+    lines = _lines_with_pos(docs, id_col, text_col).where(
+        F.length("_line") >= min_len
+    )
+    lines = lines.select(id_col, fingerprint64(F.col("_line")).alias("_fp"))
+    dfreq = lines.groupBy("_fp").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    tagged = lines.join(dfreq, "_fp").select(
+        id_col, (F.col("_df") >= min_df).cast("int").alias("_freq")
+    )
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum("_freq").alias("_nf")
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.col("_nf").cast("double") / F.col("n_lines"),
+                ).otherwise(0.0),
+                6,
+            ).alias("frequent_frac"),
+        )
+    )

@@ -370,3 +370,45 @@ def test_quantile_gate_keep_all(spark):
         [("a", 1, 5.0), ("a", 2, 6.0)], "g string, id long, s double"
     )
     assert quantile_gate(df, "g", "s", 1.0).count() == 2
+
+
+def test_boilerplate_fraction_frequent_lines(spark):
+    from airbyte_spark.functions.curation import boilerplate_fraction
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"real prose one\n{footer}"),
+        (2, f"other unique text\n{footer}\nmore words"),
+        (3, footer),           # pure boilerplate
+        (4, "entirely unique document"),
+        (5, ""),               # no eligible lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["frequent_frac"])
+        for r in boilerplate_fraction(df).collect()
+    }
+    assert got[1] == (2, 0.5)
+    assert got[2] == (3, round(1 / 3, 6))
+    assert got[3] == (1, 1.0)
+    assert got[4] == (1, 0.0)
+    assert got[5] == (0, 0.0)
+
+
+def test_boilerplate_fraction_normalizes_and_counts_distinct_docs(spark):
+    """Whitespace/case variants of a line are ONE line; within-doc
+    repetition does not raise document frequency."""
+    from airbyte_spark.functions.curation import boilerplate_fraction
+
+    rows = [
+        (1, "Cookie   Notice"),
+        (2, "cookie notice"),
+        (3, "solo line\nsolo line\nsolo line"),  # df=1 despite 3 copies
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["frequent_frac"]
+        for r in boilerplate_fraction(df).collect()
+    }
+    assert got[1] == 1.0 and got[2] == 1.0
+    assert got[3] == 0.0
