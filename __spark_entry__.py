@@ -1298,6 +1298,27 @@ def _semantic_dedup_sql(
     )
 
 
+def q_clean_text(spark, sf):
+    """C4-style text scrub, ORACLE-CHECKED
+    (functions/curation.py::clean_text): HTML tags stripped, common
+    entities decoded, control chars dropped, whitespace collapsed — a
+    pure-codegen regexp_replace/replace chain in the Java∩RE2 subset.
+    Markup is planted deterministically on every row so each rule is
+    exercised; DuckDB replays the identical chain."""
+    from airbyte_spark.functions.curation import clean_text
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="post">'),
+            F.col("text"),
+            F.lit("</div>\t &amp; more &lt;raw&gt; \x07end  "),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", clean_text(F.col("text")).alias("cleaned"))
+
+
 def q_boilerplate_fraction(spark, sf):
     """Per-doc boilerplate signal, ORACLE-CHECKED
     (functions/curation.py::boilerplate_fraction — the C4/CCNet
@@ -3546,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "quantile_gate": q_quantile_gate,
         "boilerplate_fraction": q_boilerplate_fraction,
+        "clean_text": q_clean_text,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4064,6 +4086,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "clean_text": """
+            WITH p AS (
+              SELECT doc_id,
+                     '<div class="post">' || text ||
+                     '</div>' || chr(9) || ' &amp; more &lt;raw&gt; ' ||
+                     chr(7) || 'end  ' AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(t, '<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                       '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS t
+              FROM p)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(t,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                     '\\s+', ' ', 'g')) AS cleaned
+            FROM s
+        """,
         "boilerplate_fraction": """
             WITH d AS (
               SELECT doc_id,

@@ -398,3 +398,23 @@ def boilerplate_fraction(
             ).alias("frequent_frac"),
         )
     )
+
+
+def clean_text(text: Column) -> Column:
+    """Pre-tokenization text cleanup (the C4-style scrub): strip HTML
+    tags, decode the common entities, drop control characters, collapse
+    runs of whitespace, trim. A regexp_replace chain in pure JVM codegen
+    — patterns restricted to the Java∩RE2 subset (same discipline as
+    pii_redact) so a SQL oracle replays them byte-for-byte."""
+    out = F.regexp_replace(text, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

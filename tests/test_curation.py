@@ -412,3 +412,19 @@ def test_boilerplate_fraction_normalizes_and_counts_distinct_docs(spark):
     }
     assert got[1] == 1.0 and got[2] == 1.0
     assert got[3] == 0.0
+
+
+def test_clean_text_rules(spark):
+    from airbyte_spark.functions.curation import clean_text
+
+    cases = [
+        ("<p>Hello &amp; <b>world</b></p>", "Hello & world"),
+        ("a\x00b\x07c\x1fd", "abcd"),
+        ("  lots\t\tof\n\nspace  ", "lots of space"),
+        ("&lt;kept&gt; &quot;q&quot; &#39;s&#39;", "<kept> \"q\" 's'"),
+        ("<div\nclass='x'>multi\nline tag</div>", "multi line tag"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
