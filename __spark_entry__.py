@@ -1298,6 +1298,17 @@ def _semantic_dedup_sql(
     )
 
 
+def q_lexical_signals(spark, sf):
+    """Lexical-diversity quality signals, ORACLE-CHECKED
+    (functions/text.py::lexical_signals): token count, type-token
+    ratio, sentence count and mean sentence length in one codegen
+    projection — all exact small-int quotients, replayed by DuckDB
+    list ops."""
+    from airbyte_spark.functions.text import lexical_signals
+
+    return lexical_signals(_t(spark, sf, "documents"))
+
+
 def q_clean_text(spark, sf):
     """C4-style text scrub, ORACLE-CHECKED
     (functions/curation.py::clean_text): HTML tags stripped, common
@@ -3568,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_gate": q_quantile_gate,
         "boilerplate_fraction": q_boilerplate_fraction,
         "clean_text": q_clean_text,
+        "lexical_signals": q_lexical_signals,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4086,6 +4098,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "lexical_signals": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       w -> w != ''), w -> lower(w)) AS toks,
+                     len(list_filter(
+                       string_split_regex(text, '[.!?]+'),
+                       s -> trim(s) != '')) AS sents
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 6) AS type_token_ratio,
+                   CAST(sents AS BIGINT) AS n_sentences,
+                   round(CASE WHEN sents > 0 THEN
+                     CAST(len(toks) AS DOUBLE) / sents
+                     ELSE 0.0 END, 6) AS avg_sentence_tokens
+            FROM t
+        """,
         "clean_text": """
             WITH p AS (
               SELECT doc_id,

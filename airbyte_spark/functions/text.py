@@ -160,3 +160,36 @@ def build_vocab(
     return counted.select(
         F.row_number().over(w).alias("rank"), "token", "count"
     )
+
+
+def lexical_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc lexical-diversity signals (the Gopher-adjacent quality
+    family): token count, type-token ratio (distinct lowercased tokens /
+    tokens — repetitive spam scores low), sentence count ([.!?]+
+    segments with any non-space content), and mean tokens per sentence.
+    One pure-codegen projection; every ratio is an exact small-int
+    quotient so a SQL oracle agrees bit-for-bit."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    n = F.size(toks)
+    distinct_n = F.size(F.array_distinct(toks))
+    sents = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, distinct_n.cast("double") / n.cast("double"))
+            .otherwise(0.0),
+            6,
+        ).alias("type_token_ratio"),
+        sents.cast("long").alias("n_sentences"),
+        F.round(
+            F.when(sents > 0, n.cast("double") / sents.cast("double"))
+            .otherwise(0.0),
+            6,
+        ).alias("avg_sentence_tokens"),
+    )

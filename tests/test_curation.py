@@ -428,3 +428,25 @@ def test_clean_text_rules(spark):
     df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
     got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_lexical_signals(spark):
+    from airbyte_spark.functions.text import lexical_signals
+
+    rows = [
+        (1, "The cat. The CAT! A dog?"),
+        (2, "spam spam spam spam"),
+        (3, ""),
+        (4, "no terminal punctuation here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lexical_signals(df).collect()}
+    # doc 1: tokens [the,cat.,the,cat!,a,dog?] -- tokenizer is whitespace;
+    # punctuation stays attached, so 6 tokens, 6 distinct forms
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["n_sentences"] == 3
+    assert got[1]["avg_sentence_tokens"] == 2.0
+    assert got[2]["type_token_ratio"] == 0.25
+    assert got[2]["n_sentences"] == 1  # no terminal punct -> one segment
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_sentence_tokens"] == 0.0
+    assert got[4]["n_sentences"] == 1
