@@ -1298,6 +1298,17 @@ def _semantic_dedup_sql(
     )
 
 
+def q_value_histogram(spark, sf):
+    """Equal-width histogram, ORACLE-CHECKED
+    (operators/aggregate.py::histogram): 16 buckets over events.value —
+    a 2-scalar min/max job then ONE partial-agg bucket count with
+    engine-identical IEEE floor arithmetic; the max value folds into
+    the last bucket."""
+    from airbyte_spark.operators.aggregate import histogram
+
+    return histogram(_t(spark, sf, "events"), "value", bins=16)
+
+
 def q_lexical_signals(spark, sf):
     """Lexical-diversity quality signals, ORACLE-CHECKED
     (functions/text.py::lexical_signals): token count, type-token
@@ -3580,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_fraction": q_boilerplate_fraction,
         "clean_text": q_clean_text,
         "lexical_signals": q_lexical_signals,
+        "value_histogram": q_value_histogram,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4098,6 +4110,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "value_histogram": """
+            WITH b AS (
+              SELECT CAST(min(value) AS DOUBLE) AS lo,
+                     CAST(max(value) AS DOUBLE) AS hi
+              FROM events),
+            r AS (
+              SELECT CAST(least(15, floor((CAST(e.value AS DOUBLE) - b.lo)
+                       / ((b.hi - b.lo) / 16))) AS INTEGER) AS bucket,
+                     b.lo, (b.hi - b.lo) / 16 AS w
+              FROM events e, b WHERE e.value IS NOT NULL)
+            SELECT bucket,
+                   round(lo + bucket * w, 6) AS lo_edge,
+                   round(lo + (bucket + 1) * w, 6) AS hi_edge,
+                   CAST(count(*) AS BIGINT) AS count
+            FROM r GROUP BY bucket, lo, w
+        """,
         "lexical_signals": r"""
             WITH t AS (
               SELECT doc_id,

@@ -509,3 +509,44 @@ def scan_aggregate(
         fields.append(StructField(a, dt, True))
         out.append(vals[a])
     return table.spark.createDataFrame([tuple(out)], StructType(fields))
+
+
+def histogram(df, col: str, bins: int = 10):
+    """Equal-width histogram of a numeric column: (bucket, lo_edge,
+    hi_edge, count), nulls excluded, the max value folded into the last
+    bucket. Two jobs — a 2-scalar min/max agg, then one partial-agg
+    bucket count (floor((x - lo) / width), identical IEEE arithmetic in
+    any engine). Degenerate ranges (min == max) collapse to bucket 0."""
+    from pyspark.sql import functions as F
+
+    if bins <= 0:
+        raise ValueError(f"bins must be > 0: {bins}")
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo_edge double, hi_edge double, count long"
+        )
+    width = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    bucket = (
+        F.lit(0)
+        if width == 0.0
+        else F.least(F.lit(bins - 1), F.floor((x - F.lit(lo)) / F.lit(width)))
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias(
+                "hi_edge"
+            ),
+            "count",
+        )
+    )

@@ -239,3 +239,29 @@ def test_auto_planning_crosses_the_threshold(spark, table):
     rep2 = AggregateReport()
     assert _got(t, report=rep2) == baseline == _groundtruth(t)
     assert rep2.planning == "distributed"
+
+
+def test_histogram_buckets_and_edges(spark):
+    from airbyte_spark.operators.aggregate import histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)] + [(None,)], "v double"
+    )
+    got = {r["bucket"]: r for r in histogram(df, "v", bins=3).collect()}
+    # lo=0, hi=9, width=3: [0,3)->3, [3,6)->3, [6,9]->4 (max folds in)
+    assert {b: got[b]["count"] for b in got} == {0: 3, 1: 3, 2: 4}
+    assert got[0]["lo_edge"] == 0.0 and got[0]["hi_edge"] == 3.0
+    assert got[2]["hi_edge"] == 9.0
+
+    # degenerate range: all values equal -> single bucket 0
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = histogram(one, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["count"] == 2
+
+    # all-null column -> empty histogram
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert histogram(nulls, "v").count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bins"):
+        histogram(df, "v", 0)
