@@ -1298,6 +1298,51 @@ def _semantic_dedup_sql(
     )
 
 
+def q_metadata_snapshots(spark, sf):
+    """Iceberg `$snapshots` metadata table, ORACLE-CHECKED: a
+    deterministic DML chain (append -> MoR merge -> position delete ->
+    compact) leaves an exactly-known (sequence, operation,
+    has_parent) lineage in snapshots_df(); ids/timestamps are
+    layout/wall-clock and excluded by design. The oracle is the pinned
+    VALUES lineage — any change to commit ops or sequencing breaks the
+    hash."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.compact import compact
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.operators.posdeletes import delete_where
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="entry-snaps-")
+    try:
+        t = LakeTable.create(spark, root, ev.schema, primary_key=["event_id"])
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        merge_into(
+            t,
+            ev.filter(F.col("event_id") % 2 == 0),
+            cursor_col="value",
+            mode="mor",
+        )
+        delete_where(t, "event_id % 16 = 3")
+        compact(t)
+        rows = (
+            t.snapshots_df()
+            .select(
+                "sequence",
+                "operation",
+                F.col("parent_id").isNotNull().alias("has_parent"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "sequence long, operation string, has_parent boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_value_histogram(spark, sf):
     """Equal-width histogram, ORACLE-CHECKED
     (operators/aggregate.py::histogram): 16 buckets over events.value —
@@ -3592,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "lexical_signals": q_lexical_signals,
         "value_histogram": q_value_histogram,
+        "metadata_snapshots": q_metadata_snapshots,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4110,6 +4156,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "metadata_snapshots": """
+            SELECT * FROM (VALUES
+              (CAST(0 AS BIGINT), 'create',  FALSE),
+              (CAST(1 AS BIGINT), 'append',  TRUE),
+              (CAST(2 AS BIGINT), 'merge',   TRUE),
+              (CAST(3 AS BIGINT), 'delete',  TRUE),
+              (CAST(4 AS BIGINT), 'compact', TRUE)
+            ) AS t(sequence, operation, has_parent)
+        """,
         "value_histogram": """
             WITH b AS (
               SELECT CAST(min(value) AS DOUBLE) AS lo,
