@@ -4213,8 +4213,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      replace(replace(replace(replace(replace(replace(
                        regexp_replace(t, '<[^>]*>', ' ', 'g'),
-                       '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                       '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS t
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
               FROM p)
             SELECT doc_id,
                    trim(regexp_replace(

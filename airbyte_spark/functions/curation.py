@@ -331,7 +331,10 @@ def quantile_gate(
     score distribution starve another's. The cutoff is the EXACT
     (1 - keep_frac) percentile per group (linear interpolation, the
     engine-portable definition corpus_report already pins); rows with
-    score >= cutoff survive, NULL scores never do.
+    score >= cutoff survive, NULL scores never do. A NULL group value
+    is its own group (null-safe join); a group whose scores are ALL
+    NULL has a NULL cutoff and is dropped entirely (no score evidence
+    to gate on).
 
     Scale shape: one partial-agg percentile per group (value->count map
     state) broadcast-joined back onto the rows — no window over row
@@ -341,11 +344,12 @@ def quantile_gate(
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
     cuts = df.groupBy(group_col).agg(
         F.expr(f"percentile({score_col}, {1.0 - keep_frac})").alias("_cutoff")
-    )
+    ).withColumnRenamed(group_col, "_gk")
     return (
-        df.join(F.broadcast(cuts), group_col)
+        df.join(
+            F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("_gk"))
+        )
         .filter(F.col(score_col) >= F.col("_cutoff"))
-        .drop("_cutoff")
         .select(*df.columns)
     )
 
@@ -407,13 +411,16 @@ def clean_text(text: Column) -> Column:
     — patterns restricted to the Java∩RE2 subset (same discipline as
     pii_redact) so a SQL oracle replays them byte-for-byte."""
     out = F.regexp_replace(text, r"<[^>]*>", " ")
+    # &amp; decodes LAST (standard entity-decode order): doing it first
+    # would turn escaped entity text ('&amp;lt;b&amp;gt;') into markup
+    # and double-decode it
     for ent, rep in (
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
+        ("&amp;", "&"),
     ):
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.regexp_replace(out, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")

@@ -248,7 +248,11 @@ def split_expr(key: Column, splits: dict[str, float], seed: str = "") -> Column:
     P(split s) == fraction(s) (to the 8-hex-digit resolution of
     fraction_threshold) and the SAME key always lands in the SAME split
     in any engine. Fractions must be >= 0 and sum to 1 (the last split
-    absorbs the hash-space remainder as the CASE else-branch)."""
+    absorbs the hash-space remainder as the CASE else-branch). A NULL
+    key hashes to NULL, every band comparison is NULL, and the row
+    falls to the LAST split — identically in Spark (when() skips) and
+    SQL (CASE skips), so the cross-engine contract holds for NULLs
+    too."""
     names = list(splits)
     if len(names) < 2:
         raise ValueError("need at least two splits")
@@ -288,13 +292,17 @@ def exact_sample(
     """EXACTLY min(k, n) rows, chosen by the md5(key||seed) order — the
     deterministic replacement for reservoir sampling when the sample
     must be reproducible across engines and reruns (eval-set
-    construction). Plans as TakeOrderedAndProject: each partition ships
-    only its local top-k, never a global sort."""
+    construction). Rows with a NULL key are EXCLUDED — their hash is
+    NULL, which Spark sorts first and SQL engines sort last, and ties
+    among them have no deterministic order; a sample key must identify
+    the row. Plans as TakeOrderedAndProject: each partition ships only
+    its local top-k, never a global sort."""
     if k <= 0:
         raise ValueError(f"k must be > 0: {k}")
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
     return (
-        df.withColumn("_h", h)
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_h", h)
         .orderBy("_h", key_col)
         .limit(k)
         .drop("_h")
@@ -306,9 +314,10 @@ def balanced_sample(
 ) -> DataFrame:
     """Class-balanced sampling: EXACTLY min(k, stratum size) rows per
     stratum, again in md5(key||seed) order — equal-sized per-language /
-    per-source eval slices regardless of corpus skew. One window ranked
-    within the stratum hash partition; rows never leave their stratum's
-    reducer."""
+    per-source eval slices regardless of corpus skew. NULL-key rows are
+    excluded like exact_sample (no deterministic order among them);
+    a NULL stratum is its own stratum. One window ranked within the
+    stratum hash partition; rows never leave their stratum's reducer."""
     from pyspark.sql import Window
 
     if k <= 0:
@@ -316,7 +325,8 @@ def balanced_sample(
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
     w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )

@@ -549,8 +549,11 @@ def ivf_topk_trained(
 def l2_normalize(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, vec/|vec|) in double. The norm is a separate projected column
-    so the per-element lambda references a cheap column, not a re-run
+    """(id, vec/|vec|) in double; all-zero vectors stay all-zero (a
+    0/0 = NaN element would poison k-means centroids and win every
+    `NaN >= threshold` comparison downstream — Spark ranks NaN above
+    every double). The norm is a separate projected column so the
+    per-element lambda references a cheap column, not a re-run
     aggregate (CLAUDE.md gotcha 11: HOF lambdas re-evaluate
     subexpressions per element)."""
     return (
@@ -559,7 +562,10 @@ def l2_normalize(
         .select(
             id_col,
             F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("_n")
+                F.col(vec_col),
+                lambda x: F.when(F.col("_n") == 0.0, F.lit(0.0)).otherwise(
+                    x.cast("double") / F.col("_n")
+                ),
             ).alias(vec_col),
         )
     )
@@ -604,7 +610,22 @@ def semantic_dedup(
     dropped = (
         left.join(right, "cell")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        # try_divide: a zero vector's cosine is 0/0 — ANSI mode raises
+        # on the plain division and NaN would rank above every double;
+        # NULL -> -1 so zero vectors never read as duplicates
+        .filter(
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        dot(F.col("_va"), F.col("_vb")),
+                        norm(F.col("_va")) * norm(F.col("_vb")),
+                    ),
+                    F.lit(-1.0),
+                ),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("_id_b").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))

@@ -167,18 +167,25 @@ def lexical_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     family): token count, type-token ratio (distinct lowercased tokens /
     tokens — repetitive spam scores low), sentence count ([.!?]+
     segments with any non-space content), and mean tokens per sentence.
-    One pure-codegen projection; every ratio is an exact small-int
-    quotient so a SQL oracle agrees bit-for-bit."""
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
-    n = F.size(toks)
-    distinct_n = F.size(F.array_distinct(toks))
+    Pure codegen; every ratio is an exact small-int quotient so a SQL
+    oracle agrees bit-for-bit. The token array is STAGED in its own
+    projection so the final select holds a single lambda expression —
+    multiple sibling HOF lambdas in one projection is the Spark 4.1
+    shared-lambda-slot corruption shape (CLAUDE.md gotcha 4)."""
+    staged = docs.select(
+        id_col,
+        F.col(text_col),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("_toks"),
+    )
+    n = F.size(F.col("_toks"))
+    distinct_n = F.size(F.array_distinct(F.col("_toks")))
     sents = F.size(
         F.filter(
             F.split(F.col(text_col), r"[.!?]+"),
             lambda s: F.trim(s) != "",
         )
     )
-    return docs.select(
+    return staged.select(
         id_col,
         n.cast("long").alias("n_tokens"),
         F.round(

@@ -513,7 +513,8 @@ def scan_aggregate(
 
 def histogram(df, col: str, bins: int = 10):
     """Equal-width histogram of a numeric column: (bucket, lo_edge,
-    hi_edge, count), nulls excluded, the max value folded into the last
+    hi_edge, count), nulls AND NaNs excluded (a NaN would win Spark's
+    max and poison the width), the max value folded into the last
     bucket. Two jobs — a 2-scalar min/max agg, then one partial-agg
     bucket count (floor((x - lo) / width), identical IEEE arithmetic in
     any engine). Degenerate ranges (min == max) collapse to bucket 0."""
@@ -521,6 +522,7 @@ def histogram(df, col: str, bins: int = 10):
 
     if bins <= 0:
         raise ValueError(f"bins must be > 0: {bins}")
+    df = df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
     row = df.agg(
         F.min(F.col(col).cast("double")).alias("lo"),
         F.max(F.col(col).cast("double")).alias("hi"),
@@ -538,8 +540,7 @@ def histogram(df, col: str, bins: int = 10):
         else F.least(F.lit(bins - 1), F.floor((x - F.lit(lo)) / F.lit(width)))
     )
     return (
-        df.filter(x.isNotNull())
-        .groupBy(bucket.cast("int").alias("bucket"))
+        df.groupBy(bucket.cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
             "bucket",

@@ -55,6 +55,7 @@ def _extract_quality(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def _extract_image_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     from airbyte_spark.functions.images import image_feature_df
 
+    df = df.select(id_col, content_col)  # drop any pre-existing 'bytes'
     if content_col != "bytes":
         df = df.withColumnRenamed(content_col, "bytes")
     return image_feature_df(df, id_col)
@@ -192,7 +193,10 @@ def update_feature_table(
                 branch=branch,
             )
         else:
-            feat.append(rows)
+            # the CDC column only exists for the merge paths — appending
+            # it would write a ghost column absent from the registered
+            # schema into the data files
+            feat.append(rows.drop(CDC_DELETED_COL))
         feat.set_properties({WATERMARK_PROP: head.snapshot_id})
         n = feat.scan(branch=branch).count()
         return FeatureTableResult(mode, head.snapshot_id, rows_upserted=int(n))

@@ -450,3 +450,24 @@ def test_lexical_signals(spark):
     assert got[2]["n_sentences"] == 1  # no terminal punct -> one segment
     assert got[3]["n_tokens"] == 0 and got[3]["avg_sentence_tokens"] == 0.0
     assert got[4]["n_sentences"] == 1
+
+
+def test_quantile_gate_null_group_is_its_own_group(spark):
+    from airbyte_spark.functions.curation import quantile_gate
+
+    rows = [("a", 1, 1.0), ("a", 2, 2.0), (None, 3, 5.0), (None, 4, 9.0)]
+    df = spark.createDataFrame(rows, "g string, id long, s double")
+    kept = {r["id"] for r in quantile_gate(df, "g", "s", 0.5).collect()}
+    assert kept == {2, 4}  # NULL group gated like any other
+    all_kept = {r["id"] for r in quantile_gate(df, "g", "s", 1.0).collect()}
+    assert all_kept == {1, 2, 3, 4}
+
+
+def test_clean_text_escaped_entities_decode_once(spark):
+    """'&amp;lt;' is the literal TEXT '&lt;' — decoding &amp; first
+    would double-decode it into markup."""
+    from airbyte_spark.functions.curation import clean_text
+
+    df = spark.createDataFrame([("use &amp;lt;b&amp;gt; for bold",)], "t string")
+    got = df.select(clean_text(F.col("t")).alias("c")).first()["c"]
+    assert got == "use &lt;b&gt; for bold"

@@ -197,3 +197,40 @@ def test_registered_as_maintenance_artifact(spark, tmp_table_dir):
         }
     ]
     assert feat.scan().count() == 3
+
+
+def test_initial_append_writes_no_ghost_cdc_column(spark, tmp_table_dir):
+    """The initial build must not persist _ab_cdc_deleted_at into the
+    feature table's parquet files (it is not in the registered schema)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    src = LakeTable.create(spark, f"{tmp_table_dir}/gs", SCHEMA, primary_key=["doc_id"])
+    feat = create_feature_table(src, f"{tmp_table_dir}/gf", "fingerprint", "doc_id", "text")
+    src.append(spark.createDataFrame(_rows([(0, 0), (1, 1)]), SCHEMA))
+    assert update_feature_table(src, feat).mode == "initial"
+    for p in _glob.glob(f"{tmp_table_dir}/gf/data/**/*.parquet", recursive=True):
+        assert "_ab_cdc_deleted_at" not in pq.read_schema(p).names
+
+
+def test_image_stats_content_col_alongside_bytes_column(spark, tmp_table_dir):
+    """content_col != 'bytes' while a 'bytes' column also exists must
+    not create an ambiguous duplicate column."""
+    from pyspark.sql import functions as F2
+
+    from airbyte_spark.datagen import generate_images
+
+    imgs = generate_images(spark, 3, seed=4).select(
+        "image_id", F.col("bytes").alias("thumb"), F2.lit(b"x").alias("bytes")
+    )
+    src = LakeTable.create(
+        spark, f"{tmp_table_dir}/bsrc", imgs.schema, primary_key=["image_id"]
+    )
+    src.append(imgs)
+    feat = create_feature_table(
+        src, f"{tmp_table_dir}/bfeat", "image-stats", "image_id", "thumb"
+    )
+    res = update_feature_table(src, feat)
+    assert res.mode == "initial" and res.rows_upserted == 3
+    assert feat.scan().filter("dec_w > 0").count() == 3

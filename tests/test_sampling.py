@@ -290,3 +290,24 @@ def test_split_expr_matches_python_reference(spark, fracs, keys, seed):
         for r in assign_splits(df, "g", splits, seed=seed).collect()
     }
     assert got == {k: py_label(k) for k in keys}
+
+
+def test_samples_exclude_null_keys(spark):
+    from airbyte_spark.functions.sampling import balanced_sample, exact_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (None, "b"), (3, "b")],
+        "doc_id long, lang string",
+    )
+    assert {r["doc_id"] for r in exact_sample(df, "doc_id", 10).collect()} == {1, 2, 3}
+    got = {r["doc_id"] for r in balanced_sample(df, "doc_id", "lang", 10).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_split_expr_null_key_goes_to_last_split(spark):
+    from airbyte_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([(None,), (1,)], "g long")
+    got = {r["g"]: r["split"] for r in
+           assign_splits(df, "g", {"train": 0.5, "test": 0.5}).collect()}
+    assert got[None] == "test"

@@ -265,3 +265,14 @@ def test_histogram_buckets_and_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bins"):
         histogram(df, "v", 0)
+
+
+def test_histogram_excludes_nan(spark):
+    from airbyte_spark.operators.aggregate import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (3.0,), (float("nan"),)], "v double"
+    )
+    rows = {r["bucket"]: r for r in histogram(df, "v", bins=2).collect()}
+    assert {b: rows[b]["count"] for b in rows} == {0: 2, 1: 2}
+    assert rows[1]["hi_edge"] == 3.0  # width from nan-free max

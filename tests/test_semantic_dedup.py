@@ -160,3 +160,14 @@ def test_quantize_matches_numpy_reference(spark, vecs):
             q = [int(min(127.0, max(-127.0, np.floor(x / s + 0.5)))) for x in a]
         want[i] = (s, q)
     assert got == want
+
+
+def test_zero_vector_is_never_a_duplicate(spark):
+    """An all-zero embedding (failed encoder output) must neither
+    poison k-means with NaN nor read as a duplicate of anything."""
+    rows = _base_rows(n=12, seed=5)
+    rows.append((300, np.zeros(8)))
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(_corpus(spark, rows), k=2, threshold=0.9).collect()}
+    assert out[300]["keep"] is True
+    assert all(out[i]["keep"] for i in range(12))
