@@ -1298,6 +1298,20 @@ def _semantic_dedup_sql(
     )
 
 
+def q_bigram_vocab(spark, sf):
+    """Top word-bigram vocabulary, ORACLE-CHECKED
+    (functions/text.py::build_ngram_vocab): the n-gram generalization of
+    build_vocab — the token array is staged so the per-position lambda
+    slices a materialized array (never re-tokenizes, CLAUDE.md gotcha
+    11), then the same partial-agg count -> top-k -> bounded rank
+    window."""
+    from airbyte_spark.functions.text import build_ngram_vocab
+
+    return build_ngram_vocab(
+        _t(spark, sf, "documents"), n=2, size=100, min_count=2
+    )
+
+
 def q_metadata_snapshots(spark, sf):
     """Iceberg `$snapshots` metadata table, ORACLE-CHECKED: a
     deterministic DML chain (append -> MoR merge -> position delete ->
@@ -3638,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_signals": q_lexical_signals,
         "value_histogram": q_value_histogram,
         "metadata_snapshots": q_metadata_snapshots,
+        "bigram_vocab": q_bigram_vocab,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4156,6 +4171,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "bigram_vocab": r"""
+            WITH t AS (
+              SELECT list_transform(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       w -> w != ''), w -> lower(w)) AS toks
+              FROM documents),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS token
+              FROM t),
+            counted AS (
+              SELECT token, count(*) AS count FROM g
+              GROUP BY token HAVING count(*) >= 2
+              ORDER BY count DESC, token ASC LIMIT 100)
+            SELECT CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                        AS INTEGER) AS rank,
+                   token, count
+            FROM counted
+        """,
         "metadata_snapshots": """
             SELECT * FROM (VALUES
               (CAST(0 AS BIGINT), 'create',  FALSE),

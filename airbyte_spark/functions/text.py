@@ -200,3 +200,41 @@ def lexical_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
             6,
         ).alias("avg_sentence_tokens"),
     )
+
+
+def build_ngram_vocab(
+    docs, n: int, size: int, text_col: str = "text", min_count: int = 1
+):
+    """Top-``size`` word n-grams by corpus frequency (tokenizer /
+    contamination-list prep), same contract as build_vocab: (rank,
+    token, count) with deterministic (count desc, gram asc) ties. The
+    token array is STAGED in its own projection, so the per-position
+    lambda only slices an already-materialized array — the re-tokenize-
+    per-position HOF trap (CLAUDE.md gotcha 11) never fires — and the
+    only other lambda lives in a separate select (gotcha 4)."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    staged = docs.select(
+        F.transform(tokens(F.col(text_col)), F.lower).alias("_toks")
+    )
+    grams_col = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        staged.select(F.explode(grams_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return counted.select(
+        F.row_number().over(w).alias("rank"), "token", "count"
+    )

@@ -471,3 +471,22 @@ def test_clean_text_escaped_entities_decode_once(spark):
     df = spark.createDataFrame([("use &amp;lt;b&amp;gt; for bold",)], "t string")
     got = df.select(clean_text(F.col("t")).alias("c")).first()["c"]
     assert got == "use &lt;b&gt; for bold"
+
+
+def test_build_ngram_vocab_bigrams(spark):
+    from airbyte_spark.functions.text import build_ngram_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "A b x")], "doc_id long, text string"
+    )
+    out = build_ngram_vocab(df, n=2, size=10).collect()
+    got = [(r["rank"], r["token"], r["count"]) for r in out]
+    # bigrams: doc1 [a b, b c, c a, a b], doc2 [a b, b x]
+    assert got[0] == (1, "a b", 3)
+    assert ("b c" in {t for _, t, _ in got}) and ("b x" in {t for _, t, _ in got})
+    # docs shorter than n produce nothing
+    short = spark.createDataFrame([(1, "only"), (2, "")], "doc_id long, text string")
+    assert build_ngram_vocab(short, n=2, size=5).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be"):
+        build_ngram_vocab(df, n=0, size=5)
