@@ -1298,6 +1298,32 @@ def _semantic_dedup_sql(
     )
 
 
+def q_drift_report(spark, sf):
+    """Snapshot-to-snapshot distribution drift, ORACLE-CHECKED
+    (operators/expectations.py::drift_report): a lake table gets two
+    appends (odd event_ids, then even), and the report bins BOTH
+    versions' `value` distributions on one shared 8-bucket grid so the
+    per-bucket fractions compare directly — the dataset-version QA gate.
+    DuckDB replays both histograms from event_id parity alone."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.expectations import drift_report
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="entry-drift-")
+    try:
+        t = LakeTable.create(spark, root, ev.schema, primary_key=["event_id"])
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        old = t.current_snapshot_id("main")
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        out = drift_report(t, "value", bins=8, old_snapshot=old)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bigram_vocab(spark, sf):
     """Top word-bigram vocabulary, ORACLE-CHECKED
     (functions/text.py::build_ngram_vocab): the n-gram generalization of
@@ -3653,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "metadata_snapshots": q_metadata_snapshots,
         "bigram_vocab": q_bigram_vocab,
+        "drift_report": q_drift_report,
         "balanced_sample": q_balanced_sample,
         "build_vocab": q_build_vocab,
         "gopher_quality": q_gopher_quality,
@@ -4171,6 +4198,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_ivf": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "drift_report": """
+            WITH b AS (
+              SELECT CAST(min(value) AS DOUBLE) AS lo,
+                     CAST(max(value) AS DOUBLE) AS hi
+              FROM events WHERE value IS NOT NULL),
+            o AS (
+              SELECT CAST(least(7, floor((CAST(e.value AS DOUBLE) - b.lo)
+                       / ((b.hi - b.lo) / 8))) AS INTEGER) AS bucket,
+                     CAST(count(*) AS BIGINT) AS old_count
+              FROM events e, b
+              WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
+              GROUP BY 1),
+            n AS (
+              SELECT CAST(least(7, floor((CAST(e.value AS DOUBLE) - b.lo)
+                       / ((b.hi - b.lo) / 8))) AS INTEGER) AS bucket,
+                     CAST(count(*) AS BIGINT) AS new_count
+              FROM events e, b WHERE e.value IS NOT NULL
+              GROUP BY 1),
+            tot AS (
+              SELECT (SELECT count(value) FROM events
+                      WHERE event_id % 2 = 1) AS ot,
+                     (SELECT count(value) FROM events) AS nt)
+            SELECT coalesce(o.bucket, n.bucket) AS bucket,
+                   round(b.lo + coalesce(o.bucket, n.bucket)
+                         * ((b.hi - b.lo) / 8), 6) AS lo_edge,
+                   round(b.lo + (coalesce(o.bucket, n.bucket) + 1)
+                         * ((b.hi - b.lo) / 8), 6) AS hi_edge,
+                   coalesce(o.old_count, 0) AS old_count,
+                   coalesce(n.new_count, 0) AS new_count,
+                   round(coalesce(o.old_count, 0) / CAST(tot.ot AS DOUBLE), 6)
+                     AS old_frac,
+                   round(coalesce(n.new_count, 0) / CAST(tot.nt AS DOUBLE), 6)
+                     AS new_frac
+            FROM o FULL OUTER JOIN n USING (bucket), b, tot
+        """,
         "bigram_vocab": r"""
             WITH t AS (
               SELECT list_transform(list_filter(

@@ -146,3 +146,85 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def drift_report(
+    table,
+    col: str,
+    bins: int = 10,
+    old_snapshot: str | None = None,
+    new_snapshot: str | None = None,
+    branch: str = "main",
+) -> DataFrame:
+    """Distribution drift of a numeric column between two versions of a
+    lake table (the dataset-version QA gate: did this sync shift the
+    score/length/value distribution?). Both versions are binned on ONE
+    shared equal-width grid spanning their combined range, so the
+    per-bucket fractions are directly comparable; sum(|old_frac -
+    new_frac|) is the L1 (total-variation x2) drift. NULLs and NaNs are
+    excluded on both sides.
+
+    Returns (bucket, lo_edge, hi_edge, old_count, new_count, old_frac,
+    new_frac) — empty when neither version has a usable value. Scale
+    shape: two snapshot scans (time travel is metadata-only), one
+    4-scalar range agg over their union, one partial-agg count per side,
+    and a bucket-keyed outer join of two <= bins-row frames."""
+    from pyspark.sql import functions as F
+
+    if bins <= 0:
+        raise ValueError(f"bins must be > 0: {bins}")
+
+    def _vals(snap):
+        x = F.col(col).cast("double")
+        return (
+            table.scan(branch=branch, snapshot_id=snap)
+            .select(x.alias("_x"))
+            .filter(F.col("_x").isNotNull() & ~F.isnan("_x"))
+        )
+
+    old_v, new_v = _vals(old_snapshot), _vals(new_snapshot)
+    row = old_v.unionByName(new_v).agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    spark = table.spark
+    empty = "bucket int, lo_edge double, hi_edge double, " \
+            "old_count long, new_count long, old_frac double, new_frac double"
+    if lo is None:
+        return spark.createDataFrame([], empty)
+    width = (hi - lo) / bins
+
+    def _hist(df, name):
+        bucket = (
+            F.lit(0)
+            if width == 0.0
+            else F.least(
+                F.lit(bins - 1), F.floor((F.col("_x") - F.lit(lo)) / F.lit(width))
+            )
+        )
+        return df.groupBy(bucket.cast("int").alias("bucket")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    joined = _hist(old_v, "old_count").join(
+        _hist(new_v, "new_count"), "bucket", "full_outer"
+    )
+    totals = joined.agg(
+        F.sum("old_count").alias("ot"), F.sum("new_count").alias("nt")
+    ).first()
+    ot, nt = totals["ot"] or 0, totals["nt"] or 0
+    return joined.select(
+        "bucket",
+        F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo_edge"),
+        F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("hi_edge"),
+        F.coalesce("old_count", F.lit(0)).cast("long").alias("old_count"),
+        F.coalesce("new_count", F.lit(0)).cast("long").alias("new_count"),
+        F.round(
+            F.coalesce("old_count", F.lit(0)) / F.lit(float(ot)) if ot else F.lit(0.0),
+            6,
+        ).alias("old_frac"),
+        F.round(
+            F.coalesce("new_count", F.lit(0)) / F.lit(float(nt)) if nt else F.lit(0.0),
+            6,
+        ).alias("new_frac"),
+    )

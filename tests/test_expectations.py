@@ -117,3 +117,39 @@ def test_row_rules_share_one_scan(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
     assert rep.filter("passed").count() == 3  # range rule fails (6 > 5)
+
+
+def test_drift_report_between_snapshots(spark, tmp_table_dir):
+    from pyspark.sql import functions as F2
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.expectations import drift_report
+
+    t = LakeTable.create(
+        spark, f"{tmp_table_dir}/drift",
+        spark.createDataFrame([], "id long, v double").schema,
+        primary_key=["id"],
+    )
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    old = t.current_snapshot_id("main")
+    # v2 shifts the distribution upward and adds a null + NaN
+    t.append(spark.createDataFrame(
+        [(100 + i, 10.0 + i) for i in range(10)]
+        + [(200, None), (201, float("nan"))],
+        "id long, v double",
+    ))
+    rep = drift_report(t, "v", bins=2, old_snapshot=old).collect()
+    by = {r["bucket"]: r for r in rep}
+    # shared range [0, 19], width 9.5: old all in bucket 0 (0..9),
+    # new has 10 in [0,9.5) plus 10 rows 10..19 -> bucket 1
+    assert by[0]["old_count"] == 10 and by[0]["old_frac"] == 1.0
+    assert by[0]["new_count"] == 10 and by[1]["new_count"] == 10
+    assert by[1]["old_count"] == 0 and by[1]["old_frac"] == 0.0
+    assert by[0]["new_frac"] == 0.5 and by[1]["new_frac"] == 0.5
+    l1 = sum(abs(r["old_frac"] - r["new_frac"]) for r in rep)
+    assert abs(l1 - 1.0) < 1e-9
+    assert by[1]["hi_edge"] == 19.0
+
+    # same-version drift is zero
+    same = drift_report(t, "v", bins=4, old_snapshot=None).collect()
+    assert all(r["old_frac"] == r["new_frac"] for r in same)
