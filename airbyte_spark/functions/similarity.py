@@ -76,14 +76,94 @@ def brute_force_topk(
                 "exact-recall baseline — use lsh_topk/ivf_topk at scale, "
                 "or pass exact=True to force it"
             )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
-    )
+    # r6 optimization (guide §4.2 + §2.3): the old plan cross-joined the
+    # broadcast queries and evaluated the cosine as interpreted
+    # higher-order-function expressions — |corpus| × |queries| lambda
+    # evaluations — then fed EVERY scored pair through one window with
+    # |queries| partitions. Now one mapInPandas pass scores all queries
+    # per corpus batch in numpy and keeps only each partition's top-k, so
+    # the shuffle carries ≤ partitions × queries × k rows. Values are
+    # bit-identical to the expression form (cumsum reproduces the
+    # left-to-right double accumulation the DuckDB oracles pin).
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if len(q_rows) > 4096:
+        # not "a handful of probes" — keep the broadcast-expression plan
+        q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        scored = corpus.crossJoin(F.broadcast(q)).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+        )
+    else:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        qids = [r[0] for r in q_rows]
+        Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        # norm(q), left-to-right like the `norm` expression
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1]) if len(q_rows) else None
+        kk = int(k)
+        out_schema = StructType(
+            [
+                StructField("_qi", LongType()),
+                StructField(id_col, corpus.schema[id_col].dataType),
+                StructField("cos", DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            best: list[list] = [[] for _ in range(len(qids))]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                ids = pdf[id_col].to_numpy()
+                cn = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+                for qi in range(len(qids)):
+                    dots = np.cumsum(M * Q[qi], axis=1)[:, -1]
+                    cos = dots / (cn * qn[qi])
+                    cand = pd.DataFrame({id_col: ids, "cos": cos})
+                    best[qi].append(
+                        cand.sort_values(
+                            ["cos", id_col], ascending=[False, True],
+                            na_position="first",  # Spark: NaN sorts greatest
+                        ).head(kk)
+                    )
+            rows = []
+            for qi, frames in enumerate(best):
+                if not frames:
+                    continue
+                top = (
+                    pd.concat(frames)
+                    .sort_values(
+                        ["cos", id_col], ascending=[False, True],
+                        na_position="first",
+                    )
+                    .head(kk)
+                )
+                top.insert(0, "_qi", qi)
+                rows.append(top)
+            yield (
+                pd.concat(rows)
+                if rows
+                else pd.DataFrame(
+                    {"_qi": [], id_col: [], "cos": []}
+                )
+            )
+
+        qid_lit = F.array(*[F.lit(v) for v in qids]) if qids else F.array()
+        scored = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(score, out_schema)
+            .select(
+                F.element_at(qid_lit, F.col("_qi").cast("int") + 1)
+                .cast(queries.schema[query_id_col].dataType)
+                .alias(query_id_col),
+                F.col(id_col),
+                F.col("cos"),
+            )
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -103,8 +103,18 @@ def hits_mask(bitmap: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
     return ok
 
 
-def might_contain_any(bitmap: np.ndarray, hashes: np.ndarray, k: int) -> bool:
-    return bool(hits_mask(bitmap, hashes, k).any())
+def might_contain_any(
+    bitmap: np.ndarray, hashes: np.ndarray, k: int, chunk: int = 4096
+) -> bool:
+    """ANY-membership with chunked early exit: a saturated probe (big
+    batch vs. a file that IS hit — the common merge shape) finds a hit in
+    the first chunk and skips the other 99% of the position math; a probe
+    that misses everything does the same total work as one full pass."""
+    n = hashes.shape[0]
+    for i in range(0, n, chunk):
+        if hits_mask(bitmap, hashes[i : i + chunk], k).any():
+            return True
+    return False
 
 
 def write_bitmap_sidecar(data_path: str, bitmap: np.ndarray) -> str:

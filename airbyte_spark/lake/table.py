@@ -803,7 +803,11 @@ class LakeTable:
         pass the entries to `commit(add_entries=...)`."""
         pk = self.primary_key
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}-del")
-        keys.select(*pk).coalesce(1).write.mode("errorifexists").parquet(commit_dir)
+        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+        # upstream pipeline (the MoR resolve join included) into one task;
+        # the extra shuffle of slim key rows is noise next to running the
+        # resolve reduce side 32-wide (optimization guide §2.4/§2.6)
+        keys.select(*pk).repartition(1).write.mode("errorifexists").parquet(commit_dir)
         _drop_markers(commit_dir)
         paths = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
         entries = collect_file_entries(
@@ -844,7 +848,9 @@ class LakeTable:
                 F.col("file_path").cast("string").alias("file_path"),
                 F.col("pos").cast("long").alias("pos"),
             )
-            .coalesce(1)
+            # repartition, not coalesce: keep the upstream position scan
+            # parallel (see write_delete_files)
+            .repartition(1)
             .write.mode("errorifexists")
             .parquet(commit_dir)
         )

@@ -489,14 +489,37 @@ def merge_into(
     # evolve conflict, dedup count) unpersists the cached frames — retried
     # merges must not accumulate cached copies
     try:
-        # -- P7 null-PK guard + source size, one cheap action on the slim side
+        # -- P7 null-PK guard + source size, one cheap action on the slim
+        # side. The same pass counts distinct full-identity tuples: when
+        # every source row is unique on the dedup-order key set there are
+        # no at-least-once replays, so the payload fetch below can skip
+        # its dropDuplicates — one full payload shuffle gone (guide §2.3
+        # "shuffle keys and metadata instead of payloads"). struct() keeps
+        # null-bearing tuples countable with dropDuplicates' null==null
+        # grouping semantics.
         null_pk = F.lit(False)
         for c in pk:
             null_pk = null_pk | F.col(c).isNull()
-        counts = slim.select(
+        ident_cols = None
+        if RAW_ID_COL in source.columns:
+            ident_cols = list(dict.fromkeys(
+                pk
+                + [RAW_ID_COL]
+                + [
+                    c
+                    for c in (cursor_col, EXTRACTED_COL, cdc_col)
+                    if c and c in source.columns and c not in pk
+                ]
+            ))
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(null_pk.cast("long")).alias("bad"),
-        ).first()
+        ]
+        if ident_cols:
+            aggs.append(
+                F.count_distinct(F.struct(*ident_cols)).alias("uniq")
+            )
+        counts = slim.select(*aggs).first()
         _tick("guard")
         if counts["bad"]:
             raise NullPrimaryKeyError(
@@ -557,19 +580,21 @@ def merge_into(
                 src_side = src_side.withColumn(sc, k)
                 win_side = win_side.withColumn(sc, k).drop(c)
             join_keys = pk + [RAW_ID_COL] + list(sur.values())
-            src = (
-                src_side.join(
-                    F.broadcast(win_side)
-                    if deduped_rows <= 2_000_000
-                    else win_side,
-                    on=join_keys,
-                    how="left_semi",
-                )
-                .drop(*sur.values())
-                # absorbs true at-least-once replays (identical rows);
-                # dropDuplicates treats nulls as equal, unlike the join
-                .dropDuplicates(pk + [RAW_ID_COL] + extra)
-            )
+            src = src_side.join(
+                F.broadcast(win_side)
+                if deduped_rows <= 2_000_000
+                else win_side,
+                on=join_keys,
+                how="left_semi",
+            ).drop(*sur.values())
+            # absorbs true at-least-once replays (identical rows);
+            # dropDuplicates treats nulls as equal, unlike the join.
+            # Skipped when the guard pass proved the batch replay-free
+            # (every row unique on the full identity): the semi join then
+            # emits at most one payload row per winner already, and the
+            # payload never pays this extra full-width shuffle.
+            if counts["uniq"] != counts["n"]:
+                src = src.dropDuplicates(pk + [RAW_ID_COL] + extra)
         else:
             src = dedup_batch(source, pk, cursor_col, salt_buckets).persist()
             deduped_rows = src.count()
@@ -955,9 +980,10 @@ def _merge_mor(
             else 1024.0
         )
         n_out = max(1, -(-int(deduped_rows * avg_row) // target_file_bytes))
-        bounds = sampled_boundaries(
-            inserts.select(pk[0]), pk[0], n_out, deduped_rows
-        )
+        # boundaries from the persisted winner keys (same key set as
+        # `inserts`, minus nothing that moves a quantile): sampling
+        # `inserts` would re-run the payload-side semi join once more
+        bounds = sampled_boundaries(ins_keys, pk[0], n_out, deduped_rows)
         out = range_bucketed(
             inserts,
             F.col(pk[0]),

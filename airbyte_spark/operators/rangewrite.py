@@ -100,6 +100,53 @@ def bucket_expr(key: Column, boundaries: list) -> Column:
     return pid
 
 
+def _murmur3_int(value: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one INT column value (`F.hash(int_col)`),
+    replicated exactly (pinned by test_rangewrite_salts_match_spark_hash)
+    so bucket→partition salts can be planned driver-side with no Spark
+    job."""
+    k1 = (value & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed & 0xFFFFFFFF) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # input length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+_SALT_CACHE: dict[int, list[int]] = {}
+
+
+def partition_salts(n_parts: int) -> list[int]:
+    """salts[p] = smallest int x with pmod(murmur3(x), n_parts) == p.
+
+    `repartition(n, col)` places a row in pmod(hash(col), n): hashing the
+    bucket id directly COLLIDES buckets into one task and leaves others
+    empty whenever the bucket count is near the partition count (the
+    classic balls-into-bins skew — guide §2.5). Remapping each bucket id
+    through its salt makes bucket→partition a bijection: every reducer
+    gets exactly one range bucket, so the biggest task is one bucket, not
+    three."""
+    salts = _SALT_CACHE.get(n_parts)
+    if salts is None:
+        salts = [-1] * n_parts
+        found, x = 0, 0
+        while found < n_parts:
+            p = _murmur3_int(x) % n_parts  # python % IS pmod for n>0
+            if salts[p] < 0:
+                salts[p] = x
+                found += 1
+            x += 1
+        _SALT_CACHE[n_parts] = salts
+    return salts
+
+
 def range_bucketed(
     df: DataFrame,
     key: Column,
@@ -108,8 +155,21 @@ def range_bucketed(
     min_tasks: int = 0,
 ) -> DataFrame:
     """Tag + shuffle + sort: returns a DataFrame carrying `_pid`, ready for
-    `write.partitionBy('_pid')` (table.write_dataframe(partition_by='_pid'))."""
+    `write.partitionBy('_pid')` (table.write_dataframe(partition_by='_pid')).
+
+    The shuffle hashes a per-bucket SALT chosen so bucket→partition is
+    exactly 1:1 (see partition_salts) — no two buckets share a reducer, no
+    reducer idles, and each output file is produced by exactly one task."""
     n_out = len(boundaries) + 1
     tagged = df.withColumn("_pid", bucket_expr(key, boundaries))
     n_parts = max(n_out, min_tasks)
-    return tagged.repartition(n_parts, "_pid").sortWithinPartitions("_pid", *sort_cols)
+    salts = partition_salts(n_parts)[:n_out]
+    salt_col = F.element_at(
+        F.array(*[F.lit(s) for s in salts]), F.col("_pid") + 1
+    )
+    tagged = tagged.withColumn("_psalt", salt_col)
+    return (
+        tagged.repartition(n_parts, "_psalt")
+        .sortWithinPartitions("_pid", *sort_cols)
+        .drop("_psalt")
+    )
