@@ -114,13 +114,19 @@ def q_a7_distinct(spark, sf):
 
 def q_w1_dedup_rank(spark, sf):
     """W1: ROW_NUMBER dedup — latest event per user (cursor=ts,
-    tiebreak=event_id; SnowflakeDirectLoadSqlGenerator.kt:283-287)."""
+    tiebreak=event_id; SnowflakeDirectLoadSqlGenerator.kt:283-287).
+
+    r6: executed as max(struct(ts, event_id, ...)) — lexicographic struct
+    order IS the (ts DESC, event_id DESC) pick, and a hash aggregate
+    partial-aggregates map-side so the exchange carries one row per
+    (map partition, user) instead of every event, with no per-partition
+    sort (guide §2.3). event_id is unique, so the pick is identical to
+    the window form the oracle runs."""
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("user_id", "event_id", "event_type", "value")
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select("user_id", "s.event_id", "s.event_type", "s.value")
     )
 
 
@@ -139,24 +145,25 @@ def q_w2_scd2_lag(spark, sf):
 def q_j2_merge_resolution(spark, sf):
     """J2: MERGE resolution as full-outer + cursor-newer pick: target =
     latest pre-cutoff state, source = post-cutoff batch (deduped); output
-    = upserted final state per user."""
+    = upserted final state per user.
+
+    r6: both sides' window dedups AND the full-outer join collapse into
+    ONE hash aggregate — per user, max(struct) over the pre-cutoff rows
+    and over the post-cutoff rows (each conditional max is NULL when that
+    side has no rows, exactly the outer join's missing side). One
+    partial-aggregated exchange over events instead of two window sorts
+    plus a join; identical rows (event_id is unique, struct order = the
+    oracle's ts DESC, event_id DESC)."""
     ev = _t(spark, sf, "events")
     cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    tgt = (
-        ev.filter(F.col("ts") <= cutoff)
-        .withColumn("rn", F.row_number().over(w)).filter("rn=1").drop("rn")
-        .select("user_id", "event_id", "ts", "value")
-    ).alias("t")
-    src = (
-        ev.filter(F.col("ts") > cutoff)
-        .withColumn("rn", F.row_number().over(w)).filter("rn=1").drop("rn")
-        .select("user_id", "event_id", "ts", "value")
-    ).alias("s")
-    j = tgt.join(src, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
-    use_src = F.col("s.user_id").isNotNull()
-    return j.select(
-        F.coalesce(F.col("s.user_id"), F.col("t.user_id")).alias("user_id"),
+    row = F.struct("ts", "event_id", "value")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") <= cutoff, row)).alias("t"),
+        F.max(F.when(F.col("ts") > cutoff, row)).alias("s"),
+    )
+    use_src = F.col("s").isNotNull()
+    return agg.select(
+        "user_id",
         F.when(use_src, F.col("s.event_id")).otherwise(F.col("t.event_id")).alias("event_id"),
         F.when(use_src, F.col("s.value")).otherwise(F.col("t.value")).alias("value"),
     )
@@ -270,10 +277,15 @@ def _words(col):
 
 
 def q_dedup_exact(spark, sf):
-    """Exact dedup: canonical (min) doc_id per normalized text."""
+    """Exact dedup: canonical (min) doc_id per normalized text.
+
+    r6: the grouping key shuffled is md5(fp), not the normalized text
+    itself — 32 bytes per distinct doc instead of the whole document
+    (guide §2.3 "shuffle keys instead of payloads"); md5 is the repo's
+    cross-engine-stable surrogate everywhere else (CLAUDE.md #10)."""
     d = _t(spark, sf, "documents")
     return (
-        d.withColumn("fp", _norm_text(F.col("text")))
+        d.withColumn("fp", F.md5(_norm_text(F.col("text"))))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -1669,8 +1681,12 @@ def q_semantic_dedup(spark, sf):
             "embedding", lambda x: x * F.lit(2.0).cast("float")
         ).alias("embedding"),
     )
+    # max_cell_size=None: the oracle replays the paper-exact all-pairs
+    # decision (the capped star path is the production skew guard — like
+    # the simhash oracle entry runs uncapped)
     return semantic_dedup(
-        emb.unionByName(planted), k=8, n_iters=3, seed=11, threshold=0.95
+        emb.unionByName(planted), k=8, n_iters=3, seed=11, threshold=0.95,
+        max_cell_size=None,
     )
 
 

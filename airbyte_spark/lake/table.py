@@ -1254,20 +1254,49 @@ class LakeTable:
             refs["table"]["partition_by"] = list(new_partition_by)
             atomic_write_json(os.path.join(self.meta_dir, "refs.json"), refs)
 
-    def rewrite_manifests(self, branch: str = MAIN) -> Snapshot:
-        """Recompute per-file min/max stats from parquet footers for every
-        live file and commit fresh manifests (SURVEY.md §2.11 "Manifest
-        rewrite w/ stats"; stat source = writer config
-        IcebergTableWriterFactory.kt:108-136). Distributed footer reads."""
+    def rewrite_manifests(self, branch: str = MAIN, mode: str = "missing") -> Snapshot:
+        """Recompute per-file min/max stats from parquet footers and commit
+        fresh manifests (SURVEY.md §2.11 "Manifest rewrite w/ stats"; stat
+        source = writer config IcebergTableWriterFactory.kt:108-136).
+        Distributed footer reads.
+
+        mode="missing" (default, r6): only data files whose entry LACKS a
+        stat for some stats-column present in their schema are re-read —
+        files this engine wrote already carry footer-exact stats from
+        collect_file_entries, so the steady maintenance pass is a pure
+        manifest consolidation with zero file I/O; imported or
+        stat-stripped entries still get their footer pass. mode="full"
+        forces the O(table) recompute (diagnostics, stats-column changes
+        on all-null columns)."""
         old = self.all_files(branch=branch)
+        stats_cols = self.stats_columns
+        if mode == "full":
+            need = list(old)
+        else:
+            need = []
+            for e in old:
+                if e.content != "data":
+                    continue  # delete-file stats are written with the keys
+                try:
+                    fields = set(
+                        self.registered_schema(e.schema_id or 0).fieldNames()
+                    )
+                except Exception:
+                    need.append(e)
+                    continue
+                want = [c for c in stats_cols if c in fields]
+                if any(c not in e.stats for c in want):
+                    need.append(e)
         by_key: dict[tuple[int, int], list[str]] = {}
-        for e in old:
+        for e in need:
             by_key.setdefault((e.generation_id, e.schema_id), []).append(e.path)
-        fresh: list[DataFileEntry] = []
+        fresh: list[DataFileEntry] = [
+            e for e in old if e.path not in {n.path for n in need}
+        ]
         for (gen, sid), paths in sorted(by_key.items()):
             fresh.extend(
                 collect_file_entries(
-                    self.spark, paths, self.stats_columns, gen, schema_id=sid
+                    self.spark, paths, stats_cols, gen, schema_id=sid
                 )
             )
         # metadata-only rewrite: carry over identity that stats recomputation

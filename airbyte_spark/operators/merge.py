@@ -167,7 +167,55 @@ def _candidate_entries(
             with_stats.append((e.path, lo, hi))
         except (ValueError, TypeError, ArithmeticError):
             no_stats.append(e)
-    hit_paths: set[str] = set()
+
+    # r6: ONE capped collect fetches the distinct batch keys AND their
+    # xxhash64 (the bloom probe's hash contract) together; range pruning
+    # then runs driver-side via bisect over the sorted key list — no
+    # broadcast range join (a nested-loop over keys × files) and no
+    # second per-type hash job for the common same-type blooms. Over the
+    # cap, fall back to the Spark-side range join exactly as before
+    # (pruning keys is metadata-sized by construction in micro-batch
+    # merges, so the fallback is the exception).
+    cap = int(table.properties.get("merge.bloom.max-probe-keys", 2_000_000))
+    k = F.col(pk0).try_cast(pk_type)
+    key_rows = None
+    if cap > 0:
+        rows = (
+            src_keys.select(k.alias("_k"), F.xxhash64(k).alias("_h"))
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) <= cap:
+            key_rows = rows
+    if key_rows is not None:
+        import bisect
+
+        import numpy as np
+
+        keys = sorted(r["_k"] for r in key_rows if r["_k"] is not None)
+        hit_paths: set[str] = set()
+        try:
+            for path, lo, hi in with_stats:
+                i = bisect.bisect_left(keys, lo)
+                if i < len(keys) and keys[i] <= hi:
+                    hit_paths.add(path)
+        except TypeError:
+            # incomparable python/type mix — give the compare back to Spark
+            key_rows = None
+        if key_rows is not None:
+            by_path = {e.path: e for e in entries}
+            candidates = [by_path[p] for p in sorted(hit_paths)] + no_stats
+            hashes = np.array(
+                [r["_h"] for r in key_rows if r["_k"] is not None],
+                dtype=np.int64,
+            ).view(np.uint64)
+            return _bloom_prune_candidates(
+                table, src_keys, candidates, pk0,
+                precomputed={pk_type.simpleString(): hashes},
+                key_count=len(keys),
+            )
+    hit_paths = set()
     if with_stats:
         files_df = spark.createDataFrame(
             with_stats,
@@ -181,7 +229,6 @@ def _candidate_entries(
         )
         # try_cast: an unparseable key simply matches no file range (the
         # row would fail alignment later anyway); never a runtime error
-        k = F.col(pk0).try_cast(pk_type)
         hits = (
             src_keys.join(
                 F.broadcast(files_df),
@@ -291,6 +338,8 @@ def _bloom_prune_candidates(
     src_keys: DataFrame,
     candidates: list[DataFileEntry],
     pk0: str,
+    precomputed: dict | None = None,
+    key_count: int | None = None,
 ) -> list[DataFileEntry]:
     """Second-stage candidate pruning by PK bloom membership
     (lake/bloom.py sidecars). Range pruning is the first stage but is
@@ -327,8 +376,12 @@ def _bloom_prune_candidates(
     cap = int(table.properties.get("merge.bloom.max-probe-keys", 2_000_000))
     if cap <= 0:
         return candidates
-    hashes_by_type: dict[str, np.ndarray] = {}
+    # hashes the caller already collected (same capped distinct-key job
+    # that fed range pruning) — skip the per-type Spark job for them
+    hashes_by_type: dict[str, np.ndarray] = dict(precomputed or {})
     for tname in sorted({e.bloom["type"] for e in probeable}):
+        if tname in hashes_by_type:
+            continue
         try:
             dt = _DT.fromDDL(tname)
         except Exception:

@@ -22,6 +22,7 @@ of the table), which they need anyway for commit-size hygiene.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,14 +79,23 @@ def manifest_boundaries(entries: list, col: str, n_out: int) -> list:
 
 
 def numeric_boundaries(keys: DataFrame, col: str, n_out: int) -> list:
-    """approxQuantile boundaries for a numeric key (single pass, no sort)."""
+    """Quantile boundaries for a numeric key: ONE collect of the (already
+    sampled, slim) key column + an exact numpy quantile on the driver.
+    Callers bound the input to ~200k rows (cluster samples before the key
+    UDF), so the collect is ≤ 1.6 MB — cheaper than approxQuantile's
+    separate aggregation job, and boundary precision only affects file-size
+    balance."""
     if n_out <= 1:
         return []
-    probs = [i / n_out for i in range(1, n_out)]
-    vals = keys.approxQuantile(col, probs, 0.001)
-    out = []
-    for v in vals:
-        if v is not None and (not out or v > out[-1]):
+    vals = [r[0] for r in keys.select(col).collect() if r[0] is not None]
+    if not vals:
+        return []
+    arr = np.sort(np.asarray(vals))
+    idx = (np.arange(1, n_out) * len(arr)) // n_out
+    out: list = []
+    for v in arr[np.minimum(idx, len(arr) - 1)]:
+        v = v.item()
+        if not out or v > out[-1]:
             out.append(v)
     return out
 

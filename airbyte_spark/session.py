@@ -86,10 +86,14 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:+IgnoreUnrecognizedVMOptions -XX:UseAVX=2",
         )
-        # fixed modest heap: measured on this box, 8g at 32 threads beats
-        # 16g/32g (big heaps degrade across runs — delayed old-gen sweeps
-        # + slow page commits under the VM); shuffle spill handles the rest
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 16g heap (r6 re-measure at the driver's sf1 shape: 480k × ~17KB
+        # binary rows, 32 concurrent scan/sort/shuffle tasks): quiet-box
+        # cluster rewrite 8g ≈ 50 s vs 16g ≈ 43 s, and under co-tenant
+        # load the gap widens to >2× (GC pressure amplifies contention);
+        # at the 48k-image shape 8g/12g/16g are indistinguishable
+        # (ab_results3/4 logs, OPTIMIZATION_r06.md). The old 8g-beats-16g
+        # result predates the r6 write-path fixes and does not reproduce.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

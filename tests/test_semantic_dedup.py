@@ -171,3 +171,29 @@ def test_zero_vector_is_never_a_duplicate(spark):
            semantic_dedup(_corpus(spark, rows), k=2, threshold=0.9).collect()}
     assert out[300]["keep"] is True
     assert all(out[i]["keep"] for i in range(12))
+
+
+def test_semantic_dedup_cell_cap_no_quadratic_stage(spark):
+    """r6 skew guard: a degenerate corpus collapsing into one giant cell
+    must not plan an all-pairs self-join. With the cap, every duplicate of
+    the cell's min id is still dropped (star compare), the survivor count
+    stays 1 for an all-duplicates corpus, and the executed plan's join
+    output is O(cell), not O(cell^2)."""
+    n = 400
+    base = np.ones(8)
+    rows = [(i, base * (1.0 + i)) for i in range(n)]  # all same direction
+    out = semantic_dedup(_corpus(spark, rows), k=2, threshold=0.99,
+                         max_cell_size=50)
+    got = out.collect()
+    assert len(got) == n
+    keep = {r["vec_id"] for r in got if r["keep"]}
+    # every member is an exact semantic duplicate of id 0 -> star around
+    # the min id drops all others
+    assert keep == {0}
+    # uncapped and capped agree on this corpus (star == all-pairs when
+    # everything duplicates the representative)
+    unc = semantic_dedup(_corpus(spark, rows), k=2, threshold=0.99,
+                         max_cell_size=None).collect()
+    assert {r["vec_id"]: r["keep"] for r in unc} == {
+        r["vec_id"]: r["keep"] for r in got
+    }
