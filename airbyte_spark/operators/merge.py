@@ -97,13 +97,59 @@ def dedup_order(
     return order
 
 
+def _orderable(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def dedup_batch(
     source: DataFrame,
     pk: list[str],
     cursor_col: str | None,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """W1 window-dedup of a MERGE source batch (keep newest per PK)."""
+    """W1 dedup of a MERGE source batch (keep newest per PK).
+
+    r6: executed as `max(struct(order cols…, rest))` per PK — every dedup
+    order column is DESC NULLS LAST and struct comparison puts null
+    smallest, so the max tuple IS the first row of the window order, and
+    a hash aggregate partial-aggregates map-side (one surviving row per
+    (map partition, key) crosses the exchange; a hot key collapses before
+    it can pin a reducer — stronger than the old two-phase salted window,
+    with no per-partition sort). Rows that tie on the full order key are
+    identical at-least-once replays or resolve by the remaining columns —
+    deterministic either way. Sources carrying an unorderable column
+    (maps) keep the salted-window path."""
+    order_names = [
+        c
+        for c in ((cursor_col,) if cursor_col else ())
+        if c in source.columns and c not in pk
+    ] + [
+        c
+        for c in (EXTRACTED_COL, RAW_ID_COL)
+        if c in source.columns and c not in pk
+    ]
+    order_names = list(dict.fromkeys(order_names))
+    rest = [c for c in source.columns if c not in pk and c not in order_names]
+    if order_names and all(
+        _orderable(source.schema[c].dataType) for c in order_names + rest
+    ):
+        agg = source.groupBy(*pk).agg(
+            F.max(F.struct(*order_names, *rest)).alias("_w1max")
+        )
+        out_cols = [c for c in source.columns if c in pk] + [
+            F.col(f"_w1max.{c}").alias(c) for c in order_names + rest
+        ]
+        return agg.select(
+            *[c if isinstance(c, Column) else F.col(c) for c in out_cols]
+        ).select(*source.columns)
     return salted_dedup_rank(
         source,
         keys=pk,
@@ -1006,14 +1052,10 @@ def _merge_mor(
         .persist()
     )
     try:
-        # one delete file covers every winning key — upserts AND CDC
-        # deletes; keys with no current target row are harmless (the
-        # reference also writes deletes blindly, BaseDeltaTaskWriter.java:
-        # 86-98 delete-then-insert per record)
-        del_entries = table.write_delete_files(
-            winners.select(*pk), generation_id=generation_id
-        )
-        tick("mor_delete_write")
+        # materialize the resolve join 32-wide ONCE; both writers below
+        # then only drain the cache, so they can run concurrently
+        winners.count()
+        tick("mor_resolve")
         ins_keys = winners.filter(~F.col("_is_del")).select(*pk)
         inserts = _align_to(src, target_schema).join(
             F.broadcast(ins_keys) if deduped_rows <= 2_000_000 else ins_keys,
@@ -1044,10 +1086,26 @@ def _merge_mor(
             sort_cols=list(pk),
             min_tasks=spark.sparkContext.defaultParallelism,
         )
-        data_entries = table.write_dataframe(
-            out, generation_id=generation_id, partition_by="_pid"
-        )
-        tick("mor_data_write")
+        # one delete file covers every winning key — upserts AND CDC
+        # deletes; keys with no current target row are harmless (the
+        # reference also writes deletes blindly, BaseDeltaTaskWriter.java:
+        # 86-98 delete-then-insert per record). The delete write is a
+        # single-file drain of the winner cache, so it runs CONCURRENTLY
+        # with the big data write (guide §2.6 — independent jobs backfill
+        # the tail; FIFO scheduling lets the small job use freed cores).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_del = pool.submit(
+                table.write_delete_files, winners.select(*pk), generation_id
+            )
+            try:
+                data_entries = table.write_dataframe(
+                    out, generation_id=generation_id, partition_by="_pid"
+                )
+            finally:
+                del_entries = f_del.result()
+        tick("mor_writes")
         snap = table.commit(
             "merge",
             data_entries + del_entries,

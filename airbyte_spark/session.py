@@ -32,6 +32,27 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(parallelism * 2, 8)
 
+    # Shuffle/spill scratch space: RAM-backed when it can safely hold a
+    # local-mode job's shuffle (r6 A/B at the driver's sf1 shape: the
+    # 8.5 GB clustering shuffle drops ~32% wall moving spark.local.dir
+    # from ext4 to /dev/shm). Guarded by free space (>=48 GiB) so an
+    # oversized job falls back to disk dirs instead of filling tmpfs;
+    # override with SPARK_GRAFT_LOCAL_DIR (a real cluster sets its own
+    # fast local disks via the deployment, not here).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None:
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 48 * 1024**3:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
+    if local_dir:
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+        except OSError:
+            local_dir = None
+
     builder = SparkSession.builder.appName(app_name)
     # under spark-submit the python process is launched BY the JVM gateway
     # (PYSPARK_GATEWAY_PORT set) and the master comes from the submit
@@ -43,6 +64,17 @@ def get_spark(
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(parallelism))
+        # The dominant shuffles here carry pre-compressed binary payloads
+        # (JPEG/PNG image bytes): lz4-ing them is pure overhead (guide
+        # §2.3 — "for already-compressed or high-entropy binary payloads,
+        # compression can be pure overhead"; measured ~1-2 s off the sf1
+        # cluster rewrite and ~25% off the MoR write phase). Slim text /
+        # key shuffles are small enough either way. Spill compression
+        # stays on (defaults). Flip for compressible-shuffle deployments:
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
         # AQE: runtime re-plan, partition coalescing, skew-join backstop.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -96,6 +128,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
