@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import threading
+import time
 from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -607,6 +608,7 @@ class LakeTable:
         df: DataFrame,
         generation_id: int = 0,
         partition_by: str | None = None,
+        phases: dict | None = None,
     ) -> list[DataFileEntry]:
         """Materialize a DataFrame as parquet data files; no commit yet.
 
@@ -626,6 +628,16 @@ class LakeTable:
         transformed partition values for pruning."""
         from airbyte_spark.lake.transforms import partition_expr
 
+        _t0 = time.monotonic()
+
+        def _tick(name: str) -> None:
+            nonlocal _t0
+            if phases is None:
+                return
+            now = time.monotonic()
+            phases[name] = round(phases.get(name, 0.0) + (now - _t0), 3)
+            _t0 = now
+
         commit_dir = os.path.join(self.data_dir, f"{new_id()}-g{generation_id}")
         schema = self.schema()
         fields = [f for f in self.partition_fields() if f.source in df.columns]
@@ -644,30 +656,70 @@ class LakeTable:
         if write_parts:
             w = w.partitionBy(*write_parts)
         w.parquet(commit_dir)
+        _tick("write")
         _drop_markers(commit_dir)
         paths = sorted(
             glob.glob(os.path.join(commit_dir, "**", "part-*.parquet"), recursive=True)
         )
-        entries = collect_file_entries(
-            self.spark,
-            paths,
-            self.stats_columns,
-            generation_id,
-            schema_id=self.current_schema_id,
-        )
+        # bloom sidecar build (slim PK-column Spark scan) and footer-stat
+        # collection are independent passes over the just-written files —
+        # overlap them (guide §2.6: independent jobs back-fill each
+        # other's stragglers)
+        bloom_future = None
+        pool = None
+        if self.primary_key and self.primary_key[0] in df.columns and paths:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            bloom_future = pool.submit(self._build_pk_blooms, paths)
+        try:
+            entries = collect_file_entries(
+                self.spark,
+                paths,
+                self.stats_columns,
+                generation_id,
+                schema_id=self.current_schema_id,
+            )
+            _tick("stats")
+            built = bloom_future.result() if bloom_future is not None else None
+            if bloom_future is not None:
+                _tick("bloom-join")
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
         for e in entries:
             e.partition = _partition_values(e.path, part_names)
         # drop zero-row part files (Spark emits one per empty partition) —
-        # they carry no data and would defeat manifest-stat pruning
+        # they carry no data and would defeat manifest-stat pruning.
+        # (AFTER the bloom scan has joined: never unlink under a live scan)
         for e in entries:
             if e.rows == 0:
                 os.unlink(e.path)
         live = [e for e in entries if e.rows > 0]
-        if self.primary_key and self.primary_key[0] in df.columns:
-            self._attach_pk_blooms(live)
+        if built:
+            self._stamp_pk_blooms(live, built)
         return live
 
     def _attach_pk_blooms(self, entries: list[DataFileEntry]) -> None:
+        """Build + attach per-file PK bloom sidecars for freshly written
+        data files (see _build_pk_blooms for the pass shape)."""
+        built = self._build_pk_blooms([e.path for e in entries])
+        if built:
+            self._stamp_pk_blooms(entries, built)
+
+    def _stamp_pk_blooms(self, entries: list[DataFileEntry], built: dict) -> None:
+        from airbyte_spark.operators.fileid import file_tail
+
+        m_by_tail, k, tname, n = (
+            built["m_by_tail"], built["k"], built["type"], built["depth"],
+        )
+        pk0 = self.primary_key[0]
+        for e in entries:
+            m = m_by_tail.get(file_tail(e.path, n))
+            if m:
+                e.bloom = {"col": pk0, "type": tname, "m": int(m), "k": k}
+
+    def _build_pk_blooms(self, paths: list[str]) -> dict | None:
         """Build per-file PK bloom sidecars (lake/bloom.py) for freshly
         written data files. ONE slim Spark pass: read only the leading PK
         column of the new files (column-pruned scan), hash with Spark's
@@ -675,7 +727,10 @@ class LakeTable:
         source file, and write `<file>.bloom` bitmaps from the workers.
         The shuffle moves (file-tail, int64) pairs only: ~16 B/row
         regardless of payload width. Manifest entries carry just
-        {col, type, m, k}; the bitmap never enters the manifest."""
+        {col, type, m, k}; the bitmap never enters the manifest.
+        Returns the {tail: m} map + hash parameters for _stamp_pk_blooms
+        (split out so the build can run CONCURRENTLY with footer-stat
+        collection in write_dataframe — guide §2.6)."""
         from airbyte_spark.lake import bloom as _bl
         from airbyte_spark.operators.fileid import (
             _suffix_depth,
@@ -688,15 +743,14 @@ class LakeTable:
             "1",
             "true",
         ):
-            return
+            return None
         pk0 = self.primary_key[0]
         bits_per_key = int(
             props.get("write.pk-bloom.bits-per-key", _bl.DEFAULT_BITS_PER_KEY)
         )
         k = _bl.optimal_k(bits_per_key)
-        paths = [e.path for e in entries]
         if not paths:
-            return
+            return None
         n = _suffix_depth(paths)
         tail_to_path = {file_tail(p, n): p for p in paths}
         raw = self.spark.read.parquet(*paths)
@@ -722,12 +776,12 @@ class LakeTable:
             .applyInPandas(_build, schema="tail string, m long")
             .collect()
         )
-        m_by_tail = {r["tail"]: r["m"] for r in out}
-        tname = pk_type.simpleString()
-        for e in entries:
-            m = m_by_tail.get(file_tail(e.path, n))
-            if m:
-                e.bloom = {"col": pk0, "type": tname, "m": int(m), "k": k}
+        return {
+            "m_by_tail": {r["tail"]: r["m"] for r in out},
+            "k": k,
+            "type": pk_type.simpleString(),
+            "depth": n,
+        }
 
     def backfill_pk_blooms(self, branch: str = MAIN) -> int:
         """Stamp PK bloom sidecars onto live data files that lack them.

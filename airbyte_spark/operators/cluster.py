@@ -90,6 +90,7 @@ class ClusterResult:
     # stay live — and stay dirty — for the next maintenance cycle)
     snapshots: list = None  # type: ignore[assignment]
     skipped_chunks: int = 0
+    phase_sec: dict = field(default_factory=dict)  # wall time per phase
 
 
 def delete_may_hit(
@@ -656,6 +657,17 @@ def cluster(
     distinct eras (default 8 — the MoR merge's own fold threshold), since
     PK-stat overlap on a non-clustered key would otherwise re-dirty the
     whole table on any update; "always"/"never" force it."""
+    import time as _time
+
+    _ph: dict = {}
+    _t0 = _time.monotonic()
+
+    def _tick(name: str) -> None:
+        nonlocal _t0
+        now = _time.monotonic()
+        _ph[name] = round(_ph.get(name, 0.0) + (now - _t0), 3)
+        _t0 = now
+
     if curve not in ("zorder", "hilbert"):
         raise ValueError("curve must be 'zorder' or 'hilbert'")
     if scope not in ("full", "dirty"):
@@ -784,6 +796,7 @@ def cluster(
         victims, reasons = list(entries), {"full": len(entries)}
         files_before = len(entries)
         bytes_before = sum(e.bytes for e in entries)
+    _tick("plan")
     if not victims:
         # metadata-only: nothing to rewrite, nothing read, no commit
         return ClusterResult(
@@ -809,7 +822,9 @@ def cluster(
     new_entries = _execute_cluster_rewrite(
         table, victims, schema, dims, curve, bits, order_id,
         target_file_bytes, generation_id, deletes, pos_deletes,
+        phases=_ph,
     )
+    _tick("rewrite")
     total_bytes = sum(e.bytes for e in victims)
     remove = {e.path for e in victims}
     # a rewritten victim restamps its rows at the new commit sequence; any
@@ -831,6 +846,7 @@ def cluster(
             table, pos_deletes, remove, survivors=survivors
         )
     remove |= {d.path for d in dead}
+    _tick("dead-deletes")
     snap = table.commit(
         "cluster",
         new_entries,
@@ -847,6 +863,7 @@ def cluster(
             "victim_reasons": reasons,
         },
     )
+    _tick("commit")
     return ClusterResult(
         snapshot=snap,
         curve=curve,
@@ -860,6 +877,7 @@ def cluster(
         skipped_bytes=bytes_before - total_bytes,
         dropped_delete_files=len(dead),
         victim_reasons=reasons,
+        phase_sec=_ph,
     )
 
 
@@ -875,16 +893,21 @@ def _execute_cluster_rewrite(
     generation_id: int,
     deletes: list[DataFileEntry],
     pos_deletes: list[DataFileEntry],
+    phases: dict | None = None,
 ) -> list[DataFileEntry]:
     """One range-bucketed sorted rewrite of `victims` (the cluster job
     body, commit excluded). Position deletes MUST fold into any victim
     rewrite regardless of why the victim was chosen — a rewritten file
     gets a new path, so an unapplied tombstone would silently resurrect
     its rows."""
+    import time as _time
+
+    _t0 = _time.monotonic()
     df = table.read_entries(victims, schema, deletes=deletes + pos_deletes)
-    key = curve_key_udf(
-        dims, _dim_bounds_entries(victims, df.select(*dims), dims), curve, bits
-    )
+    dim_bounds = _dim_bounds_entries(victims, df.select(*dims), dims)
+    if phases is not None:
+        phases["dim-bounds"] = round(_time.monotonic() - _t0, 3)
+    key = curve_key_udf(dims, dim_bounds, curve, bits)
     keyed = df.withColumn("_ck", key(*[F.col(d) for d in dims]))
 
     total_bytes = sum(e.bytes for e in victims)
@@ -896,17 +919,27 @@ def _execute_cluster_rewrite(
     # sample the keyed plan and execute the payload read + key UDF twice.
     from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
 
-    slim = table.read_entries(victims, schema).select(*dims)
-    # boundary precision only controls file-size balance, so ~200k sampled
-    # rows suffice for the quantiles: sample BEFORE the curve-key UDF —
-    # at 10^9 rows this is the difference between a full Python UDF pass
-    # over the dims and a bounded one (no-op below 200k rows)
-    est_rows = sum(e.rows for e in victims)
+    # boundary precision only controls file-size balance, so the quantile
+    # scan does not need every victim: a SPREAD SUBSET of files bounds the
+    # per-file open cost at O(48) (measured: the all-victims slim scan was
+    # ~20% of the cluster stage's wall — mostly parquet open overhead, the
+    # dims themselves are a few bytes per row)
+    bviews = victims
+    if len(victims) > 48:
+        step = len(victims) / 48.0
+        bviews = [victims[i] for i in sorted({int(j * step) for j in range(48)})]
+    slim = table.read_entries(bviews, schema).select(*dims)
+    # ... and ~200k sampled rows suffice for the quantiles: sample BEFORE
+    # the curve-key UDF — at 10^9 rows this is the difference between a
+    # full Python UDF pass over the dims and a bounded one
+    est_rows = sum(e.rows for e in bviews)
     frac = min(1.0, 200_000 / max(1, est_rows))
     if frac < 1.0:
         slim = slim.sample(fraction=frac, seed=42)
     slim = slim.withColumn("_ck", key(*[F.col(d) for d in dims]))
     bounds = numeric_boundaries(slim, "_ck", n_out)
+    if phases is not None:
+        phases["boundaries"] = round(_time.monotonic() - _t0, 3)
     out = range_bucketed(
         keyed,
         F.col("_ck"),
@@ -915,7 +948,7 @@ def _execute_cluster_rewrite(
         min_tasks=table.spark.sparkContext.defaultParallelism,
     ).drop("_ck")
     new_entries = table.write_dataframe(
-        out, generation_id=generation_id, partition_by="_pid"
+        out, generation_id=generation_id, partition_by="_pid", phases=phases
     )
     for e in new_entries:
         e.sort_order_id = order_id

@@ -54,9 +54,26 @@ def input_file_tail(n: int = 2) -> Column:
     )
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def tail_map(path_values: dict[str, object]) -> Column:
-    """Column: value assigned to each row by its source file."""
+    """Column: value assigned to each row by its source file.
+
+    Built as ONE parsed SQL `map(...)` expression: the `F.lit`-per-entry
+    form costs 2 py4j round-trips per file (~1 ms each — a full second of
+    DRIVER latency at a few hundred files, paid per read_entries call);
+    one expr string is a single round trip. Non-int values fall back to
+    the literal form."""
     n = _suffix_depth(list(path_values))
+    if all(isinstance(v, int) and not isinstance(v, bool)
+           for v in path_values.values()):
+        items = ", ".join(
+            f"{_sql_str(_tail_n(p, n))}, {int(v)}L"
+            for p, v in path_values.items()
+        )
+        return F.expr(f"map({items})")[input_file_tail(n)]
     kv: list[Column] = []
     for p, v in path_values.items():
         kv.extend([F.lit(_tail_n(p, n)), F.lit(v)])

@@ -103,9 +103,25 @@ def run_maintenance(
     def _merge():
         if merge_source is None:
             return {"rows": 0, "skipped": True}
+        # sorted write (guide §6): the merge emits its data files already
+        # ordered by the cluster stage's curve key and stamped with the
+        # registered sort-order id, so the cluster pass below never
+        # rewrites the bytes this merge just wrote — in steady state the
+        # cluster stage becomes metadata-only
+        sort_spec = None
+        dims = cluster_dims or ["phash", "w", "h"]
+        if all(d in table.schema(branch=branch).fieldNames() for d in dims):
+            bits = min(63 // len(dims), 21)
+            sort_spec = {
+                "dims": dims,
+                "curve": curve,
+                "bits": bits,
+                "order_id": table.ensure_sort_order(dims, curve, bits),
+            }
         res = merge_into(
             table, merge_source, cursor_col=cursor_col, branch=branch,
             target_file_bytes=target_file_bytes, mode=merge_mode,
+            sort_spec=sort_spec,
         )
         return {
             "rows": res.source_rows,
@@ -140,6 +156,7 @@ def run_maintenance(
             "files_after": res.files_after,
             "curve": curve,
             "scope": res.scope,
+            "phase_sec": res.phase_sec,
             "rewritten_files": res.rewritten_files,
             "rewritten_bytes": res.rewritten_bytes,
             "skipped_files": res.skipped_files,

@@ -521,8 +521,21 @@ def merge_into(
     broadcast_threshold_bytes: int = 256 * 1024 * 1024,
     mode: str = "cow",
     cdc_mode: str = "hard",
+    sort_spec: dict | None = None,
 ) -> MergeResult:
     """MERGE of a source batch into the lake table.
+
+    sort_spec ({"dims", "curve", "bits", "order_id"} — the table's
+    registered sort order, see LakeTable.ensure_sort_order): write the
+    output data files ALREADY sorted by the clustering curve key and stamp
+    them with the order id, instead of pk-range-bucketed. The downstream
+    cluster pass then skips these files entirely (its "unsorted" victim
+    criterion keys off the stamp) — the Iceberg sorted-write /
+    write.distribution-mode idea (guide §6: partitioning and sort order ON
+    WRITE determine how much later rewrites can skip). PK manifest ranges
+    per file get wider, but PK bloom sidecars keep candidate membership
+    pruning exact. Used by run_maintenance so the steady-state cluster
+    stage is metadata-only.
 
     cdc_mode (the reference's CdcDeletionMode, DatabricksSqlGenerator.kt:
     140; behavior pinned by BasicFunctionalityIntegrationTest.kt:260-276,
@@ -560,6 +573,10 @@ def merge_into(
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     if cdc_mode not in ("hard", "soft"):
         raise ValueError(f"cdc_mode must be 'hard' or 'soft', got {cdc_mode!r}")
+    if sort_spec is not None and not all(
+        k in sort_spec for k in ("dims", "curve", "bits", "order_id")
+    ):
+        raise ValueError("sort_spec needs dims/curve/bits/order_id")
     spark = table.spark
     pk = table.primary_key
     if cursor_col and cursor_col not in source.columns:
@@ -815,6 +832,7 @@ def merge_into(
                 target_file_bytes=target_file_bytes,
                 phases=_ph,
                 tick=_tick,
+                sort_spec=sort_spec,
             )
 
         touched = table.read_entries(
@@ -918,20 +936,38 @@ def merge_into(
         )
 
         est_rows = cand_rows + deduped_rows
-        bounds = manifest_boundaries(candidates, pk[0], n_out)
-        if not bounds and n_out > 1:
-            bounds = sampled_boundaries(merged.select(pk[0]), pk[0], n_out, est_rows)
-        out = range_bucketed(
-            merged,
-            F.col(pk[0]),
-            bounds,
-            sort_cols=list(pk),
-            min_tasks=spark.sparkContext.defaultParallelism,
-        )
+        stamp_order = None
+        if sort_spec is not None and all(
+            d in target_schema.fieldNames() for d in sort_spec["dims"]
+        ):
+            # sorted write (see merge_into docstring): the rewritten
+            # candidates + batch come out curve-sorted and stamped, so the
+            # cluster stage downstream skips every file this merge touched
+            out = _curve_sorted_out(
+                table, merged, sort_spec, candidates,
+                merged.select(*sort_spec["dims"]), est_rows, n_out,
+            )
+            stamp_order = int(sort_spec["order_id"])
+        else:
+            bounds = manifest_boundaries(candidates, pk[0], n_out)
+            if not bounds and n_out > 1:
+                bounds = sampled_boundaries(
+                    merged.select(pk[0]), pk[0], n_out, est_rows
+                )
+            out = range_bucketed(
+                merged,
+                F.col(pk[0]),
+                bounds,
+                sort_cols=list(pk),
+                min_tasks=spark.sparkContext.defaultParallelism,
+            )
         new_entries = table.write_dataframe(
-            out, generation_id=generation_id, partition_by="_pid"
+            out, generation_id=generation_id, partition_by="_pid", phases=_ph
         )
-        _tick("write")
+        if stamp_order is not None:
+            for e in new_entries:
+                e.sort_order_id = stamp_order
+        _tick("write_total")
         # rewritten candidates may exhaust a position-delete file's
         # referenced inventory — retire it in the same commit
         from airbyte_spark.operators.posdeletes import dead_position_deletes
@@ -974,6 +1010,46 @@ def merge_into(
         slim.unpersist()
 
 
+def _curve_sorted_out(
+    table: LakeTable,
+    df: DataFrame,
+    sort_spec: dict,
+    bounds_entries: list[DataFileEntry],
+    slim_dims_df: DataFrame,
+    est_rows: int,
+    n_out: int,
+):
+    """Range-bucket `df` by the registered clustering curve key (guide §6
+    sorted write — see merge_into sort_spec). `slim_dims_df` is a
+    column-pruned frame of just the clustered dims used for dim-bound
+    fallback and bucket-boundary quantiles (sampled BEFORE the key UDF, so
+    the boundary pass is bounded at ~200k UDF rows)."""
+    from airbyte_spark.operators.cluster import _dim_bounds_entries, curve_key_udf
+    from airbyte_spark.operators.rangewrite import numeric_boundaries, range_bucketed
+
+    dims = sort_spec["dims"]
+    key = curve_key_udf(
+        dims,
+        _dim_bounds_entries(bounds_entries, slim_dims_df, dims),
+        sort_spec["curve"],
+        int(sort_spec["bits"]),
+    )
+    keyed = df.withColumn("_ck", key(*[F.col(d) for d in dims]))
+    sl = slim_dims_df
+    frac = min(1.0, 200_000 / max(1, est_rows))
+    if frac < 1.0:
+        sl = sl.sample(fraction=frac, seed=42)
+    sl = sl.withColumn("_ck", key(*[F.col(d) for d in dims]))
+    bounds = numeric_boundaries(sl, "_ck", n_out)
+    return range_bucketed(
+        keyed,
+        F.col("_ck"),
+        bounds,
+        sort_cols=["_ck"] + list(table.primary_key),
+        min_tasks=table.spark.sparkContext.defaultParallelism,
+    ).drop("_ck")
+
+
 def _merge_mor(
     *,
     table: LakeTable,
@@ -994,6 +1070,7 @@ def _merge_mor(
     target_file_bytes: int,
     phases: dict,
     tick,
+    sort_spec: dict | None = None,
 ) -> MergeResult:
     """Merge-on-read execution: resolve the deduped batch against a
     column-pruned key scan of the candidate files (same cursor-newer
@@ -1075,17 +1152,30 @@ def _merge_mor(
             else 1024.0
         )
         n_out = max(1, -(-int(deduped_rows * avg_row) // target_file_bytes))
-        # boundaries from the persisted winner keys (same key set as
-        # `inserts`, minus nothing that moves a quantile): sampling
-        # `inserts` would re-run the payload-side semi join once more
-        bounds = sampled_boundaries(ins_keys, pk[0], n_out, deduped_rows)
-        out = range_bucketed(
-            inserts,
-            F.col(pk[0]),
-            bounds,
-            sort_cols=list(pk),
-            min_tasks=spark.sparkContext.defaultParallelism,
-        )
+        stamp_order = None
+        if sort_spec is not None and all(
+            d in target_schema.fieldNames() for d in sort_spec["dims"]
+        ):
+            # sorted write: bucket + sort by the registered curve key so
+            # the cluster stage skips these files (see merge_into docstring)
+            slim_dims = _align_to(src, target_schema).select(*sort_spec["dims"])
+            out = _curve_sorted_out(
+                table, inserts, sort_spec, all_entries, slim_dims,
+                source_rows, n_out,
+            )
+            stamp_order = int(sort_spec["order_id"])
+        else:
+            # boundaries from the persisted winner keys (same key set as
+            # `inserts`, minus nothing that moves a quantile): sampling
+            # `inserts` would re-run the payload-side semi join once more
+            bounds = sampled_boundaries(ins_keys, pk[0], n_out, deduped_rows)
+            out = range_bucketed(
+                inserts,
+                F.col(pk[0]),
+                bounds,
+                sort_cols=list(pk),
+                min_tasks=spark.sparkContext.defaultParallelism,
+            )
         # one delete file covers every winning key — upserts AND CDC
         # deletes; keys with no current target row are harmless (the
         # reference also writes deletes blindly, BaseDeltaTaskWriter.java:
@@ -1101,10 +1191,14 @@ def _merge_mor(
             )
             try:
                 data_entries = table.write_dataframe(
-                    out, generation_id=generation_id, partition_by="_pid"
+                    out, generation_id=generation_id, partition_by="_pid",
+                    phases=phases,
                 )
             finally:
                 del_entries = f_del.result()
+        if stamp_order is not None:
+            for e in data_entries:
+                e.sort_order_id = stamp_order
         tick("mor_writes")
         snap = table.commit(
             "merge",

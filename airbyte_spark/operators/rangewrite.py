@@ -100,6 +100,23 @@ def numeric_boundaries(keys: DataFrame, col: str, n_out: int) -> list:
     return out
 
 
+def _sql_boundary(b) -> str | None:
+    """SQL literal for a boundary value, or None when the type has no safe
+    inline form (the caller falls back to the F.lit chain)."""
+    if isinstance(b, bool):
+        return None
+    if isinstance(b, int):
+        return f"{b}L"
+    if isinstance(b, float):
+        # string round-trip: repr() is the shortest exact form and Spark's
+        # string->double cast parses it back to the identical double
+        # (a bare fractional literal would parse as DECIMAL)
+        return f"CAST('{b!r}' AS DOUBLE)"
+    if isinstance(b, str):
+        return "'" + b.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
 def bucket_expr(key: Column, boundaries: list) -> Column:
     """Partition id = number of boundaries <= key (0..len(boundaries))."""
     if not boundaries:
@@ -108,6 +125,19 @@ def bucket_expr(key: Column, boundaries: list) -> Column:
     for b in boundaries:
         pid = pid + (key >= F.lit(b)).cast("int")
     return pid
+
+
+def _bucket_expr_named(col_name: str, boundaries: list) -> Column | None:
+    """`bucket_expr` over an existing column, emitted as ONE parsed SQL
+    expression (same codegen'd comparison chain): the `F.lit`-per-boundary
+    form costs ~3 py4j round trips per boundary — a full second of driver
+    latency at a few hundred output files, per write. None when a boundary
+    type has no safe inline SQL form (caller falls back)."""
+    lits = [_sql_boundary(b) for b in boundaries]
+    if not lits or any(s is None for s in lits):
+        return None
+    terms = " + ".join(f"CAST((`{col_name}` >= {s}) AS INT)" for s in lits)
+    return F.expr(terms)
 
 
 def _murmur3_int(value: int, seed: int = 42) -> int:
@@ -171,11 +201,20 @@ def range_bucketed(
     exactly 1:1 (see partition_salts) — no two buckets share a reducer, no
     reducer idles, and each output file is produced by exactly one task."""
     n_out = len(boundaries) + 1
-    tagged = df.withColumn("_pid", bucket_expr(key, boundaries))
+    named = _bucket_expr_named("_rwk", boundaries) if boundaries else None
+    if named is not None:
+        tagged = (
+            df.withColumn("_rwk", key)
+            .withColumn("_pid", named)
+            .drop("_rwk")
+        )
+    else:
+        tagged = df.withColumn("_pid", bucket_expr(key, boundaries))
     n_parts = max(n_out, min_tasks)
     salts = partition_salts(n_parts)[:n_out]
+    # one parsed expression, not one F.lit per salt (py4j latency)
     salt_col = F.element_at(
-        F.array(*[F.lit(s) for s in salts]), F.col("_pid") + 1
+        F.expr(f"array({', '.join(str(s) for s in salts)})"), F.col("_pid") + 1
     )
     tagged = tagged.withColumn("_psalt", salt_col)
     return (

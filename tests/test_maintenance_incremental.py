@@ -78,21 +78,103 @@ def test_dirty_batch_rewrites_only_changed_bytes(spark, tmp_table_dir):
     _converge(t, "settle")
     clean = _paths(t)
     total_bytes = sum(e.bytes for e in t.data_files())
-    # one small MoR micro-batch: a few updates + inserts
+    # one small MoR micro-batch: a few updates + inserts. r6: the merge
+    # stage writes its data files ALREADY curve-sorted and stamped
+    # (merge_into sort_spec), so the cluster stage skips them too — the
+    # steady pass rewrites nothing at all unless packing/level policy
+    # kicks in.
     src = generate_update_batch(spark, 120, 6, num_partitions=2)
     rep = run_maintenance(t, "pass2", merge_source=src, merge_mode="mor")
     m = rep.stages["cluster"]
-    assert m["rewritten_files"] > 0
     # O(change): the pass must not rewrite the clean bulk of the table
     assert m["rewritten_bytes"] < 0.5 * total_bytes
     assert m["skipped_files"] > 0
-    # every skipped clean file survives with its exact path
-    assert len(clean & _paths(t)) == m["skipped_files"]
+    # clean files survive with their exact paths, except any absorbed by
+    # the undersized packing gain (the merge's small new file can recruit
+    # a small clean partner)
+    lost = clean - _paths(t)
+    assert not lost or m["victim_reasons"]["undersized"] >= len(lost)
     # the dirty pass absorbed any small packing partners (undersized gain
     # counts files already being rewritten), so the very next no-change
     # pass is metadata-only — no settle loop needed
     rep3 = run_maintenance(t, "pass3", merge_source=None)
     assert rep3.stages["cluster"]["rewritten_files"] == 0
+
+
+def test_maintenance_merge_writes_sort_stamped_files(spark, tmp_table_dir):
+    """r6 sorted write: run_maintenance's merge emits data files stamped
+    with the registered sort order, so the cluster stage's 'unsorted'
+    criterion never selects them (truthfulness of the stamp is pinned by
+    test_merge_sort_spec_writes_curve_sorted_files)."""
+    t = _table(spark, tmp_table_dir)
+    run_maintenance(t, "pass1", merge_source=None)
+    _converge(t, "settle")
+    clean = _paths(t)
+    src = generate_update_batch(spark, 120, 10, num_partitions=2)
+    rep = run_maintenance(t, "pass2", merge_source=src, merge_mode="mor")
+    order_id = t.ensure_sort_order(["phash", "w", "h"], "zorder", 21)
+    new_files = [e for e in t.data_files() if e.path not in clean]
+    assert new_files, "merge should have added data files"
+    assert all(e.sort_order_id == order_id for e in new_files)
+    # none of the merge's files were cluster victims this pass
+    assert rep.stages["cluster"]["victim_reasons"].get("unsorted", 0) == 0
+
+
+def test_merge_sort_spec_writes_curve_sorted_files(spark, tmp_table_dir):
+    """merge_into(sort_spec=...) on an empty table: dim bounds fall back
+    to the batch's own min/max, so the expected curve key is exactly
+    reproducible — every output file must be non-decreasing in it and
+    stamped with the order id."""
+    import numpy as np
+
+    from airbyte_spark.functions.curves import phash_to_unsigned, zorder_key
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.operators.merge import merge_into
+    from airbyte_spark.datagen import IMAGES_SCHEMA
+
+    t = LakeTable.create(
+        spark, tmp_table_dir, IMAGES_SCHEMA, primary_key=["image_id"],
+        properties={"write.target-file-size-bytes": 256 * 1024},
+    )
+    dims = ["phash", "w", "h"]
+    order_id = t.ensure_sort_order(dims, "zorder", 21)
+    src = generate_images(spark, 300, num_partitions=4)
+    merge_into(t, src, mode="mor", sort_spec={
+        "dims": dims, "curve": "zorder", "bits": 21, "order_id": order_id,
+    })
+    entries = t.data_files()
+    assert entries and all(e.sort_order_id == order_id for e in entries)
+    # reproduce the key: bounds = batch-wide min/max per dim (phash via the
+    # unsigned flip), quantized at 21 bits — same math as curve_key_udf
+    pdf_all = src.select(*dims).toPandas()
+    bounds = []
+    for d in dims:
+        a = pdf_all[d].to_numpy()
+        # production bounds round-trip through float() (manifest stats /
+        # the fallback agg return floats) BEFORE the phash flip — mirror
+        # that exactly or quantization-bin edges differ
+        raw_lo, raw_hi = float(a.min()), float(a.max())
+        if "phash" in d:
+            lo = float(phash_to_unsigned(np.array([int(raw_lo)], dtype=np.int64))[0])
+            hi = float(phash_to_unsigned(np.array([int(raw_hi)], dtype=np.int64))[0])
+            bounds.append((min(lo, hi), max(lo, hi)))
+        else:
+            bounds.append((raw_lo, raw_hi))
+    checked = 0
+    for e in entries:
+        pdf = spark.read.parquet(e.path).select(*dims).toPandas()
+        if len(pdf) < 2:
+            continue
+        arrays = []
+        for d in dims:
+            a = pdf[d].to_numpy()
+            if "phash" in d:
+                a = phash_to_unsigned(a.astype(np.int64)).astype(np.float64)
+            arrays.append(np.nan_to_num(a.astype(np.float64), nan=0.0))
+        keys = zorder_key(arrays, bounds, bits=21)
+        assert (np.diff(keys) >= 0).all(), f"{e.path} not sorted by curve key"
+        checked += 1
+    assert checked > 0
 
 
 def test_dirty_and_full_scope_converge_to_identical_state(spark, tmp_table_dir):
