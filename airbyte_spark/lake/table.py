@@ -2506,7 +2506,7 @@ class LakeTable:
                 )
             ]
         if not dry_run:
-            for p in orphans:
+            def _reap(p: str) -> None:
                 os.unlink(p)
                 crc = os.path.join(
                     os.path.dirname(p), f".{os.path.basename(p)}.crc"
@@ -2519,6 +2519,19 @@ class LakeTable:
                 for suf in (".bloom", ".keyhashes"):
                     if os.path.exists(p + suf):
                         os.unlink(p + suf)
+
+            # unlink releases the GIL and ext4 extent-freeing of multi-GB
+            # rewritten files runs ~10-30 ms per file — a serial sweep of
+            # a few hundred orphans is seconds of the GC stage; threads
+            # overlap the syscalls
+            if len(orphans) > 16:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=8) as _pool:
+                    list(_pool.map(_reap, orphans))
+            else:
+                for p in orphans:
+                    _reap(p)
             # bottom-up sweep (deepest first so emptied parents are caught
             # in the same pass); dirs holding only _SUCCESS/.crc markers
             # count as empty — the manifest, not the marker, is the commit

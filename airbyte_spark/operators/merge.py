@@ -509,6 +509,109 @@ def _bloom_probe_distributed(
     return {r["path"] for r in rows if not r["hit"]}
 
 
+def _plan_merge_candidates(
+    table: LakeTable,
+    slim: DataFrame,
+    pk: list[str],
+    target_schema: StructType,
+    branch: str,
+    part_fields: list,
+    planned_parent: str | None,
+) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
+    """Manifest-pruned candidate file set + live delete files for a merge.
+
+    Runs CONCURRENTLY with the batch dedup (merge_into launches it in a
+    thread): the key set used for range/bloom pruning is the batch's
+    distinct PK set, which dedup does not change (W1 keeps one row per
+    PK), and the partition-tuple set of the pre-dedup batch is a superset
+    of the winners' — pruning with it is conservative, never lossy. The
+    snapshot planned against is pinned by `planned_parent`: a concurrent
+    commit moving the branch between planning and commit raises
+    CommitConflict (optimistic concurrency — caller retries).
+
+    Partition pruning: a batch touching K partitions skips the other
+    partitions' files entirely. ONLY valid when partition values are
+    immutable per PK — otherwise an update that moves a row across
+    partitions would leave the old copy stranded (duplicate PKs). The
+    table owner asserts immutability via the `merge.partition-pruning`
+    property; default off (PK-range manifest pruning is always safe) —
+    EXCEPT when every matched partition field is a pure function of PK
+    columns (bucket/truncate/identity/temporal OF a pk column): a PK can
+    never change its own transform value, so pruning is auto-enabled."""
+    key_set = slim.select(*pk).distinct()
+    part_pruning = bool(part_fields) and (
+        str(
+            table.properties.get("merge.partition-pruning", "")
+        ).lower() in ("1", "true")
+        or all(f.source in pk for f in part_fields)
+    )
+
+    def _batch_partition_tuples() -> list:
+        """Distinct transformed partition tuples of the batch, computed
+        by Spark with the writer's own expressions (hash contract:
+        bucket values come from JVM xxhash64, never Python)."""
+        from airbyte_spark.lake.transforms import partition_expr
+
+        exprs = [
+            partition_expr(f, target_schema[f.source].dataType).alias(f.name)
+            for f in part_fields
+        ]
+        return slim.select(*exprs).distinct().collect()
+
+    # entry count comes from the manifest-list summaries — deciding
+    # HOW to plan must not itself cost an O(table) manifest parse
+    infos = table.snapshot(branch=branch).manifest_infos
+    total_entries = (
+        sum(i.get("entry_count", 0) for i in infos) if infos else None
+    )
+    dist_threshold = int(
+        table.properties.get(
+            "merge.planning.distributed-threshold",
+            DISTRIBUTED_PLANNING_THRESHOLD,
+        )
+    )
+    if total_entries is not None and total_entries > dist_threshold:
+        batch_parts = None
+        if part_pruning:
+            batch_parts = {
+                canonical_partition_key(
+                    {f.name: partition_str(r[f.name]) for f in part_fields}
+                )
+                for r in _batch_partition_tuples()
+            }
+        return _plan_candidates_distributed(
+            table, key_set, pk[0], target_schema[pk[0]].dataType,
+            branch, batch_parts, snapshot_id=planned_parent,
+        )
+    entries = table.data_files(branch=branch)
+    prunable = entries
+    if part_pruning:
+        names = [f.name for f in part_fields]
+        batch_parts = {
+            tuple(partition_str(r[n]) for n in names)
+            for r in _batch_partition_tuples()
+        }
+        prunable = [
+            e
+            for e in entries
+            if tuple(e.partition.get(n) for n in names) in batch_parts
+            # unpartitioned files AND files written under an older
+            # partition spec (partition evolution) carry no layout
+            # value for some current field — they may hold any key
+            or not all(n in e.partition for n in names)
+        ]
+    candidates = _candidate_entries(
+        table, key_set, prunable, pk[0],
+        pk_type=target_schema[pk[0]].dataType,
+    )
+    # position deletes ride the same list: read_entries dispatches
+    # by content, and a CoW candidate rewrite must fold them in
+    live_deletes = table.delete_files(
+        branch=branch
+    ) + table.position_delete_files(branch=branch)
+    return candidates, live_deletes
+
+
 def merge_into(
     table: LakeTable,
     source: DataFrame,
@@ -653,6 +756,22 @@ def merge_into(
             target_schema = table.schema(branch=branch)
         _tick("evolve")
 
+        # -- candidate planning starts NOW, concurrent with the dedup
+        # below (guide §2.6): it only needs the batch's DISTINCT PK set,
+        # which dedup does not change (W1 keeps one row per PK), and the
+        # batch's partition tuples, where the pre-dedup set is a superset
+        # (conservative pruning keeps correctness). Both phases are
+        # slim-side Spark jobs; FIFO scheduling lets them share the cores.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        planned_parent = table.current_snapshot_id(branch)
+        _plan_pool = _TPE(max_workers=1)
+        f_plan = _plan_pool.submit(
+            _plan_merge_candidates,
+            table, slim, pk, target_schema, branch, part_fields,
+            planned_parent,
+        )
+
         # -- W1 salted window dedup on the slim keys, then fetch the winning
         # payload rows with one join on the unique raw id (AQE turns it into a
         # broadcast when the winner set is small)
@@ -716,100 +835,14 @@ def merge_into(
             deduped_rows = src.count()
         _tick("dedup")
 
-        # -- manifest-pruned candidate file set (key set comes from the
-        # cached slim winners, not the payload side). The snapshot we plan
-        # against is pinned: a concurrent commit moving the branch between
-        # planning and commit raises CommitConflict (optimistic
-        # concurrency — caller retries), else a concurrent rewrite of the
-        # same candidate files would be silently lost.
-        planned_parent = table.current_snapshot_id(branch)
+        # -- join the concurrent candidate planning (launched before the
+        # dedup above; `infos` is re-derived for the CoW sizing below)
         keyed = winners if winners is not None else src
-        key_set = keyed.select(*pk).distinct()
-        # Partition pruning: a batch touching K partitions skips the other
-        # partitions' files entirely. ONLY valid when partition values are
-        # immutable per PK — otherwise an update that moves a row across
-        # partitions would leave the old copy stranded (duplicate PKs). The
-        # table owner asserts immutability via the
-        # `merge.partition-pruning` property; default off (PK-range
-        # manifest pruning below is always safe) — EXCEPT when every
-        # matched partition field is a pure function of PK columns
-        # (bucket/truncate/identity/temporal OF a pk column,
-        # lake/transforms.py): a PK can never change its own transform
-        # value, so pruning is auto-enabled. bucket(N, pk) is the shape
-        # that keeps this filter useful where PK range stats degenerate
-        # (uuid-ish keys): the batch's bucket set is ≤N values from one
-        # slim pass, and non-member files are skipped at zero I/O.
-        part_pruning = bool(part_fields) and (
-            str(
-                table.properties.get("merge.partition-pruning", "")
-            ).lower() in ("1", "true")
-            or all(f.source in pk for f in part_fields)
-        )
-
-        def _batch_partition_tuples() -> list:
-            """Distinct transformed partition tuples of the batch, computed
-            by Spark with the writer's own expressions (hash contract:
-            bucket values come from JVM xxhash64, never Python)."""
-            from airbyte_spark.lake.transforms import partition_expr
-
-            exprs = [
-                partition_expr(f, target_schema[f.source].dataType).alias(f.name)
-                for f in part_fields
-            ]
-            return keyed.select(*exprs).distinct().collect()
-        # entry count comes from the manifest-list summaries — deciding
-        # HOW to plan must not itself cost an O(table) manifest parse
+        try:
+            candidates, live_deletes = f_plan.result()
+        finally:
+            _plan_pool.shutdown(wait=True)
         infos = table.snapshot(branch=branch).manifest_infos
-        total_entries = (
-            sum(i.get("entry_count", 0) for i in infos) if infos else None
-        )
-        dist_threshold = int(
-            table.properties.get(
-                "merge.planning.distributed-threshold",
-                DISTRIBUTED_PLANNING_THRESHOLD,
-            )
-        )
-        if total_entries is not None and total_entries > dist_threshold:
-            batch_parts = None
-            if part_pruning:
-                batch_parts = {
-                    canonical_partition_key(
-                        {f.name: partition_str(r[f.name]) for f in part_fields}
-                    )
-                    for r in _batch_partition_tuples()
-                }
-            candidates, live_deletes = _plan_candidates_distributed(
-                table, key_set, pk[0], target_schema[pk[0]].dataType,
-                branch, batch_parts, snapshot_id=planned_parent,
-            )
-        else:
-            entries = table.data_files(branch=branch)
-            prunable = entries
-            if part_pruning:
-                names = [f.name for f in part_fields]
-                batch_parts = {
-                    tuple(partition_str(r[n]) for n in names)
-                    for r in _batch_partition_tuples()
-                }
-                prunable = [
-                    e
-                    for e in entries
-                    if tuple(e.partition.get(n) for n in names)
-                    in batch_parts
-                    # unpartitioned files AND files written under an older
-                    # partition spec (partition evolution) carry no layout
-                    # value for some current field — they may hold any key
-                    or not all(n in e.partition for n in names)
-                ]
-            candidates = _candidate_entries(
-                table, key_set, prunable, pk[0],
-                pk_type=target_schema[pk[0]].dataType,
-            )
-            # position deletes ride the same list: read_entries dispatches
-            # by content, and a CoW candidate rewrite must fold them in
-            live_deletes = table.delete_files(
-                branch=branch
-            ) + table.position_delete_files(branch=branch)
         _tick("candidates")
 
         if mode == "mor":
