@@ -132,6 +132,17 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def _factorize(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(uniq, inv) with the same contract as
+    ``np.unique(flat, return_inverse=True)`` EXCEPT unique order, which no
+    caller depends on (each unique is hashed independently and ``inv``
+    re-expands per row). pandas' hash-based factorize replaces np.unique's
+    O(n log n) python-string sort — measured ~60% of the minhash Arrow
+    batch at the bench shape."""
+    codes, uniques = pd.factorize(flat, use_na_sentinel=False)
+    return np.asarray(uniques, dtype=object), codes
+
+
 def _md5_minhash_batch(shingle_lists: pd.Series, num_hashes: int) -> pd.Series:
     """k-min md5 signature per row, computed entirely inside one Arrow
     batch: element i = min over shingles of md5(f'{i}|{shingle}') as a
@@ -154,7 +165,7 @@ def _md5_minhash_batch(shingle_lists: pd.Series, num_hashes: int) -> pd.Series:
     ]
     lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=n)
     flat = np.concatenate(lists) if n else np.empty(0, dtype=object)
-    uniq, inv = np.unique(flat, return_inverse=True)
+    uniq, inv = _factorize(flat)
     prefixes = [hashlib.md5(f"{i}|".encode()) for i in range(num_hashes)]
     buf = bytearray(len(uniq) * num_hashes * 16)
     pos = 0
@@ -255,7 +266,7 @@ def _minhash64_batch(shingle_lists: pd.Series, num_hashes: int) -> pd.Series:
     ]
     lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=n)
     flat = np.concatenate(lists) if n else np.empty(0, dtype=object)
-    uniq, inv = np.unique(flat, return_inverse=True)
+    uniq, inv = _factorize(flat)
     hs = np.fromiter(
         (
             int.from_bytes(hashlib.md5(str(s).encode("utf-8")).digest()[8:16], "little")
@@ -493,7 +504,7 @@ def _simhash_batch(texts: pd.Series, nbits: int = 64, token_hash=None) -> pd.Ser
     flat = np.concatenate(
         [np.asarray(x, dtype=object) for x in tok_lists if x]
     )
-    uniq, inv = np.unique(flat, return_inverse=True)
+    uniq, inv = _factorize(flat)
     hs = token_hash(uniq)
     bits = (
         (hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
