@@ -1190,11 +1190,16 @@ def _merge_mor(
             d in target_schema.fieldNames() for d in sort_spec["dims"]
         ):
             # sorted write: bucket + sort by the registered curve key so
-            # the cluster stage skips these files (see merge_into docstring)
-            slim_dims = _align_to(src, target_schema).select(*sort_spec["dims"])
+            # the cluster stage skips these files (see merge_into
+            # docstring). Boundary quantiles sample the WINNER rows
+            # (`inserts`, a dims-pruned pass over the cached source):
+            # sampling the raw batch instead overweights hot-key curve
+            # regions (intra-batch duplicates) and yields undersized
+            # output files the next cluster pass repacks.
+            slim_dims = inserts.select(*sort_spec["dims"])
             out = _curve_sorted_out(
                 table, inserts, sort_spec, all_entries, slim_dims,
-                source_rows, n_out,
+                deduped_rows, n_out,
             )
             stamp_order = int(sort_spec["order_id"])
         else:
