@@ -1162,10 +1162,6 @@ def _merge_mor(
         .persist()
     )
     try:
-        # materialize the resolve join 32-wide ONCE; both writers below
-        # then only drain the cache, so they can run concurrently
-        winners.count()
-        tick("mor_resolve")
         ins_keys = winners.filter(~F.col("_is_del")).select(*pk)
         inserts = _align_to(src, target_schema).join(
             F.broadcast(ins_keys) if deduped_rows <= 2_000_000 else ins_keys,
@@ -1185,6 +1181,14 @@ def _merge_mor(
             else 1024.0
         )
         n_out = max(1, -(-int(deduped_rows * avg_row) // target_file_bytes))
+        # the resolve join must materialize its cache 32-wide ONCE so the
+        # two concurrent writers below only drain it. When a boundary
+        # quantile job runs (n_out > 1) its collect IS that
+        # materialization — an explicit count() would be a redundant
+        # sequential job; single-bucket batches keep it.
+        if n_out <= 1:
+            winners.count()
+        tick("mor_resolve")
         stamp_order = None
         if sort_spec is not None and all(
             d in target_schema.fieldNames() for d in sort_spec["dims"]
