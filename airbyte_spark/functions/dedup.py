@@ -138,7 +138,16 @@ def _factorize(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     caller depends on (each unique is hashed independently and ``inv``
     re-expands per row). pandas' hash-based factorize replaces np.unique's
     O(n log n) python-string sort — measured ~60% of the minhash Arrow
-    batch at the bench shape."""
+    batch at the bench shape.
+
+    Guard (caught by test_minhash_batch_matches_scalar_definition):
+    pandas' string hash table truncates at embedded NUL bytes — '' and
+    '\\x00' COLLIDE under factorize, silently merging distinct shingles.
+    Any non-str or NUL-carrying element falls back to np.unique (the
+    scan is ~16 ms per 260k strings, 6% of what factorize saves)."""
+    if any(not isinstance(s, str) or "\x00" in s for s in flat):
+        uniq, inv = np.unique(flat, return_inverse=True)
+        return uniq, inv
     codes, uniques = pd.factorize(flat, use_na_sentinel=False)
     return np.asarray(uniques, dtype=object), codes
 
